@@ -1,0 +1,343 @@
+"""FSST: Fast Static Symbol Table string compression.
+
+Extension codec mandated by the north star — NOT in parquet-go; derived
+from the published paper "FSST: Fast Random Access String Compression",
+PVLDB 13(11), 2020. Up to 255 symbols of 1-8 bytes each get 1-byte
+codes; code 255 is an escape followed by one literal byte.
+
+Vectorized design (no per-byte Python):
+  * A symbol is (length, key) where key packs the symbol bytes into a
+    uint64 little-endian — so symbol comparison/lookup is integer math.
+  * Parsing (both for training and encoding) is iterative pair-merging:
+    start with one token per byte, then repeatedly merge adjacent token
+    pairs whose concatenation is a table symbol. Intra-pass overlap
+    conflicts are resolved by keeping alternate candidates within each
+    run of consecutive candidates (left-greedy, fully vectorized via
+    maximum.accumulate).
+  * Training counts token and adjacent-pair frequencies on a sample and
+    keeps the 255 symbols with the best gain (count x bytes-saved),
+    iterated for a few generations exactly like the paper's bottom-up
+    symbol construction.
+  * Decoding distinguishes escape markers from escaped 0xFF literals
+    with the run-parity trick, then reconstructs output with one
+    repeat/arange gather.
+
+Chunk layout (strings are encoded as one concatenated stream; original
+row boundaries are restored from the stored lengths, so symbols may
+span adjacent rows — harmless for round-trip):
+  uvarint n_strings | DELTA_BINARY_PACKED(lengths:int32) |
+  u8 n_symbols | n_symbols length bytes | concatenated symbol bytes |
+  uvarint encoded_len | encoded bytes
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import delta
+from .bytearrays import ByteArrays
+from .varint import read_uvarint, write_uvarint
+
+MAX_SYMBOLS = 255
+ESCAPE = 255
+MAX_LEN = 8
+SAMPLE_BYTES = 1 << 16
+GENERATIONS = 4
+PARSE_PASSES = 6
+
+_H1 = np.uint64(0x9E3779B97F4A7C15)
+_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_BUCKET_BITS = 16
+_NBUCKETS = 1 << _BUCKET_BITS
+
+
+def _buckets(keys: np.ndarray, lens: np.ndarray, salt: int) -> np.ndarray:
+    """Hash (key, len) to a 16-bit bucket. The table is built with a salt
+    that makes its ≤255 symbols collision-free, so lookup is one gather
+    plus an exact verify — no searchsorted."""
+    h = (
+        np.asarray(keys, dtype=np.uint64) * _H1
+        + np.asarray(lens, dtype=np.uint64) * _H2
+        + np.uint64(salt) * np.uint64(0x2545F4914F6CDD1D)
+    )
+    h ^= h >> np.uint64(33)
+    h *= _H1
+    return (h >> np.uint64(64 - _BUCKET_BITS)).astype(np.int64)
+
+
+class FsstTable:
+    __slots__ = ("lengths", "keys", "salt", "_bucket_code")
+
+    def __init__(self, lengths: np.ndarray, keys: np.ndarray):
+        """lengths: (k,) uint8 in 1..8; keys: (k,) uint64. Codes are the
+        positions in (length, key) sorted order — deterministic."""
+        order = np.lexsort((keys, lengths))
+        self.lengths = lengths[order].astype(np.uint8)
+        self.keys = keys[order].astype(np.uint64)
+        self.salt = 0
+        for salt in range(64):  # ≤255 syms in 65536 buckets: ~0.6 tries
+            b = _buckets(self.keys, self.lengths, salt)
+            if len(np.unique(b)) == len(b):
+                self.salt = salt
+                break
+        else:
+            raise RuntimeError("FSST: no collision-free salt found")
+        bc = np.zeros(_NBUCKETS, dtype=np.int64)
+        bc[_buckets(self.keys, self.lengths, self.salt)] = (
+            np.arange(len(self.keys), dtype=np.int64) + 1
+        )
+        self._bucket_code = bc
+
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+    def lookup(self, lens: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Vectorized (len, key) -> code, -1 if absent."""
+        if len(self.keys) == 0 or len(lens) == 0:
+            return np.full(len(lens), -1, dtype=np.int64)
+        b = _buckets(keys, lens, self.salt)
+        code = self._bucket_code[b] - 1
+        safe = np.maximum(code, 0)
+        hit = (code >= 0) & (self.keys[safe] == keys) & (self.lengths[safe] == lens)
+        return np.where(hit, code, -1)
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.lengths)])
+        out += self.lengths.tobytes()
+        for i in range(len(self.lengths)):
+            ln = int(self.lengths[i])
+            out += int(self.keys[i]).to_bytes(8, "little")[:ln]
+        return bytes(out)
+
+    @staticmethod
+    def deserialize(buf, pos: int) -> tuple["FsstTable", int]:
+        k = buf[pos]
+        pos += 1
+        lengths = np.frombuffer(bytes(buf[pos : pos + k]), dtype=np.uint8).copy()
+        pos += k
+        keys = np.zeros(k, dtype=np.uint64)
+        for i in range(k):
+            ln = int(lengths[i])
+            keys[i] = int.from_bytes(bytes(buf[pos : pos + ln]), "little")
+            pos += ln
+        return FsstTable(lengths, keys), pos
+
+
+def _merge_pass(tok_key: np.ndarray, tok_len: np.ndarray, table: FsstTable):
+    """One pair-merge pass; mutates and compresses the token arrays.
+
+    Both arrays are uint64 and owned by the caller loop (safe to mutate).
+    Pairs longer than 8 bytes get a clamped (wrong) key, but the hash
+    lookup includes the length so they can never false-match.
+    """
+    n = len(tok_key)
+    if n < 2:
+        return tok_key, tok_len, False
+    pair_len = tok_len[:-1] + tok_len[1:]
+    shift = np.minimum(tok_len[:-1] << np.uint64(3), np.uint64(56))
+    pair_key = tok_key[:-1] | (tok_key[1:] << shift)
+    cand = table.lookup(pair_len, pair_key) >= 0
+    if not cand.any():
+        return tok_key, tok_len, False
+    # resolve overlaps: within each run of consecutive candidates keep
+    # the ones at even offset from the run start (left-greedy);
+    # run starts via diff + cumsum (SIMD) instead of maximum.accumulate
+    run_start = cand.copy()
+    run_start[1:] &= ~cand[:-1]
+    run_id = np.cumsum(run_start)  # 1-based run number at each position
+    starts = np.flatnonzero(run_start)
+    ci = np.flatnonzero(cand)
+    offset = ci - starts[run_id[ci] - 1]
+    ki = ci[(offset & 1) == 0]
+    tok_key[ki] = pair_key[ki]
+    tok_len[ki] = pair_len[ki]
+    alive = np.ones(n, dtype=bool)
+    alive[ki + 1] = False
+    return tok_key[alive], tok_len[alive], True
+
+
+def _parse(data: np.ndarray, table: FsstTable) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize data (uint8 array) into table symbols + leftover bytes."""
+    tok_key = data.astype(np.uint64)
+    tok_len = np.ones(len(data), dtype=np.uint64)
+    for _ in range(PARSE_PASSES):
+        tok_key, tok_len, changed = _merge_pass(tok_key, tok_len, table)
+        if not changed:
+            break
+    return tok_key, tok_len
+
+
+def _unique_counts(lens: np.ndarray, keys: np.ndarray):
+    """Unique (len, key) pairs + counts via lexsort (no hashing)."""
+    if len(lens) == 0:
+        return lens, keys, np.empty(0, dtype=np.int64)
+    order = np.lexsort((keys, lens))
+    sl, sk = lens[order], keys[order]
+    new = np.ones(len(sl), dtype=bool)
+    new[1:] = (sl[1:] != sl[:-1]) | (sk[1:] != sk[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(sl)))
+    return sl[starts], sk[starts], counts
+
+
+def train(data: np.ndarray, generations: int = GENERATIONS) -> FsstTable:
+    """Build a symbol table from (a sample of) the data."""
+    sample = data[:SAMPLE_BYTES]
+    if len(sample) == 0:
+        return FsstTable(np.empty(0, np.uint8), np.empty(0, np.uint64))
+    # generation 0: most frequent single bytes
+    counts = np.bincount(sample, minlength=256)
+    order = np.argsort(-counts, kind="stable")
+    present = order[counts[order] > 0][:MAX_SYMBOLS]
+    table = FsstTable(
+        np.ones(len(present), dtype=np.uint8), present.astype(np.uint64)
+    )
+    for _ in range(generations):
+        tok_key, tok_len = _parse(sample, table)
+        # candidate pool: current tokens + adjacent-pair concatenations
+        t_l, t_k, t_c = _unique_counts(tok_len, tok_key)
+        cand_l = [t_l]
+        cand_k = [t_k]
+        cand_c = [t_c]
+        if len(tok_key) > 1:
+            ll = tok_len[:-1].astype(np.uint64)
+            pair_len = tok_len[:-1] + tok_len[1:]
+            shift = np.minimum(ll << np.uint64(3), np.uint64(56))
+            pair_key = tok_key[:-1] | (tok_key[1:] << shift)
+            fits = pair_len <= MAX_LEN
+            p_l, p_k, p_c = _unique_counts(pair_len[fits], pair_key[fits])
+            cand_l.append(p_l)
+            cand_k.append(p_k)
+            cand_c.append(p_c)
+        al = np.concatenate(cand_l)
+        ak = np.concatenate(cand_k)
+        ac = np.concatenate(cand_c)
+        # merge duplicates between token & pair pools
+        ul, uk, _ = _unique_counts(al, ak)
+        # re-accumulate counts onto unique entries
+        order = np.lexsort((ak, al))
+        sl, sk, sc = al[order], ak[order], ac[order]
+        new = np.ones(len(sl), dtype=bool)
+        new[1:] = (sl[1:] != sl[:-1]) | (sk[1:] != sk[:-1])
+        gid = np.cumsum(new) - 1
+        gcounts = np.bincount(gid, weights=sc).astype(np.int64)
+        ul = sl[new]
+        uk = sk[new]
+        # gain: bytes saved = count*(len-1) for multi-byte symbols,
+        # count*1 for single bytes (escape avoidance)
+        gain = np.where(ul >= 2, gcounts * (ul - 1), gcounts)
+        top = np.argsort(-gain, kind="stable")[:MAX_SYMBOLS]
+        top = top[gain[top] > 0]
+        table = FsstTable(ul[top].astype(np.uint8), uk[top])
+    return table
+
+
+def encode_stream(data: np.ndarray, table: FsstTable) -> bytes:
+    """Encode a flat uint8 stream with a trained table."""
+    if len(data) == 0:
+        return b""
+    tok_key, tok_len = _parse(data, table)
+    codes = table.lookup(tok_len, tok_key)
+    # unmatched tokens are single leftover bytes -> escape
+    matched = codes >= 0
+    out_len = np.where(matched, 1, 2).astype(np.int64)
+    out_off = np.concatenate([[0], np.cumsum(out_len)])
+    total = int(out_off[-1])
+    out = np.empty(total, dtype=np.uint8)
+    mpos = out_off[:-1][matched]
+    out[mpos] = codes[matched].astype(np.uint8)
+    upos = out_off[:-1][~matched]
+    out[upos] = ESCAPE
+    out[upos + 1] = tok_key[~matched].astype(np.uint8)
+    return out.tobytes()
+
+
+def decode_stream(buf: np.ndarray, table: FsstTable, expected: int) -> np.ndarray:
+    """Decode a code stream back to the original uint8 stream."""
+    codes = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    is_esc_val = codes == ESCAPE
+    # markers: within each run of consecutive 0xFF bytes (run starting at
+    # a non-consumed position), positions at even run offset are escape
+    # markers; odd ones are escaped literals
+    run_start = is_esc_val.copy()
+    run_start[1:] &= ~is_esc_val[:-1]
+    run_id = np.cumsum(run_start)
+    starts = np.flatnonzero(run_start)
+    ei = np.flatnonzero(is_esc_val)
+    marker = np.zeros(n, dtype=bool)
+    if len(ei):
+        offset = ei - starts[run_id[ei] - 1]
+        marker[ei[(offset & 1) == 0]] = True
+    literal = np.zeros(n, dtype=bool)
+    literal[1:] = marker[:-1]
+    token_pos = ~literal  # marker or plain code
+    tpos = np.flatnonzero(token_pos)
+    t_marker = marker[tpos]
+    tcodes = codes[tpos].astype(np.int64)
+    # output lengths per token
+    sym_lens = table.lengths.astype(np.int64)
+    out_lens = np.where(t_marker, 1, sym_lens[np.where(t_marker, 0, tcodes)] if len(sym_lens) else 1)
+    if len(sym_lens) == 0:
+        out_lens = np.ones(len(tpos), dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(out_lens)])
+    total = int(offs[-1])
+    out = np.empty(total, dtype=np.uint8)
+    # literals (escaped bytes)
+    lmask = t_marker
+    out[offs[:-1][lmask]] = codes[tpos[lmask] + 1]
+    # symbols: gather from flat symbol byte buffer
+    smask = ~t_marker
+    if smask.any():
+        sym_offsets = np.concatenate([[0], np.cumsum(sym_lens)])
+        flat = np.zeros(int(sym_offsets[-1]), dtype=np.uint8)
+        for i in range(len(sym_lens)):  # ≤255 symbols — not per-value
+            ln = int(sym_lens[i])
+            flat[sym_offsets[i] : sym_offsets[i] + ln] = np.frombuffer(
+                int(table.keys[i]).to_bytes(8, "little")[:ln], dtype=np.uint8
+            )
+        sc = tcodes[smask]
+        s_out_off = offs[:-1][smask]
+        s_lens = sym_lens[sc]
+        tot_s = int(s_lens.sum())
+        csum = np.cumsum(s_lens) - s_lens
+        within = np.arange(tot_s, dtype=np.int64) - np.repeat(csum, s_lens)
+        dst = np.repeat(s_out_off, s_lens) + within
+        src = np.repeat(sym_offsets[:-1][sc], s_lens) + within
+        out[dst] = flat[src]
+    if total != expected:
+        raise ValueError(f"FSST decode size mismatch: {total} != {expected}")
+    return out
+
+
+def encode_byte_array(values: ByteArrays, table: FsstTable | None = None) -> bytes:
+    data = values.data[: values.offsets[-1]]
+    table = table or train(data)
+    lengths = values.lengths.astype(np.int32)
+    enc = encode_stream(data, table)
+    out = bytearray()
+    write_uvarint(out, len(values))
+    out += delta.encode_binary_packed(lengths, 32)
+    out += table.serialize()
+    write_uvarint(out, len(enc))
+    out += enc
+    return bytes(out)
+
+
+def decode_byte_array(buf, n: int | None = None) -> ByteArrays:
+    mv = buf if isinstance(buf, (bytes, bytearray)) else memoryview(buf)
+    pos = 0
+    n_strings, pos = read_uvarint(mv, pos)
+    lengths, consumed = delta.decode_binary_packed(mv[pos:], 32)
+    pos += consumed
+    lengths = lengths[:n_strings].astype(np.int64)
+    table, pos = FsstTable.deserialize(mv, pos)
+    enc_len, pos = read_uvarint(mv, pos)
+    enc = np.frombuffer(mv, dtype=np.uint8, offset=pos, count=enc_len)
+    total = int(lengths.sum())
+    data = decode_stream(enc, table, total)
+    offsets = np.zeros(n_strings + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(lengths)
+    return ByteArrays(data, offsets)

@@ -1,0 +1,156 @@
+"""Per-chunk codec auto-selector.
+
+Generalizes the reference's static-with-one-dynamic-rule selection
+(/root/reference/node.go:542-562 defaults, writer.go:2049-2077
+dictionary-size fallback) into a measured, deterministic decision:
+
+  1. compute cheap per-chunk stats (NDV on a sample, run count,
+     sortedness, bit-width, sample byte entropy, prefix affinity)
+  2. shortlist candidate codecs per kind using those stats — this
+     mirrors the reference's canEncode matrix (encoding.go:136-160)
+     plus its defaults (BYTE_ARRAY → DELTA_LENGTH, else PLAIN)
+  3. trial-encode the shortlist and keep the smallest blob
+
+The decision is a pure function of the chunk bytes (sampling is
+positional, not random), so re-running a partition reproduces the
+identical blob — required for idempotent manifest resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import chunk as chunklib
+from . import delta, rle
+from .bitpack import bit_length_u64
+from .bytearrays import ByteArrays
+from .kinds import Codec, Kind
+
+DICT_MAX_BYTES = 1 << 20  # per-chunk dictionary cap (DictionaryMaxBytes analog)
+DICT_NDV_RATIO = 0.5  # dictionary viable when sample NDV/n below this
+SAMPLE = 4096  # stat sample size (positional prefix — deterministic)
+FSST_MIN_BYTES = 1 << 10  # below this, table overhead dominates
+
+
+def column_stats(values, kind: int) -> dict:
+    """Cheap deterministic stats driving the shortlist."""
+    n = len(values)
+    st: dict = {"n": n, "kind": kind}
+    if n == 0:
+        st.update(ndv_ratio=0.0, runs=0, sorted=True, raw_bytes=0)
+        return st
+    if kind == Kind.BYTE_ARRAY:
+        st["raw_bytes"] = int(values.offsets[-1])
+        lens = values.lengths
+        take = min(n, SAMPLE)
+        # sample NDV via first-take distinct (arrow dictionary on slice)
+        sl = ByteArrays(
+            values.data[: values.offsets[take]], values.offsets[: take + 1]
+        )
+        arr = sl.to_arrow()
+        st["ndv_ratio"] = len(arr.unique()) / take
+        st["avg_len"] = float(lens.mean())
+        # prefix affinity: mean shared prefix between neighbors on sample
+        pref = delta._prefix_lengths(sl)
+        st["avg_prefix"] = float(pref[1:].mean()) if take > 1 else 0.0
+        return st
+    a = np.asarray(values).reshape(len(values), -1) if kind == Kind.FIXED_LEN_BYTE_ARRAY else np.asarray(values)
+    if kind == Kind.FIXED_LEN_BYTE_ARRAY:
+        st["raw_bytes"] = a.size
+        take = min(n, SAMPLE)
+        st["ndv_ratio"] = len(np.unique(a[:take], axis=0)) / take
+        return st
+    st["raw_bytes"] = a.nbytes
+    take = min(n, SAMPLE)
+    s = a[:take]
+    st["ndv_ratio"] = len(np.unique(s)) / take
+    if kind in (Kind.INT32, Kind.INT64):
+        st["sorted"] = bool(np.all(s[1:] >= s[:-1])) if take > 1 else True
+        st["runs"] = rle.run_count(s)
+        st["min"] = int(a.min())
+        st["max_bits"] = (
+            int(bit_length_u64(a.astype(np.uint64)).max()) if st["min"] >= 0 else 64
+        )
+    elif kind == Kind.BOOLEAN:
+        st["runs"] = rle.run_count(s)
+    return st
+
+
+def shortlist(stats: dict) -> list[tuple[int, bool]]:
+    """Candidate (codec, dict_wrap) list per kind — the canEncode analog."""
+    kind = stats["kind"]
+    ndv = stats.get("ndv_ratio", 1.0)
+    cands: list[tuple[int, bool]] = []
+    if kind == Kind.BOOLEAN:
+        return [(Codec.PLAIN, False), (Codec.RLE, False)]
+    if kind in (Kind.INT32, Kind.INT64):
+        cands.append((Codec.DELTA_BINARY_PACKED, False))
+        cands.append((Codec.PLAIN, False))
+        if stats.get("min", -1) >= 0 and stats.get("max_bits", 64) <= 32:
+            cands.append((Codec.RLE, False))
+        if ndv < DICT_NDV_RATIO:
+            cands.append((Codec.DELTA_BINARY_PACKED, True))
+        return cands
+    if kind in (Kind.FLOAT, Kind.DOUBLE):
+        cands.append((Codec.PLAIN, False))
+        cands.append((Codec.BYTE_STREAM_SPLIT, False))
+        if ndv < DICT_NDV_RATIO:
+            cands.append((Codec.PLAIN, True))
+        return cands
+    if kind == Kind.FIXED_LEN_BYTE_ARRAY:
+        cands.append((Codec.PLAIN, False))
+        cands.append((Codec.BYTE_STREAM_SPLIT, False))
+        if ndv < DICT_NDV_RATIO:
+            cands.append((Codec.PLAIN, True))
+        return cands
+    # BYTE_ARRAY: DELTA_LENGTH is the reference default ("always
+    # preferred to PLAIN", node.go:542-562)
+    cands.append((Codec.DELTA_LENGTH_BYTE_ARRAY, False))
+    if stats.get("avg_prefix", 0.0) >= 2.0:
+        cands.append((Codec.DELTA_BYTE_ARRAY, False))
+    if ndv < DICT_NDV_RATIO:
+        # the dict page itself is small → encode uniques with DELTA_LENGTH;
+        # viability gated by the DictionaryMaxBytes analog
+        est_dict_bytes = stats["raw_bytes"] * ndv
+        if est_dict_bytes <= DICT_MAX_BYTES:
+            cands.append((Codec.DELTA_LENGTH_BYTE_ARRAY, True))
+    if stats["raw_bytes"] >= FSST_MIN_BYTES and ndv > 0.01:
+        cands.append((Codec.FSST, False))
+    return cands
+
+
+def select_and_encode(
+    values, kind: int, *, flba_size: int | None = None, zstd: bool = False
+) -> tuple[bytes, dict]:
+    """Trial-encode the shortlist; return (smallest blob, info)."""
+    stats = column_stats(values, kind)
+    best_blob = None
+    best = None
+    trials = {}
+    for codec, dict_wrap in shortlist(stats):
+        try:
+            blob = chunklib.encode_chunk(
+                values, kind, codec,
+                dict_wrap=dict_wrap, flba_size=flba_size, zstd=zstd,
+            )
+        except Exception:
+            continue
+        key = (len(blob), codec, dict_wrap)  # deterministic tie-break
+        trials[f"{codec}{'+dict' if dict_wrap else ''}"] = len(blob)
+        if best is None or key < best:
+            best = key
+            best_blob = blob
+    if best_blob is None:  # fall back to PLAIN, which supports every kind
+        best_blob = chunklib.encode_chunk(
+            values, kind, Codec.PLAIN, flba_size=flba_size, zstd=zstd
+        )
+        best = (len(best_blob), Codec.PLAIN, False)
+    info = {
+        "codec": best[1],
+        "dict": best[2],
+        "enc_bytes": best[0],
+        "raw_bytes": stats["raw_bytes"],
+        "n": stats["n"],
+        "trials": trials,
+    }
+    return best_blob, info
