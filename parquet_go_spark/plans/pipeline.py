@@ -1,0 +1,325 @@
+"""The distributed encode/decode/verify pipeline.
+
+Spark-first equivalent of the reference's write path (writer.go:97-163,
+/root/reference/writer.go:2365-2500) and read path (file.go:65-130,
+reader.go:31-71), restructured around Spark's execution model
+(SURVEY.md §3.1-3.2):
+
+  encode:  input DataFrame
+           → per-repo size agg (small, broadcast back)            [stats]
+           → salt: bucket = xxhash64(path, commit) % n_buckets    [skew]
+           → groupBy(repo, bucket).applyInPandas(encode_chunk)    [kernel]
+           → parquet blobs table + manifest (same files; manifest
+             reads prune the blob column for free — columnar)
+  decode:  blobs → groupBy(chunk_id).applyInPandas(decode_chunk)
+  verify:  decode → sha2(content) per row vs source               [oracle]
+  resume:  recompute chunk keys → broadcast left-anti join against
+           completed manifest chunk ids → encode only the gap
+           (the dataflow analog of writer_copy.go:22-36's
+           "never redo finished work")
+
+Skew: n_buckets is per-repo ceil(bytes / target_chunk_bytes), so one
+giant repo becomes many bounded chunks while small repos stay single-
+chunk — per-chunk dictionaries remain meaningful (SURVEY.md §7.4.6).
+All per-value work happens in vectorized numpy inside applyInPandas;
+Spark handles shuffle, spill, and retries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, DateType, DoubleType, FloatType, IntegerType,
+    LongType, StringType, StructField, StructType, TimestampNTZType,
+    TimestampType,
+)
+
+from parquet_go_spark.codecs import chunk as chunklib
+from parquet_go_spark.codecs import selector
+from parquet_go_spark.codecs.bytearrays import ByteArrays
+from parquet_go_spark.codecs.kinds import Kind
+
+TARGET_CHUNK_BYTES = 32 << 20  # soft upper bound per chunk (all columns)
+
+MANIFEST_COLUMNS = [
+    "chunk_id", "repo", "bucket", "column", "n_rows", "kind", "codec",
+    "dict", "zstd", "spark_type", "raw_bytes", "enc_bytes", "sha256",
+]
+
+BLOB_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("repo", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("column", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("kind", IntegerType(), False),
+        StructField("codec", IntegerType(), False),
+        StructField("dict", BooleanType(), False),
+        StructField("zstd", BooleanType(), False),
+        StructField("spark_type", StringType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+_KIND_BY_SPARK = {
+    "string": Kind.BYTE_ARRAY,
+    "binary": Kind.BYTE_ARRAY,
+    "bigint": Kind.INT64,
+    "int": Kind.INT32,
+    "double": Kind.DOUBLE,
+    "float": Kind.FLOAT,
+    "boolean": Kind.BOOLEAN,
+    "timestamp": Kind.INT64,  # encoded as unix micros
+    "timestamp_ntz": Kind.INT64,
+    "date": Kind.INT32,  # days since epoch
+}
+
+
+def _col_kind(spark_type: str) -> int:
+    if spark_type not in _KIND_BY_SPARK:
+        raise ValueError(f"unsupported column type {spark_type}")
+    return _KIND_BY_SPARK[spark_type]
+
+
+def _series_to_values(s: pd.Series, spark_type: str):
+    """pandas column → kernel value container (ByteArrays or ndarray)."""
+    if spark_type in ("string", "binary"):
+        arr = pa.Array.from_pandas(s, type=pa.binary() if spark_type == "binary" else pa.string())
+        return ByteArrays.from_arrow(arr)
+    if spark_type in ("timestamp", "timestamp_ntz"):
+        return s.values.astype("datetime64[us]").astype(np.int64)
+    if spark_type == "date":
+        return s.values.astype("datetime64[D]").astype(np.int32)
+    dt = {"bigint": np.int64, "int": np.int32, "double": np.float64,
+          "float": np.float32, "boolean": bool}[spark_type]
+    return s.to_numpy(dtype=dt)
+
+
+def _values_to_series(values, spark_type: str) -> pd.Series:
+    if spark_type == "string":
+        return values.to_arrow(pa.string()).to_pandas()
+    if spark_type == "binary":
+        return values.to_arrow(pa.binary()).to_pandas()
+    if spark_type in ("timestamp", "timestamp_ntz"):
+        return pd.Series(values.astype("datetime64[us]"))
+    if spark_type == "date":
+        return pd.Series(values.astype("datetime64[D]").astype("datetime64[us]")).dt.date
+    return pd.Series(values)
+
+
+def _column_sha256(values, spark_type: str) -> str:
+    """Deterministic digest of a column chunk (length-framed for strings,
+    raw little-endian for fixed kinds) — the manifest lineage field."""
+    h = hashlib.sha256()
+    if spark_type in ("string", "binary"):
+        h.update(values.lengths.astype("<i8").tobytes())
+        h.update(values.data[: values.offsets[-1]].tobytes())
+    else:
+        h.update(np.ascontiguousarray(values).tobytes())
+    return h.hexdigest()
+
+
+def _encode_group_fn(columns: list[tuple[str, str]], sort_cols: list[str], zstd: bool):
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        repo = pdf["__repo"].iloc[0]
+        bucket = int(pdf["__bucket"].iloc[0])
+        chunk_id = f"{repo}#{bucket}"
+        out = []
+        for name, spark_type in columns:
+            values = _series_to_values(pdf[name], spark_type)
+            kind = _col_kind(spark_type)
+            blob, info = selector.select_and_encode(values, kind, zstd=zstd)
+            out.append(
+                {
+                    "chunk_id": chunk_id,
+                    "repo": repo,
+                    "bucket": bucket,
+                    "column": name,
+                    "n_rows": len(pdf),
+                    "kind": kind,
+                    "codec": info["codec"],
+                    "dict": info["dict"],
+                    "zstd": zstd,
+                    "spark_type": spark_type,
+                    "raw_bytes": info["raw_bytes"],
+                    "enc_bytes": len(blob),
+                    "sha256": _column_sha256(values, spark_type),
+                    "blob": blob,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return encode
+
+
+def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
+                target_chunk_bytes: int = TARGET_CHUNK_BYTES) -> DataFrame:
+    """Assign every row a bounded-size (repo, bucket) chunk key.
+
+    One small aggregation + a broadcast join back; the heavy table is
+    only shuffled once, by groupBy in encode_table.
+    """
+    size_expr = F.lit(0)
+    for c, t in df.dtypes:
+        if t == "string":
+            size_expr = size_expr + F.octet_length(F.col(c))
+        elif t in ("bigint", "double", "timestamp"):
+            size_expr = size_expr + F.lit(8)
+        else:
+            size_expr = size_expr + F.lit(4)
+    sizes = (
+        df.groupBy(F.col(repo_col))
+        .agg(F.sum(size_expr).alias("__bytes"))
+        .withColumn(
+            "__n_buckets",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("__bytes") / F.lit(target_chunk_bytes))
+            ).cast("int"),
+        )
+        .select(F.col(repo_col), "__n_buckets")
+    )
+    out = df.join(F.broadcast(sizes), on=repo_col, how="inner")
+    return (
+        out.withColumn("__repo", F.col(repo_col).cast("string"))
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.col("__n_buckets")).cast("int"),
+        )
+        .drop("__n_buckets")
+    )
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_path: str,
+    *,
+    repo_col: str = "repo",
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    target_chunk_bytes: int = TARGET_CHUNK_BYTES,
+    zstd: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Encode df into a blobs+manifest parquet table at out_path.
+
+    Returns summary metrics (chunks encoded, bytes, ratio, skipped)."""
+    salt_cols = salt_cols or [c for c, _ in df.dtypes if c != repo_col][:2]
+    sort_cols = sort_cols if sort_cols is not None else salt_cols
+    columns = df.dtypes
+    for _, t in columns:
+        _col_kind(t)  # validate early
+
+    keyed = plan_chunks(df, repo_col, salt_cols, target_chunk_bytes)
+
+    skipped = 0
+    if resume and _table_exists(out_path):
+        done = manifest(spark, out_path).select("repo", "bucket").distinct()
+        cond = (keyed["__repo"] == done["repo"]) & (keyed["__bucket"] == done["bucket"])
+        keyed = keyed.join(F.broadcast(done), on=cond, how="left_anti")
+        skipped = done.count()
+
+    fn = _encode_group_fn(columns, sort_cols, zstd)
+    encoded = keyed.groupBy("__repo", "__bucket").applyInPandas(fn, BLOB_SCHEMA)
+    encoded.write.mode("append").parquet(out_path)
+
+    _write_schema_sidecar(out_path, columns)
+
+    m = manifest(spark, out_path)
+    agg = m.agg(
+        F.countDistinct("chunk_id").alias("chunks"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).collect()[0]
+    return {
+        "chunks": agg["chunks"],
+        "raw_bytes": agg["raw_bytes"],
+        "enc_bytes": agg["enc_bytes"],
+        "ratio": (agg["raw_bytes"] or 0) / max(agg["enc_bytes"] or 1, 1),
+        "skipped_chunks": skipped,
+    }
+
+
+def _table_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def _write_schema_sidecar(out_path: str, columns: list[tuple[str, str]]) -> None:
+    with open(os.path.join(out_path, "_colcodec_schema.json"), "w") as f:
+        json.dump({"columns": [{"name": c, "type": t} for c, t in columns]}, f)
+
+
+def _read_schema_sidecar(out_path: str) -> list[tuple[str, str]]:
+    with open(os.path.join(out_path, "_colcodec_schema.json")) as f:
+        doc = json.load(f)
+    return [(c["name"], c["type"]) for c in doc["columns"]]
+
+
+def manifest(spark: SparkSession, out_path: str) -> DataFrame:
+    """Manifest view — columnar pruning means the blob column is never read."""
+    return spark.read.parquet(out_path).select(*MANIFEST_COLUMNS)
+
+
+_SPARK_TYPE_NAMES = {
+    "string": StringType(), "binary": BinaryType(), "bigint": LongType(),
+    "int": IntegerType(), "double": DoubleType(), "float": FloatType(),
+    "boolean": BooleanType(), "timestamp": TimestampType(), "timestamp_ntz": TimestampNTZType(),
+    "date": DateType(),
+}
+
+
+def decode_table(spark: SparkSession, out_path: str) -> DataFrame:
+    """blobs table → original rows (order within chunks preserved)."""
+    columns = _read_schema_sidecar(out_path)
+    out_schema = StructType(
+        [StructField(c, _SPARK_TYPE_NAMES[t], True) for c, t in columns]
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = {}
+        n_rows = int(pdf["n_rows"].iloc[0])
+        for _, row in pdf.iterrows():  # ≤ n_columns iterations, not per-value
+            values, meta = chunklib.decode_chunk(row["blob"])
+            assert meta["n"] == n_rows
+            series[row["column"]] = _values_to_series(values, row["spark_type"])
+        return pd.DataFrame({c: series[c].reset_index(drop=True) for c, _ in columns})
+
+    blobs = spark.read.parquet(out_path)
+    return blobs.groupBy("chunk_id").applyInPandas(decode, out_schema)
+
+
+def verify_roundtrip(spark: SparkSession, source: DataFrame, out_path: str,
+                     content_col: str = "content") -> dict:
+    """Per-row sha256 invariant (BASELINE.json input_hint): the decoded
+    table must contain exactly the same multiset of row hashes."""
+    cols = [c for c, _ in source.dtypes]
+    decoded = decode_table(spark, out_path)
+    h = lambda df: df.select(  # noqa: E731
+        F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h")
+    )
+    src = h(source).groupBy("h").count()
+    dec = h(decoded).groupBy("h").count()
+    diff = src.join(dec, "h", "full_outer").where(
+        F.coalesce(src["count"], F.lit(0)) != F.coalesce(dec["count"], F.lit(0))
+    )
+    n_src = source.count()
+    n_dec = decoded.count()
+    n_bad = diff.count()
+    return {"rows_source": n_src, "rows_decoded": n_dec, "hash_mismatches": n_bad,
+            "ok": n_src == n_dec and n_bad == 0}
