@@ -1,38 +1,496 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries map SURVEY.md §2's operator inventory onto the driver's
+(spark, sf_dir) → DataFrame protocol, with matching DuckDB oracle SQL:
+
+- rt_pipeline_*   full encode→blobs+manifest→decode round trips (the
+                  write/read paths, SURVEY §3.1-3.2) per table shape
+- rt_<codec>_*    forced-codec distributed round trips (TestEncoding
+                  analog, encoding_test.go:207-216) — E1..E10
+- stats_* chunk_* manifest column-index statistics (column_index.go)
+- prune_*         min/max chunk pruning (search.go:6-95)
+- dedup/minhash/simhash/ngram  training-data dedup operators
+- token/quality/langid/fingerprint  text-analysis operators
+- cosine/knn/lsh  embedding similarity search
+- multimodal_*    binary-payload plumbing (stubbed decode)
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_go_spark.codecs.kinds import Codec
+from parquet_go_spark.operators import dedup, multimodal, roundtrip, similarity, text
+from parquet_go_spark.plans import pipeline
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_ENCODE_SPECS = {
+    "lineitem": dict(repo_col="l_returnflag", salt_cols=["l_orderkey", "l_linenumber"],
+                     sort_cols=["l_orderkey", "l_linenumber"]),
+    "orders": dict(repo_col="o_orderpriority", salt_cols=["o_orderkey"],
+                   sort_cols=["o_orderkey"]),
+    "documents": dict(repo_col="source", salt_cols=["doc_id"], sort_cols=["doc_id"]),
+    "events": dict(repo_col="event_type", salt_cols=["event_id"], sort_cols=["event_id"]),
+    "part": dict(repo_col="p_brand", salt_cols=["p_partkey"], sort_cols=["p_partkey"]),
+    "customer": dict(repo_col="c_mktsegment", salt_cols=["c_custkey"],
+                     sort_cols=["c_custkey"]),
+    "embeddings": dict(repo_col="label", salt_cols=["vec_id"], sort_cols=["vec_id"]),
+}
+
+
+def _encode_fresh(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Encode a testdata table into a fresh blobs+manifest dir; return path."""
+    out = tempfile.mkdtemp(prefix=f"colcodec_{name}_")
+    df = _load(spark, sf_dir, name)
+    pipeline.encode_table(spark, df, out, resume=False, **_ENCODE_SPECS[name])
+    return out
+
+
+def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Canonicalize timestamp columns to strings for oracle comparison."""
+    for c in cols:
+        df = df.withColumn(c, F.date_format(F.col(c), TS_FMT_SPARK))
+    return df
+
+
+def _rt_pipeline(name: str, ts_cols: tuple[str, ...] = ()):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = _encode_fresh(spark, sf_dir, name)
+        return _fmt_ts(pipeline.decode_table(spark, out), *ts_cols)
+
+    return q
+
+
+def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _encode_fresh(spark, sf_dir, "embeddings")
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double")),
+            3,
+        ).alias("checksum"),
+    )
+
+
+def _codec_rt(table: str, column: str, codec: int, *, dict_wrap=False,
+              sort_within=False, derive=None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _load(spark, sf_dir, table)
+        if derive is not None:
+            df = derive(df)
+        return roundtrip.codec_roundtrip(
+            df, column, codec, dict_wrap=dict_wrap, sort_within=sort_within
+        )
+
+    return q
+
+
+def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _encode_fresh(spark, sf_dir, "lineitem")
+    m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
+
+    def mm(col, agg):
+        v = F.when(F.col("column") == col, F.col(agg + "_val").cast("double"))
+        return (F.min(v) if agg == "min" else F.max(v))
+
+    return m.agg(
+        mm("l_orderkey", "min").alias("min_orderkey"),
+        mm("l_orderkey", "max").alias("max_orderkey"),
+        mm("l_quantity", "min").alias("min_qty"),
+        mm("l_quantity", "max").alias("max_qty"),
+        mm("l_extendedprice", "min").alias("min_price"),
+        mm("l_extendedprice", "max").alias("max_price"),
+    )
+
+
+def _chunk_rowcounts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _encode_fresh(spark, sf_dir, "lineitem")
+    m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
+    return (
+        m.groupBy(F.col("column").alias("col_name"))
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+
+
+def _prune_decode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _encode_fresh(spark, sf_dir, "orders")
+    d = pipeline.pruned_decode(
+        spark, out, "o_orderkey", lo=100, hi=5000,
+        columns_subset=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return d.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(emb, "embedding", "vec_id", list(qv), k=10)
+
+
+def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.knn_join(
+        emb, "embedding", "vec_id", queries, "embedding", "vec_id", k=5
+    )
+
+
+def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_pairs(
+        emb, "embedding", "vec_id", n_planes=8, min_sim=0.1
+    )
+
+
+def _merge_dedupe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeRowGroups analog: overlapping unions, then dedupe (merge.go:25)."""
+    o = _load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 3 == 0)
+    merged = a.unionByName(b).dropDuplicates(["o_orderkey"])
+    return _fmt_ts(merged, "o_orderdate")
+
+
+def _consecutive_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    return dedup.consecutive_dedupe(li, ["l_returnflag", "l_linestatus"])
+
+
+def _convert_schema_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution Convert analog (convert.go:370): reorder, drop,
+    widen, stringify."""
+    o = _load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.col("o_custkey").cast("double").alias("ckey_d"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate_str"),
+    )
+
+
+def _topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k scan (ScanRowReader/limit analog) with deterministic ties."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select("rank", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode lineitem+documents at sf0.001, return the codec
+    decision summary per column (what the selector chose + ratios)."""
+    sf_dir = "/root/testdata/sf0.001"
+    rows = []
+    for name in ("lineitem", "documents"):
+        out = _encode_fresh(spark, sf_dir, name)
+        m = pipeline.manifest(spark, out)
+        rows.append(
+            m.groupBy("column", "codec", "dict")
+            .agg(
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .withColumn("table", F.lit(name))
+        )
+    out_df = rows[0].unionByName(rows[1])
+    return out_df.select(
+        "table", "column", "codec", "dict", "n_rows", "raw_bytes", "enc_bytes",
+        F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3).alias("ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    li_flag = lambda df: df.select((F.col("l_quantity") > 25).alias("flag"))  # noqa: E731
+    return {
+        # ---- pipeline round trips (encode→manifest→decode), per shape ----
+        "rt_pipeline_lineitem": _rt_pipeline("lineitem", ("l_shipdate",)),
+        "rt_pipeline_orders": _rt_pipeline("orders", ("o_orderdate",)),
+        "rt_pipeline_documents": _rt_pipeline("documents"),
+        "rt_pipeline_events": _rt_pipeline("events", ("ts",)),
+        "rt_pipeline_part": _rt_pipeline("part"),
+        "rt_pipeline_customer": _rt_pipeline("customer"),
+        "rt_pipeline_embeddings": _rt_embeddings,
+        # ---- forced-codec round trips (E1..E10) ----
+        "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
+        "rt_rle_dict_returnflag": _codec_rt(
+            "lineitem", "l_returnflag", Codec.PLAIN, dict_wrap=True
+        ),
+        "rt_delta_bp_orderkey": _codec_rt(
+            "orders", "o_orderkey", Codec.DELTA_BINARY_PACKED
+        ),
+        "rt_delta_length_text": _codec_rt(
+            "documents", "text", Codec.DELTA_LENGTH_BYTE_ARRAY
+        ),
+        "rt_delta_byte_array_ptype": _codec_rt(
+            "part", "p_type", Codec.DELTA_BYTE_ARRAY, sort_within=True
+        ),
+        "rt_bss_price": _codec_rt(
+            "lineitem", "l_extendedprice", Codec.BYTE_STREAM_SPLIT
+        ),
+        "rt_fsst_text": _codec_rt("documents", "text", Codec.FSST),
+        "rt_rle_boolean": _codec_rt(
+            "lineitem", "flag", Codec.RLE, derive=li_flag
+        ),
+        # ---- manifest statistics + pruning ----
+        "stats_minmax_lineitem": _stats_minmax_lineitem,
+        "chunk_rowcounts_lineitem": _chunk_rowcounts_lineitem,
+        "prune_decode_orders": _prune_decode_orders,
+        # ---- dedup ----
+        "dedup_exact_documents": lambda spark, sf: dedup.exact_dedup(
+            _load(spark, sf, "documents"), "doc_id", "text"
+        ),
+        "ngram_jaccard_documents": lambda spark, sf: dedup.ngram_jaccard_pairs(
+            _load(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8
+        ),
+        "minhash_pairs_documents": lambda spark, sf: dedup.minhash_dedup_pairs(
+            _load(spark, sf, "documents"), "doc_id", "text", threshold=0.8
+        ),
+        "simhash_documents": lambda spark, sf: dedup.simhash(
+            _load(spark, sf, "documents"), "doc_id", "text"
+        ),
+        "simhash_pairs_documents": lambda spark, sf: dedup.simhash_near_pairs(
+            dedup.simhash(_load(spark, sf, "documents"), "doc_id", "text"),
+            max_hamming=8,
+        ),
+        "consecutive_dedupe_lineitem": _consecutive_dedupe,
+        # ---- text analysis ----
+        "token_stats_documents": lambda spark, sf: text.with_token_stats(
+            _load(spark, sf, "documents")
+        ).select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
+                 "punct_ratio", "stopword_ratio", "avg_token_len"),
+        "quality_documents": lambda spark, sf: text.quality_score(
+            _load(spark, sf, "documents")
+        ).select("doc_id", "quality"),
+        "langid_documents": lambda spark, sf: text.lang_id(
+            _load(spark, sf, "documents")
+        ).select("doc_id", "pred_lang"),
+        "fingerprint_documents": lambda spark, sf: text.fingerprint(
+            _load(spark, sf, "documents")
+        ).select("doc_id", "fp_md5", "fp_sha256", "fp_len"),
+        # ---- similarity search ----
+        "cosine_topk_embeddings": _cosine_topk,
+        "knn_join_embeddings": _knn_join,
+        "lsh_ann_embeddings": _lsh_ann,
+        # ---- multimodal plumbing ----
+        "multimodal_meta_documents": lambda spark, sf: multimodal.media_metadata(
+            _load(spark, sf, "documents").select(
+                "doc_id", F.col("text").cast("binary").alias("payload")
+            ),
+            "doc_id", "payload",
+        ),
+        "multimodal_decode_stub": lambda spark, sf: multimodal.extract_media_features(
+            _load(spark, sf, "documents").select(
+                "doc_id", F.col("text").cast("binary").alias("payload")
+            ),
+            "doc_id", "payload",
+        ).select("media_id", "n_bytes", "digest", "width", "height"),
+        # ---- row reshaping / merge / scan ----
+        "convert_schema_orders": _convert_schema_orders,
+        "merge_dedupe_orders": _merge_dedupe_orders,
+        "topk_lineitem": _topk_lineitem,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    li_cols = (
+        "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        "strftime(l_shipdate, '{f}') AS l_shipdate"
+    ).format(f=TS_FMT_DUCK)
+    o_cols = (
+        "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "strftime(o_orderdate, '{f}') AS o_orderdate, o_orderpriority"
+    ).format(f=TS_FMT_DUCK)
+
+    grams_cte = (
+        "WITH grams AS ("
+        " SELECT doc_id AS id, unnest(list_distinct("
+        "  [substr(text, CAST(i AS INT), 3) for i in range(1, length(text) - 1)]"
+        " )) AS g FROM documents WHERE length(text) >= 3), "
+        "sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i "
+        " FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2) "
+    )
+
+    stop_en = text.sql_stop_hits("text", text.STOPWORDS_EN)
+    stop_de = text.sql_stop_hits("text", text.STOPWORDS_DE)
+    stop_fr = text.sql_stop_hits("text", text.STOPWORDS_FR)
+    stop_es = text.sql_stop_hits("text", text.STOPWORDS_ES)
+    ntok = text.sql_tokens("text")
+
+    token_stats = f"""
+        SELECT doc_id,
+          {ntok} AS n_tokens,
+          round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+          round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+          round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+          round({stop_en} * 1.0 / greatest({ntok}, 1), 6) AS stopword_ratio,
+          round((length(text) - {ntok} + 1) * 1.0 / greatest({ntok}, 1), 6)
+                AS avg_token_len
+        FROM documents
     """
-    return {}
+
+    quality = f"""
+        WITH s AS ({token_stats})
+        SELECT doc_id, floor((
+            0.4 * least(n_tokens / 100.0, 1.0)
+          + 0.3 * alpha_ratio
+          + 0.2 * stopword_ratio
+          + 0.1 * (1 - least(digit_ratio * 5, 1.0))) * 1e6 + 0.5) / 1e6
+          AS quality
+        FROM s
+    """
+
+    langid = f"""
+        SELECT doc_id, CASE
+          WHEN greatest({stop_en}, {stop_de}, {stop_fr}, {stop_es}) = 0 THEN 'und'
+          WHEN {stop_en} >= greatest({stop_de}, {stop_fr}, {stop_es}) THEN 'en'
+          WHEN {stop_de} >= greatest({stop_fr}, {stop_es}) THEN 'de'
+          WHEN {stop_fr} >= {stop_es} THEN 'fr'
+          ELSE 'es' END AS pred_lang
+        FROM documents
+    """
+
+    cosine_topk = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        sims AS (SELECT vec_id AS nn_id,
+          list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))) AS sim
+          FROM embeddings, q)
+        SELECT row_number() OVER (ORDER BY sim DESC, nn_id) AS rank,
+               nn_id, round(sim, 4) AS sim4
+        FROM sims QUALIFY rank <= 10
+    """
+
+    knn_join = """
+        WITH sims AS (SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+          list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])))) AS sim
+          FROM embeddings e, embeddings q WHERE q.vec_id < 5)
+        SELECT q_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id)
+                 AS rank,
+               nn_id, round(sim, 4) AS sim4
+        FROM sims QUALIFY rank <= 5
+    """
+
+    return {
+        "rt_pipeline_lineitem": f"SELECT {li_cols} FROM lineitem",
+        "rt_pipeline_orders": f"SELECT {o_cols} FROM orders",
+        "rt_pipeline_documents": "SELECT * FROM documents",
+        "rt_pipeline_events": (
+            "SELECT event_id, strftime(ts, '{f}') AS ts, user_id, event_type, "
+            "value, props FROM events"
+        ).format(f=TS_FMT_DUCK),
+        "rt_pipeline_part": "SELECT * FROM part",
+        "rt_pipeline_customer": "SELECT * FROM customer",
+        "rt_pipeline_embeddings": (
+            "SELECT vec_id, label, len(embedding) AS dim, "
+            "round(list_sum(CAST(embedding AS DOUBLE[])), 3) AS checksum "
+            "FROM embeddings"
+        ),
+        "rt_plain_part_name": "SELECT p_name FROM part",
+        "rt_rle_dict_returnflag": "SELECT l_returnflag FROM lineitem",
+        "rt_delta_bp_orderkey": "SELECT o_orderkey FROM orders",
+        "rt_delta_length_text": "SELECT text FROM documents",
+        "rt_delta_byte_array_ptype": "SELECT p_type FROM part",
+        "rt_bss_price": "SELECT l_extendedprice FROM lineitem",
+        "rt_fsst_text": "SELECT text FROM documents",
+        "rt_rle_boolean": "SELECT (l_quantity > 25) AS flag FROM lineitem",
+        "stats_minmax_lineitem": (
+            "SELECT CAST(min(l_orderkey) AS DOUBLE) AS min_orderkey, "
+            "CAST(max(l_orderkey) AS DOUBLE) AS max_orderkey, "
+            "CAST(min(l_quantity) AS DOUBLE) AS min_qty, "
+            "CAST(max(l_quantity) AS DOUBLE) AS max_qty, "
+            "CAST(min(l_extendedprice) AS DOUBLE) AS min_price, "
+            "CAST(max(l_extendedprice) AS DOUBLE) AS max_price FROM lineitem"
+        ),
+        "chunk_rowcounts_lineitem": (
+            "SELECT col_name, count(*) AS n_rows FROM lineitem CROSS JOIN "
+            "(SELECT unnest(['l_orderkey','l_partkey','l_suppkey',"
+            "'l_linenumber','l_quantity','l_extendedprice','l_discount',"
+            "'l_tax','l_returnflag','l_linestatus','l_shipdate']) AS col_name)"
+            " GROUP BY col_name"
+        ),
+        "prune_decode_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey BETWEEN 100 AND 5000"
+        ),
+        "dedup_exact_documents": (
+            "SELECT sha256(text) AS digest, min(doc_id) AS keep_id, "
+            "count(*) AS dup_count FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard_documents": grams_cte + (
+            "SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON id_a = sa.id "
+            "JOIN sizes sb ON id_b = sb.id "
+            "WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.8"
+        ),
+        "token_stats_documents": token_stats,
+        "quality_documents": quality,
+        "langid_documents": langid,
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256, "
+            "length(text) AS fp_len FROM documents"
+        ),
+        "cosine_topk_embeddings": cosine_topk,
+        "knn_join_embeddings": knn_join,
+        "multimodal_meta_documents": (
+            "SELECT doc_id AS media_id, strlen(text) AS n_bytes, "
+            "sha256(text) AS digest FROM documents"
+        ),
+        "convert_schema_orders": (
+            "SELECT CAST(o_orderkey AS VARCHAR) AS okey_str, "
+            "CAST(o_custkey AS DOUBLE) AS ckey_d, "
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS odate_str FROM orders"
+        ),
+        "merge_dedupe_orders": (
+            f"SELECT {o_cols} FROM orders "
+            "WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0"
+        ),
+        "lsh_ann_embeddings": similarity.sql_lsh_ann_pairs(
+            "embeddings", "embedding", "vec_id", n_planes=8, min_sim=0.1
+        ),
+        "consecutive_dedupe_lineitem": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+        ),
+        "topk_lineitem": (
+            "SELECT row_number() OVER (ORDER BY l_extendedprice DESC, "
+            "l_orderkey, l_linenumber) AS rank, l_orderkey, l_linenumber, "
+            "l_extendedprice FROM lineitem QUALIFY rank <= 100"
+        ),
+        # minhash_pairs / simhash* / lsh_ann / multimodal_decode_stub are
+        # hash-construction-specific → rows-only checks (no portable SQL).
+    }

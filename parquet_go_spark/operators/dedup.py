@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (100 TB design):
+- exact dedup is one hash-shuffle on the digest (not the full text) —
+  group on sha256, keep min id; the text column never shuffles.
+- n-gram Jaccard is exact pairwise similarity via an inverted index
+  (doc×gram explode → self-join on gram); quadratic only within posting
+  lists, so it is the *verify* stage, not the candidate stage.
+- MinHash+LSH generates candidates with banded signatures (one shuffle
+  per band via a single explode), then verifies candidates exactly —
+  the standard near-dup architecture for web-scale corpora.
+- SimHash gives 64-bit sketches joined by 16-bit bands, verified with
+  bit_count(xor) hamming distance — all JVM-side expressions.
+
+The reference's only dedup surface is consecutive-row dedupe
+(/root/reference/dedupe.go:8-107); everything else here is the
+training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: (keep_id = min id, dup_count).
+
+    Shuffles only (digest, id) — the payload column stays columnar-pruned.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Distinct character n-grams; shorter-than-n text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct char n-grams, inverted-index
+    style: explode → self-join on gram → count intersections.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 32
+) -> DataFrame:
+    """num_perm minhash values per doc from xxhash64(gram, seed).
+
+    One explode + one groupBy — the signature matrix in a single shuffle.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return grams.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs."""
+    rows = num_perm // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", *band_cols)
+    exploded = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("id", F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3,
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard (candidate →
+    verify, the scale path; exact jaccard only on the candidate set)."""
+    cands = minhash_lsh_candidates(
+        minhash_signatures(df, id_col, text_col, n, num_perm), num_perm, bands
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    inter = (
+        cands.join(ga, F.col("id_a") == F.col("ga.id"))
+        .join(gb, (F.col("id_b") == F.col("gb.id")) & (F.col("ga.g") == F.col("gb.g")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    Per token: xxhash64; per bit: vote +1/-1; sketch bit = sign of vote.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(64)
+    ]
+    sketch = bit_terms[0]
+    for t in bit_terms[1:]:
+        sketch = sketch.bitwiseOR(t)
+    return votes.select("id", sketch.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sk: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Candidate pairs via 4×16-bit bands, verified with bit_count(xor)."""
+    bands = sk.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF)).alias("k"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("id", "simhash", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def consecutive_dedupe(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """Sorted-input consecutive dedupe — the reference's dedupe.go:8-107
+    semantics (drop rows equal to their predecessor in sort order)."""
+    w = Window.orderBy(*sort_cols)
+    cols = df.columns
+    key = F.struct(*[F.col(c) for c in cols])
+    return (
+        df.withColumn("__prev", F.lag(key).over(w))
+        .where(F.col("__prev").isNull() | (key != F.col("__prev")))
+        .drop("__prev")
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH (random-hyperplane)
+bucketing as the scale path. All arithmetic stays JVM-side: zip_with +
+aggregate in double precision, sequential summation (matches DuckDB's
+list_dot_product on DOUBLE[] for the oracle).
+
+At 100 TB the brute-force path is a broadcast of the query matrix against
+a scan of the embedding table (no shuffle); the LSH path shuffles once on
+the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine vs one query vector; deterministic tie-break
+    on id. Returns (rank, vec_id, sim4)."""
+    q = _lit_vec(query)
+    sims = df.select(
+        F.col(id_col).alias("nn_id"),
+        cosine(F.col(vec_col), q).alias("sim"),
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "nn_id", F.round("sim", 4).alias("sim4"))
+    )
+
+
+def knn_join(
+    df: DataFrame, vec_col: str, id_col: str, queries: DataFrame,
+    q_vec_col: str, q_id_col: str, k: int = 5,
+) -> DataFrame:
+    """Brute-force k-NN join: broadcast the (small) query side against the
+    big embedding table — no shuffle of the big side; per-query top-k via
+    window on (query_id)."""
+    joined = df.crossJoin(F.broadcast(queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("__qv")
+    )))
+    sims = joined.select(
+        "q_id",
+        F.col(id_col).alias("nn_id"),
+        cosine(F.col(vec_col), F.col("__qv")).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "nn_id", F.round("sim", 4).alias("sim4"))
+    )
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int):
+    """Deterministic ±1 hyperplanes — shared by the Spark operator and the
+    SQL oracle generator so both compute the identical sketch."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim))
+
+
+def hyperplane_sketch(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16,
+    dim: int = 64, seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH sketch (sign of dot with seeded ±1 planes).
+
+    Planes are deterministic given (n_planes, dim, seed), so the sketch is
+    reproducible across runs (idempotent resume) and across engines."""
+    planes = lsh_planes(n_planes, dim, seed)
+    bits = None
+    for p in range(n_planes):
+        d = dot(F.col(vec_col), _lit_vec(list(planes[p])))
+        term = F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return df.select(F.col(id_col).alias("id"), bits.alias("sketch"))
+
+
+def lsh_ann_pairs(
+    df: DataFrame, vec_col: str, id_col: str, *, n_planes: int = 16,
+    dim: int = 64, seed: int = 42, min_sim: float = 0.7,
+) -> DataFrame:
+    """ANN candidate pairs: equal LSH sketch bucket → verify exact cosine.
+
+    One shuffle on the 16-bit bucket key; exact cosine only within buckets.
+    """
+    sk = hyperplane_sketch(df, vec_col, id_col, n_planes, dim, seed)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sk = sk.join(vecs, "id")
+    a = sk.alias("a")
+    b = sk.alias("b")
+    return (
+        a.join(b, (F.col("a.sketch") == F.col("b.sketch"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim4"),
+        )
+        .where(F.col("sim4") >= min_sim)
+    )
+
+
+def sql_lsh_ann_pairs(
+    table: str, vec_col: str, id_col: str, *, n_planes: int = 16,
+    dim: int = 64, seed: int = 42, min_sim: float = 0.7,
+) -> str:
+    """DuckDB oracle mirroring lsh_ann_pairs exactly (same seeded planes)."""
+    planes = lsh_planes(n_planes, dim, seed)
+    terms = []
+    for p in range(n_planes):
+        lst = ", ".join(str(x) for x in planes[p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_col} AS DOUBLE[]), "
+            f"[{lst}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sketch = " + ".join(terms)
+    return f"""
+        WITH sk AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+                    {sketch} AS sketch FROM {table})
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS sim4
+        FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.id < b.id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4) >= {min_sim}
+    """

@@ -49,9 +49,15 @@ from parquet_go_spark.codecs.kinds import Kind
 
 TARGET_CHUNK_BYTES = 32 << 20  # soft upper bound per chunk (all columns)
 
+# Column-index truncation limit for byte-array min/max stats — the
+# DefaultColumnIndexSizeLimit analog (/root/reference/config.go:27,
+# column_index.go:499-533).
+STAT_TRUNCATE = 16
+
 MANIFEST_COLUMNS = [
-    "chunk_id", "repo", "bucket", "column", "n_rows", "kind", "codec",
-    "dict", "zstd", "spark_type", "raw_bytes", "enc_bytes", "sha256",
+    "chunk_id", "repo", "bucket", "column", "stream", "n_rows", "kind",
+    "codec", "dict", "zstd", "spark_type", "raw_bytes", "enc_bytes",
+    "sha256", "min_val", "max_val", "null_count",
 ]
 
 BLOB_SCHEMA = StructType(
@@ -60,6 +66,7 @@ BLOB_SCHEMA = StructType(
         StructField("repo", StringType(), False),
         StructField("bucket", IntegerType(), False),
         StructField("column", StringType(), False),
+        StructField("stream", StringType(), False),
         StructField("n_rows", LongType(), False),
         StructField("kind", IntegerType(), False),
         StructField("codec", IntegerType(), False),
@@ -69,6 +76,9 @@ BLOB_SCHEMA = StructType(
         StructField("raw_bytes", LongType(), False),
         StructField("enc_bytes", LongType(), False),
         StructField("sha256", StringType(), False),
+        StructField("min_val", StringType(), True),
+        StructField("max_val", StringType(), True),
+        StructField("null_count", LongType(), False),
         StructField("blob", BinaryType(), False),
     ]
 )
@@ -86,8 +96,19 @@ _KIND_BY_SPARK = {
     "date": Kind.INT32,  # days since epoch
 }
 
+# List columns are encoded as two streams — lengths (the repetition-level
+# analog, SURVEY.md §1.1) + flattened element values.
+_LIST_ELEM_KIND = {
+    "array<float>": (Kind.FLOAT, np.float32, pa.float32()),
+    "array<double>": (Kind.DOUBLE, np.float64, pa.float64()),
+    "array<int>": (Kind.INT32, np.int32, pa.int32()),
+    "array<bigint>": (Kind.INT64, np.int64, pa.int64()),
+}
+
 
 def _col_kind(spark_type: str) -> int:
+    if spark_type in _LIST_ELEM_KIND:
+        return _LIST_ELEM_KIND[spark_type][0]
     if spark_type not in _KIND_BY_SPARK:
         raise ValueError(f"unsupported column type {spark_type}")
     return _KIND_BY_SPARK[spark_type]
@@ -131,6 +152,62 @@ def _column_sha256(values, spark_type: str) -> str:
     return h.hexdigest()
 
 
+def _truncate_max(b: bytes) -> str | None:
+    """Truncate a byte-array max stat to STAT_TRUNCATE bytes while keeping
+    it an upper bound: chop, then increment the last byte with carry
+    (the reference's column-index truncation, column_index.go:684-700)."""
+    if len(b) <= STAT_TRUNCATE:
+        return b.decode("latin-1")
+    t = bytearray(b[:STAT_TRUNCATE])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return bytes(t[: i + 1]).decode("latin-1")
+    return None  # all 0xFF — no representable upper bound
+
+
+def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
+    """(min_val, max_val) as round-trippable strings, or (None, None)."""
+    if spark_type in ("string", "binary"):
+        if len(values) == 0:
+            return None, None
+        arr = values.to_arrow()
+        mm = pa.compute.min_max(arr)
+        lo = mm["min"].as_py() or b""
+        hi = mm["max"].as_py() or b""
+        return lo[:STAT_TRUNCATE].decode("latin-1"), _truncate_max(hi)
+    a = np.asarray(values)
+    if a.size == 0 or a.dtype == bool:
+        return None, None
+    return repr(a.min().item()), repr(a.max().item())
+
+
+def _encode_one(values, kind, spark_type, zstd, base, stream="values"):
+    blob, info = selector.select_and_encode(values, kind, zstd=zstd)
+    mn, mx = _chunk_stats(values, spark_type)
+    rec = dict(base)
+    rec.update(
+        stream=stream, kind=kind, codec=info["codec"], dict=info["dict"],
+        zstd=zstd, spark_type=spark_type, raw_bytes=info["raw_bytes"],
+        enc_bytes=len(blob), sha256=_column_sha256(values, spark_type),
+        min_val=mn, max_val=mx, null_count=0, blob=blob,
+    )
+    return rec
+
+
+def _list_to_streams(s: pd.Series, spark_type: str):
+    """List column → (lengths int32 ndarray, flat element ndarray)."""
+    _, np_dtype, pa_elem = _LIST_ELEM_KIND[spark_type]
+    arr = pa.Array.from_pandas(s, type=pa.list_(pa_elem))
+    if arr.null_count:
+        raise ValueError("list columns must be non-null")
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offsets = np.asarray(arr.offsets)
+    lengths = np.diff(offsets).astype(np.int32)
+    flat = np.asarray(arr.values, dtype=np_dtype)
+    return lengths, flat
+
+
 def _encode_group_fn(columns: list[tuple[str, str]], sort_cols: list[str], zstd: bool):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         if sort_cols:
@@ -140,27 +217,21 @@ def _encode_group_fn(columns: list[tuple[str, str]], sort_cols: list[str], zstd:
         chunk_id = f"{repo}#{bucket}"
         out = []
         for name, spark_type in columns:
-            values = _series_to_values(pdf[name], spark_type)
-            kind = _col_kind(spark_type)
-            blob, info = selector.select_and_encode(values, kind, zstd=zstd)
-            out.append(
-                {
-                    "chunk_id": chunk_id,
-                    "repo": repo,
-                    "bucket": bucket,
-                    "column": name,
-                    "n_rows": len(pdf),
-                    "kind": kind,
-                    "codec": info["codec"],
-                    "dict": info["dict"],
-                    "zstd": zstd,
-                    "spark_type": spark_type,
-                    "raw_bytes": info["raw_bytes"],
-                    "enc_bytes": len(blob),
-                    "sha256": _column_sha256(values, spark_type),
-                    "blob": blob,
-                }
-            )
+            base = {
+                "chunk_id": chunk_id, "repo": repo, "bucket": bucket,
+                "column": name, "n_rows": len(pdf),
+            }
+            if spark_type in _LIST_ELEM_KIND:
+                elem_kind, np_dtype, _ = _LIST_ELEM_KIND[spark_type]
+                lengths, flat = _list_to_streams(pdf[name], spark_type)
+                out.append(_encode_one(lengths, Kind.INT32, "int", zstd, base,
+                                       stream="lengths"))
+                elem_type = spark_type[len("array<"):-1]
+                out.append(_encode_one(flat, elem_kind, elem_type, zstd, base))
+            else:
+                values = _series_to_values(pdf[name], spark_type)
+                out.append(_encode_one(values, _col_kind(spark_type),
+                                       spark_type, zstd, base))
         return pd.DataFrame(out)
 
     return encode
@@ -175,9 +246,12 @@ def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
     """
     size_expr = F.lit(0)
     for c, t in df.dtypes:
-        if t == "string":
+        if t in ("string", "binary"):
             size_expr = size_expr + F.octet_length(F.col(c))
-        elif t in ("bigint", "double", "timestamp"):
+        elif t in _LIST_ELEM_KIND:
+            w = 8 if t in ("array<double>", "array<bigint>") else 4
+            size_expr = size_expr + F.size(F.col(c)) * F.lit(w) + F.lit(4)
+        elif t in ("bigint", "double", "timestamp", "timestamp_ntz"):
             size_expr = size_expr + F.lit(8)
         else:
             size_expr = size_expr + F.lit(4)
@@ -284,24 +358,108 @@ _SPARK_TYPE_NAMES = {
 }
 
 
-def decode_table(spark: SparkSession, out_path: str) -> DataFrame:
-    """blobs table → original rows (order within chunks preserved)."""
-    columns = _read_schema_sidecar(out_path)
-    out_schema = StructType(
-        [StructField(c, _SPARK_TYPE_NAMES[t], True) for c, t in columns]
-    )
+def _out_field(name: str, spark_type: str) -> StructField:
+    if spark_type in _LIST_ELEM_KIND:
+        elem = _SPARK_TYPE_NAMES[spark_type[len("array<"):-1]]
+        from pyspark.sql.types import ArrayType
+
+        return StructField(name, ArrayType(elem), True)
+    return StructField(name, _SPARK_TYPE_NAMES[spark_type], True)
+
+
+def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+    """groupBy(chunk_id).applyInPandas decode of a (filtered) blobs table."""
+    out_schema = StructType([_out_field(c, t) for c, t in cols])
+    col_types = dict(cols)
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         series = {}
+        streams: dict[str, dict] = {}
         n_rows = int(pdf["n_rows"].iloc[0])
-        for _, row in pdf.iterrows():  # ≤ n_columns iterations, not per-value
+        for _, row in pdf.iterrows():  # ≤ n_streams iterations, not per-value
             values, meta = chunklib.decode_chunk(row["blob"])
+            name = row["column"]
+            if col_types.get(name) in _LIST_ELEM_KIND:
+                streams.setdefault(name, {})[row["stream"]] = values
+                continue
             assert meta["n"] == n_rows
-            series[row["column"]] = _values_to_series(values, row["spark_type"])
-        return pd.DataFrame({c: series[c].reset_index(drop=True) for c, _ in columns})
+            series[name] = _values_to_series(values, row["spark_type"])
+        for name, st in streams.items():
+            lengths, flat = st["lengths"], st["values"]
+            assert len(lengths) == n_rows and int(lengths.sum()) == len(flat)
+            _, _, pa_elem = _LIST_ELEM_KIND[col_types[name]]
+            offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            series[name] = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa_elem)
+            ).to_pandas()
+        return pd.DataFrame({c: series[c].reset_index(drop=True) for c, _ in cols})
 
-    blobs = spark.read.parquet(out_path)
     return blobs.groupBy("chunk_id").applyInPandas(decode, out_schema)
+
+
+def decode_table(spark: SparkSession, out_path: str,
+                 columns_subset: list[str] | None = None) -> DataFrame:
+    """blobs table → original rows (order within chunks preserved).
+
+    columns_subset prunes both the output AND the blobs that are read —
+    the analog of reader.go:63-65 projection (Spark's parquet reader
+    never materializes the skipped blob cells: columnar pruning)."""
+    columns = _read_schema_sidecar(out_path)
+    blobs = spark.read.parquet(out_path)
+    if columns_subset is not None:
+        keep = set(columns_subset)
+        columns = [(c, t) for c, t in columns if c in keep]
+        blobs = blobs.where(F.col("column").isin([c for c, _ in columns]))
+    return _decode_blobs(blobs, columns)
+
+
+def _stat_expr(spark_type: str, col):
+    """Parse a manifest min/max string back to a comparable value."""
+    if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz", "date"):
+        return col.cast("double")  # repr(int) parses as double fine for bounds
+    if spark_type in ("float", "double"):
+        return col.cast("double")
+    return col  # strings compare lexicographically (latin-1 truncated bounds)
+
+
+def pruned_decode(
+    spark: SparkSession,
+    out_path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    columns_subset: list[str] | None = None,
+) -> DataFrame:
+    """Decode only chunks whose [min_val, max_val] intersects [lo, hi],
+    then apply the exact row filter — the Spark analog of page skipping
+    via the column index (search.go:6-95, column_index.go)."""
+    columns = dict(_read_schema_sidecar(out_path))
+    spark_type = columns[column]
+    m = manifest(spark, out_path).where(
+        (F.col("column") == column) & (F.col("stream") == "values")
+    )
+    mn = _stat_expr(spark_type, F.col("min_val"))
+    mx = _stat_expr(spark_type, F.col("max_val"))
+    keep_lo = F.lit(True) if lo is None else (mx >= F.lit(lo))
+    keep_hi = F.lit(True) if hi is None else (mn <= F.lit(hi))
+    chunk_ids = m.where(keep_lo & keep_hi).select("chunk_id").distinct()
+
+    blobs = spark.read.parquet(out_path).join(
+        F.broadcast(chunk_ids), "chunk_id", "left_semi"
+    )
+    cols = _read_schema_sidecar(out_path)
+    if columns_subset is not None:
+        keep = set(columns_subset) | {column}
+        cols = [(c, t) for c, t in cols if c in keep]
+        blobs = blobs.where(F.col("column").isin([c for c, _ in cols]))
+    out = _decode_blobs(blobs, cols)
+    c = F.col(column)
+    if lo is not None:
+        out = out.where(c >= F.lit(lo))
+    if hi is not None:
+        out = out.where(c <= F.lit(hi))
+    return out
 
 
 def verify_roundtrip(spark: SparkSession, source: DataFrame, out_path: str,
