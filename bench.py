@@ -1,0 +1,159 @@
+"""Benchmark harness: headline queries + the north-star encode job.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "encode_gbps": ..., "encode_ratio": ..., "encode_rows": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_ENCODE_ONLY   "1" → run only the encode job (used by the
+                      scaling harness to compare local[8] vs local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ENCODE_ONLY = os.environ.get("BENCH_ENCODE_ONLY", "") == "1"
+
+# Queries benchmarked at SF_DIR — a scale-safe subset of the full driver
+# surface (ngram_jaccard is excluded: exact all-pairs verification is the
+# sf0.01 correctness path, not a 100 TB operator).
+BENCH_QUERIES = [
+    "rt_pipeline_lineitem",
+    "rt_pipeline_events",
+    "rt_fsst_text",
+    "rt_delta_bp_orderkey",
+    "rt_bss_price",
+    "stats_minmax_lineitem",
+    "prune_decode_orders",
+    "dedup_exact_documents",
+    "minhash_pairs_documents",
+    "simhash_documents",
+    "token_stats_documents",
+    "quality_documents",
+    "langid_documents",
+    "fingerprint_documents",
+    "cosine_topk_embeddings",
+    "knn_join_embeddings",
+    "lsh_ann_embeddings",
+    "topk_lineitem",
+]
+
+# North-star encode-job input size: rows scale with sf (sf0.1 → 200k rows
+# ≈ 0.2 GB of (repo,path,commit,lang,content) text).
+ROWS_PER_SF = 2_000_000
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("colcodec-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def bench_encode(spark, sf: float) -> dict:
+    """The north-star job: repos table → salted chunks → encoded blobs +
+    manifest. Input is materialized to parquet first so the timed span is
+    read→encode→write only."""
+    from parquet_go_spark.plans import pipeline
+    from parquet_go_spark.sources.repogen import repos_table
+
+    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
+    work = tempfile.mkdtemp(prefix="colcodec_bench_")
+    src_path = os.path.join(work, "src")
+    out_path = os.path.join(work, "blobs")
+    repos_table(spark, n_rows, seed=42, n_repos=max(50, n_rows // 2000),
+                partitions=CPUS * 2).write.parquet(src_path)
+    df = spark.read.parquet(src_path)
+
+    t0 = time.time()
+    stats = pipeline.encode_table(
+        spark, df, out_path,
+        salt_cols=["path", "commit"], sort_cols=["path", "commit"],
+        resume=False,
+    )
+    t_enc = time.time() - t0
+
+    t0 = time.time()
+    n_dec = pipeline.decode_table(spark, out_path).count()
+    t_dec = time.time() - t0
+
+    shutil.rmtree(work, ignore_errors=True)
+    raw_gb = stats["raw_bytes"] / 1e9
+    return {
+        "encode_sec": round(t_enc, 2),
+        "decode_sec": round(t_dec, 2),
+        "encode_gbps": round(raw_gb / t_enc, 4),
+        "decode_gbps": round(raw_gb / t_dec, 4),
+        "encode_ratio": round(stats["ratio"], 3),
+        "encode_rows": n_rows,
+        "encode_raw_bytes": stats["raw_bytes"],
+        "encode_enc_bytes": stats["enc_bytes"],
+        "decoded_rows": n_dec,
+        "chunks": stats["chunks"],
+        "cpus": CPUS,
+    }
+
+
+def main() -> None:
+    t_start = time.time()
+    spark = build_spark()
+    sf = sf_from_dir(SF_DIR)
+
+    enc = bench_encode(spark, sf)
+
+    queries: dict[str, float] = {}
+    if not ENCODE_ONLY:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            queries[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(time.time() - t_start, 2)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **enc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

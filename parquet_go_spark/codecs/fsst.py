@@ -51,15 +51,15 @@ _BUCKET_BITS = 16
 _NBUCKETS = 1 << _BUCKET_BITS
 
 
-def _buckets(keys: np.ndarray, lens: np.ndarray, salt: int) -> np.ndarray:
-    """Hash (key, len) to a 16-bit bucket. The table is built with a salt
-    that makes its ≤255 symbols collision-free, so lookup is one gather
-    plus an exact verify — no searchsorted."""
-    h = (
-        np.asarray(keys, dtype=np.uint64) * _H1
-        + np.asarray(lens, dtype=np.uint64) * _H2
-        + np.uint64(salt) * np.uint64(0x2545F4914F6CDD1D)
-    )
+def _buckets(keys: np.ndarray, salt: int) -> np.ndarray:
+    """Hash a packed symbol key to a 16-bit bucket. Key-only hashing: the
+    table dedupes same-key symbols at build time (a key collides across
+    lengths only when a symbol has trailing NUL bytes), so the length
+    never needs hashing — saving a uint64 conversion + multiply on every
+    lookup over millions of positions. The salt makes the ≤255 table
+    symbols collision-free, so lookup is one gather + exact verify."""
+    s = np.uint64((salt * int(_H2)) & 0xFFFFFFFFFFFFFFFF)
+    h = np.asarray(keys, dtype=np.uint64) * _H1 + s
     h ^= h >> np.uint64(33)
     h *= _H1
     return (h >> np.uint64(64 - _BUCKET_BITS)).astype(np.int64)
@@ -70,20 +70,29 @@ class FsstTable:
 
     def __init__(self, lengths: np.ndarray, keys: np.ndarray):
         """lengths: (k,) uint8 in 1..8; keys: (k,) uint64. Codes are the
-        positions in (length, key) sorted order — deterministic."""
+        positions in (length, key) sorted order — deterministic.
+
+        Same-key duplicates (symbols differing only by trailing NULs) are
+        dropped, keeping the shortest — required for key-only hashing."""
+        order = np.lexsort((lengths, keys))
+        keys = keys[order].astype(np.uint64)
+        lengths = lengths[order].astype(np.uint8)
+        keep = np.ones(len(keys), dtype=bool)
+        keep[1:] = keys[1:] != keys[:-1]
+        keys, lengths = keys[keep], lengths[keep]
         order = np.lexsort((keys, lengths))
-        self.lengths = lengths[order].astype(np.uint8)
-        self.keys = keys[order].astype(np.uint64)
+        self.lengths = lengths[order]
+        self.keys = keys[order]
         self.salt = 0
-        for salt in range(64):  # ≤255 syms in 65536 buckets: ~0.6 tries
-            b = _buckets(self.keys, self.lengths, salt)
+        for salt in range(256):  # ≤255 syms in 65536 buckets: ~0.6 tries
+            b = _buckets(self.keys, salt)
             if len(np.unique(b)) == len(b):
                 self.salt = salt
                 break
         else:
             raise RuntimeError("FSST: no collision-free salt found")
         bc = np.zeros(_NBUCKETS, dtype=np.int64)
-        bc[_buckets(self.keys, self.lengths, self.salt)] = (
+        bc[_buckets(self.keys, self.salt)] = (
             np.arange(len(self.keys), dtype=np.int64) + 1
         )
         self._bucket_code = bc
@@ -95,7 +104,7 @@ class FsstTable:
         """Vectorized (len, key) -> code, -1 if absent."""
         if len(self.keys) == 0 or len(lens) == 0:
             return np.full(len(lens), -1, dtype=np.int64)
-        b = _buckets(keys, lens, self.salt)
+        b = _buckets(keys, self.salt)
         code = self._bucket_code[b] - 1
         safe = np.maximum(code, 0)
         hit = (code >= 0) & (self.keys[safe] == keys) & (self.lengths[safe] == lens)
@@ -126,16 +135,18 @@ class FsstTable:
 def _merge_pass(tok_key: np.ndarray, tok_len: np.ndarray, table: FsstTable):
     """One pair-merge pass; mutates and compresses the token arrays.
 
-    Both arrays are uint64 and owned by the caller loop (safe to mutate).
-    Pairs longer than 8 bytes get a clamped (wrong) key, but the hash
-    lookup includes the length so they can never false-match.
+    tok_key is uint64, tok_len is uint8; both owned by the caller loop
+    (safe to mutate). Pairs longer than 8 bytes get a clamped (wrong)
+    key, but the exact length verify in lookup rejects them.
     """
     n = len(tok_key)
     if n < 2:
         return tok_key, tok_len, False
-    pair_len = tok_len[:-1] + tok_len[1:]
-    shift = np.minimum(tok_len[:-1] << np.uint64(3), np.uint64(56))
-    pair_key = tok_key[:-1] | (tok_key[1:] << shift)
+    pair_len = tok_len[:-1] + tok_len[1:]  # uint8; max 16, no overflow
+    shift = np.minimum(tok_len[:-1], 7).astype(np.uint64)
+    shift <<= np.uint64(3)
+    pair_key = tok_key[1:] << shift
+    pair_key |= tok_key[:-1]
     cand = table.lookup(pair_len, pair_key) >= 0
     if not cand.any():
         return tok_key, tok_len, False
@@ -144,7 +155,7 @@ def _merge_pass(tok_key: np.ndarray, tok_len: np.ndarray, table: FsstTable):
     # run starts via diff + cumsum (SIMD) instead of maximum.accumulate
     run_start = cand.copy()
     run_start[1:] &= ~cand[:-1]
-    run_id = np.cumsum(run_start)  # 1-based run number at each position
+    run_id = np.cumsum(run_start, dtype=np.int32)  # 1-based run number
     starts = np.flatnonzero(run_start)
     ci = np.flatnonzero(cand)
     offset = ci - starts[run_id[ci] - 1]
@@ -159,7 +170,7 @@ def _merge_pass(tok_key: np.ndarray, tok_len: np.ndarray, table: FsstTable):
 def _parse(data: np.ndarray, table: FsstTable) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize data (uint8 array) into table symbols + leftover bytes."""
     tok_key = data.astype(np.uint64)
-    tok_len = np.ones(len(data), dtype=np.uint64)
+    tok_len = np.ones(len(data), dtype=np.uint8)
     for _ in range(PARSE_PASSES):
         tok_key, tok_len, changed = _merge_pass(tok_key, tok_len, table)
         if not changed:
@@ -288,25 +299,25 @@ def decode_stream(buf: np.ndarray, table: FsstTable, expected: int) -> np.ndarra
     # literals (escaped bytes)
     lmask = t_marker
     out[offs[:-1][lmask]] = codes[tpos[lmask] + 1]
-    # symbols: gather from flat symbol byte buffer
+    # symbols: per-length column scatter — ≤ 8+7+…+1 = 36 vectorized
+    # writes total instead of materializing per-byte index arrays
     smask = ~t_marker
     if smask.any():
-        sym_offsets = np.concatenate([[0], np.cumsum(sym_lens)])
-        flat = np.zeros(int(sym_offsets[-1]), dtype=np.uint8)
-        for i in range(len(sym_lens)):  # ≤255 symbols — not per-value
-            ln = int(sym_lens[i])
-            flat[sym_offsets[i] : sym_offsets[i] + ln] = np.frombuffer(
-                int(table.keys[i]).to_bytes(8, "little")[:ln], dtype=np.uint8
-            )
+        mat = (
+            table.keys.astype("<u8").view(np.uint8).reshape(-1, MAX_LEN)
+        )  # row i = symbol i's bytes in order (little-endian packing)
         sc = tcodes[smask]
         s_out_off = offs[:-1][smask]
         s_lens = sym_lens[sc]
-        tot_s = int(s_lens.sum())
-        csum = np.cumsum(s_lens) - s_lens
-        within = np.arange(tot_s, dtype=np.int64) - np.repeat(csum, s_lens)
-        dst = np.repeat(s_out_off, s_lens) + within
-        src = np.repeat(sym_offsets[:-1][sc], s_lens) + within
-        out[dst] = flat[src]
+        for ln in np.unique(table.lengths):
+            ln = int(ln)
+            m = s_lens == ln
+            if not m.any():
+                continue
+            o = s_out_off[m]
+            c = sc[m]
+            for j in range(ln):
+                out[o + j] = mat[c, j]
     if total != expected:
         raise ValueError(f"FSST decode size mismatch: {total} != {expected}")
     return out

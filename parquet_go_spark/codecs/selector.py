@@ -119,18 +119,45 @@ def shortlist(stats: dict) -> list[tuple[int, bool]]:
     return cands
 
 
+TRIAL_BYTES = 256 << 10  # big chunks: trial-encode a positional sample
+TRIAL_MIN_ROWS = 256
+
+
+def _trial_slice(values, kind: int):
+    """Positional prefix of ~TRIAL_BYTES (deterministic — no RNG)."""
+    n = len(values)
+    if kind == Kind.BYTE_ARRAY:
+        take = int(np.searchsorted(values.offsets, TRIAL_BYTES))
+        take = max(min(take, n), min(TRIAL_MIN_ROWS, n))
+        return ByteArrays(
+            values.data[: values.offsets[take]], values.offsets[: take + 1]
+        )
+    a = np.asarray(values)
+    width = a.itemsize if a.ndim == 1 else a.shape[1]
+    take = max(min(TRIAL_BYTES // max(width, 1), n), min(TRIAL_MIN_ROWS, n))
+    return a[:take]
+
+
 def select_and_encode(
     values, kind: int, *, flba_size: int | None = None, zstd: bool = False
 ) -> tuple[bytes, dict]:
-    """Trial-encode the shortlist; return (smallest blob, info)."""
+    """Trial-encode the shortlist; return (smallest blob, info).
+
+    Chunks larger than 4×TRIAL_BYTES are not fully encoded once per
+    candidate: the shortlist competes on a deterministic positional
+    sample, and only the winner encodes the full chunk (the measured
+    analog of parquet-go's static defaults + dynamic dictionary
+    fallback, writer.go:2049-2077)."""
     stats = column_stats(values, kind)
+    sampled = stats["raw_bytes"] > 4 * TRIAL_BYTES
+    trial_values = _trial_slice(values, kind) if sampled else values
     best_blob = None
     best = None
     trials = {}
     for codec, dict_wrap in shortlist(stats):
         try:
             blob = chunklib.encode_chunk(
-                values, kind, codec,
+                trial_values, kind, codec,
                 dict_wrap=dict_wrap, flba_size=flba_size, zstd=zstd,
             )
         except Exception:
@@ -140,11 +167,17 @@ def select_and_encode(
         if best is None or key < best:
             best = key
             best_blob = blob
-    if best_blob is None:  # fall back to PLAIN, which supports every kind
+    if best is None:  # fall back to PLAIN, which supports every kind
         best_blob = chunklib.encode_chunk(
             values, kind, Codec.PLAIN, flba_size=flba_size, zstd=zstd
         )
         best = (len(best_blob), Codec.PLAIN, False)
+    elif sampled:  # encode the full chunk with the winning codec only
+        best_blob = chunklib.encode_chunk(
+            values, kind, best[1],
+            dict_wrap=best[2], flba_size=flba_size, zstd=zstd,
+        )
+        best = (len(best_blob), best[1], best[2])
     info = {
         "codec": best[1],
         "dict": best[2],
@@ -152,5 +185,6 @@ def select_and_encode(
         "raw_bytes": stats["raw_bytes"],
         "n": stats["n"],
         "trials": trials,
+        "sampled": sampled,
     }
     return best_blob, info

@@ -47,7 +47,9 @@ from parquet_go_spark.codecs import selector
 from parquet_go_spark.codecs.bytearrays import ByteArrays
 from parquet_go_spark.codecs.kinds import Kind
 
-TARGET_CHUNK_BYTES = 32 << 20  # soft upper bound per chunk (all columns)
+TARGET_CHUNK_BYTES = 8 << 20  # soft upper bound per chunk (all columns):
+# small enough that one chunk is a ~2 s task even through the FSST path
+# (Python-kernel bound), big enough for meaningful per-chunk dictionaries
 
 # Column-index truncation limit for byte-array min/max stats — the
 # DefaultColumnIndexSizeLimit analog (/root/reference/config.go:27,
