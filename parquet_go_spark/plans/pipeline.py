@@ -130,6 +130,38 @@ def _series_to_values(s: pd.Series, spark_type: str):
     return s.to_numpy(dtype=dt)
 
 
+def _arrow_to_values(arr: pa.Array, spark_type: str):
+    """Arrow column → kernel value container, zero per-row boxing."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("null values not supported in encode columns")
+    if spark_type in ("string", "binary"):
+        return ByteArrays.from_arrow(arr)
+    if spark_type in ("timestamp", "timestamp_ntz"):
+        return np.asarray(arr.cast(pa.int64()))  # micros since epoch
+    if spark_type == "date":
+        return np.asarray(arr.cast(pa.int32()))  # days since epoch
+    if spark_type == "boolean":
+        return arr.to_numpy(zero_copy_only=False)
+    return np.asarray(arr)
+
+
+def _values_to_arrow(values, spark_type: str) -> pa.Array:
+    """Kernel value container → Arrow column, zero per-row boxing."""
+    if spark_type == "string":
+        return values.to_arrow(pa.string())
+    if spark_type == "binary":
+        return values.to_arrow(pa.binary())
+    if spark_type == "timestamp":
+        return pa.array(values, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    if spark_type == "timestamp_ntz":
+        return pa.array(values, pa.int64()).cast(pa.timestamp("us"))
+    if spark_type == "date":
+        return pa.array(values, pa.int32()).cast(pa.date32())
+    return pa.array(values)
+
+
 def _values_to_series(values, spark_type: str) -> pd.Series:
     if spark_type == "string":
         return values.to_arrow(pa.string()).to_pandas()
@@ -197,46 +229,111 @@ def _encode_one(values, kind, spark_type, zstd, base, stream="values"):
     return rec
 
 
-def _list_to_streams(s: pd.Series, spark_type: str):
-    """List column → (lengths int32 ndarray, flat element ndarray)."""
-    _, np_dtype, pa_elem = _LIST_ELEM_KIND[spark_type]
-    arr = pa.Array.from_pandas(s, type=pa.list_(pa_elem))
+def _list_to_streams_arrow(arr, spark_type: str):
+    """Arrow list column → (lengths int32, flat element ndarray)."""
+    _, np_dtype, _ = _LIST_ELEM_KIND[spark_type]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if arr.null_count:
         raise ValueError("list columns must be non-null")
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    offsets = np.asarray(arr.offsets)
-    lengths = np.diff(offsets).astype(np.int32)
-    flat = np.asarray(arr.values, dtype=np_dtype)
+    lengths = np.asarray(pa.compute.list_value_length(arr)).astype(np.int32)
+    flat = np.asarray(arr.flatten(), dtype=np_dtype)
     return lengths, flat
 
 
-def _encode_group_fn(columns: list[tuple[str, str]], sort_cols: list[str], zstd: bool):
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        if sort_cols:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        repo = pdf["__repo"].iloc[0]
-        bucket = int(pdf["__bucket"].iloc[0])
-        chunk_id = f"{repo}#{bucket}"
-        out = []
-        for name, spark_type in columns:
-            base = {
-                "chunk_id": chunk_id, "repo": repo, "bucket": bucket,
-                "column": name, "n_rows": len(pdf),
-            }
-            if spark_type in _LIST_ELEM_KIND:
-                elem_kind, np_dtype, _ = _LIST_ELEM_KIND[spark_type]
-                lengths, flat = _list_to_streams(pdf[name], spark_type)
-                out.append(_encode_one(lengths, Kind.INT32, "int", zstd, base,
-                                       stream="lengths"))
-                elem_type = spark_type[len("array<"):-1]
-                out.append(_encode_one(flat, elem_kind, elem_type, zstd, base))
-            else:
-                values = _series_to_values(pdf[name], spark_type)
-                out.append(_encode_one(values, _col_kind(spark_type),
-                                       spark_type, zstd, base))
-        return pd.DataFrame(out)
+_BLOB_ARROW_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()), ("repo", pa.string()),
+        ("bucket", pa.int32()), ("column", pa.string()),
+        ("stream", pa.string()), ("n_rows", pa.int64()),
+        ("kind", pa.int32()), ("codec", pa.int32()),
+        ("dict", pa.bool_()), ("zstd", pa.bool_()),
+        ("spark_type", pa.string()), ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()), ("sha256", pa.string()),
+        ("min_val", pa.string()), ("max_val", pa.string()),
+        ("null_count", pa.int64()), ("blob", pa.binary()),
+    ]
+)
 
-    return encode
+
+def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
+                          zstd: bool, sort_cols: list[str] | None = None
+                          ) -> pa.RecordBatch:
+    """Encode one (repo, bucket) group's columns → manifest+blob rows.
+
+    Sorting happens HERE with Arrow's C++ sort_indices + take, not with
+    Spark's sortWithinPartitions: a JVM row sort of wide string rows cost
+    more than the encode kernels themselves, while a per-group columnar
+    sort is nearly free."""
+    if sort_cols:
+        idx = pa.compute.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in sort_cols]
+        )
+        tbl = tbl.take(idx)
+    base = {
+        "chunk_id": f"{repo}#{bucket}", "repo": repo, "bucket": bucket,
+        "n_rows": tbl.num_rows,
+    }
+    recs = []
+    for name, spark_type in columns:
+        b = dict(base, column=name)
+        col = tbl.column(name)
+        if spark_type in _LIST_ELEM_KIND:
+            elem_kind, _, _ = _LIST_ELEM_KIND[spark_type]
+            lengths, flat = _list_to_streams_arrow(col, spark_type)
+            recs.append(_encode_one(lengths, Kind.INT32, "int", zstd, b,
+                                    stream="lengths"))
+            recs.append(_encode_one(flat, elem_kind,
+                                    spark_type[len("array<"):-1], zstd, b))
+        else:
+            values = _arrow_to_values(col, spark_type)
+            recs.append(_encode_one(values, _col_kind(spark_type),
+                                    spark_type, zstd, b))
+    return pa.RecordBatch.from_pylist(recs, schema=_BLOB_ARROW_SCHEMA)
+
+
+def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
+                      sort_cols: list[str]):
+    """mapInArrow encode kernel: the partition is hash-partitioned on
+    (__repo, __bucket) but NOT sorted — batch slices are accumulated per
+    group in a dict (a partition holds only a few bounded-size groups by
+    construction, so this is a few MB of Arrow buffers, never rows). No
+    pandas conversion and no JVM row sort anywhere: strings stay in
+    Arrow buffers end to end, and ordering is a per-group columnar
+    sort inside _encode_chunk_records."""
+    data_cols = [c for c, _ in columns]
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        groups: dict[tuple, list[pa.RecordBatch]] = {}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            repos = batch.column("__repo")
+            buckets = np.asarray(batch.column("__bucket"))
+            dictized = pc.dictionary_encode(repos)
+            rcodes = np.asarray(dictized.indices).astype(np.int64)
+            rdict = dictized.dictionary
+            key_code = (rcodes << 32) | buckets.astype(np.int64)
+            order = np.argsort(key_code, kind="stable")
+            sorted_keys = key_code[order]
+            change = np.ones(n, dtype=bool)
+            change[1:] = sorted_keys[1:] != sorted_keys[:-1]
+            starts = np.flatnonzero(change)
+            data = batch.select(data_cols).take(pa.array(order))
+            for i, s in enumerate(starts):
+                e = starts[i + 1] if i + 1 < len(starts) else n
+                code = sorted_keys[s]
+                key = (rdict[int(code >> 32)].as_py(), int(code & 0xFFFFFFFF))
+                groups.setdefault(key, []).append(data.slice(s, e - s))
+        for (repo, bucket), pieces in groups.items():
+            tbl = pa.Table.from_batches(pieces)
+            yield _encode_chunk_records(tbl, columns, repo, bucket, zstd,
+                                        sort_cols)
+
+    return fn
 
 
 def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
@@ -309,9 +406,19 @@ def encode_table(
         keyed = keyed.join(F.broadcast(done), on=cond, how="left_anti")
         skipped = done.count()
 
-    fn = _encode_group_fn(columns, sort_cols, zstd)
-    encoded = keyed.groupBy("__repo", "__bucket").applyInPandas(fn, BLOB_SCHEMA)
+    import time as _time
+
+    t0 = _time.time()
+    fn = _encode_stream_fn(columns, zstd, sort_cols)
+    # explicit partition count: AQE's advisory-size coalescing would
+    # otherwise merge this shuffle into a handful of 64 MB partitions and
+    # starve the Python encode kernels of parallelism; 4x parallelism
+    # keeps the straggler tail short when group sizes vary
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    parts = keyed.repartition(n_parts, "__repo", "__bucket")
+    encoded = parts.mapInArrow(fn, BLOB_SCHEMA)
     encoded.write.mode("append").parquet(out_path)
+    write_sec = _time.time() - t0
 
     _write_schema_sidecar(out_path, columns)
 
@@ -327,6 +434,9 @@ def encode_table(
         "enc_bytes": agg["enc_bytes"],
         "ratio": (agg["raw_bytes"] or 0) / max(agg["enc_bytes"] or 1, 1),
         "skipped_chunks": skipped,
+        # time from call to write commit — the job itself, excluding the
+        # post-hoc manifest summary aggregation below
+        "write_sec": round(write_sec, 2),
     }
 
 
@@ -370,34 +480,54 @@ def _out_field(name: str, spark_type: str) -> StructField:
 
 
 def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
-    """groupBy(chunk_id).applyInPandas decode of a (filtered) blobs table."""
+    """Arrow-native decode: hash-partition blob rows by chunk_id, stream
+    them through mapInArrow, and emit one RecordBatch per chunk built
+    straight from the kernel output buffers (no pandas boxing)."""
     out_schema = StructType([_out_field(c, t) for c, t in cols])
     col_types = dict(cols)
 
-    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        series = {}
-        streams: dict[str, dict] = {}
-        n_rows = int(pdf["n_rows"].iloc[0])
-        for _, row in pdf.iterrows():  # ≤ n_streams iterations, not per-value
-            values, meta = chunklib.decode_chunk(row["blob"])
-            name = row["column"]
-            if col_types.get(name) in _LIST_ELEM_KIND:
-                streams.setdefault(name, {})[row["stream"]] = values
-                continue
-            assert meta["n"] == n_rows
-            series[name] = _values_to_series(values, row["spark_type"])
-        for name, st in streams.items():
-            lengths, flat = st["lengths"], st["values"]
-            assert len(lengths) == n_rows and int(lengths.sum()) == len(flat)
-            _, _, pa_elem = _LIST_ELEM_KIND[col_types[name]]
-            offsets = np.zeros(n_rows + 1, dtype=np.int32)
-            np.cumsum(lengths, out=offsets[1:])
-            series[name] = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(flat, pa_elem)
-            ).to_pandas()
-        return pd.DataFrame({c: series[c].reset_index(drop=True) for c, _ in cols})
+    def _assemble(acc: dict, n_rows: int) -> pa.RecordBatch:
+        arrays = []
+        for name, spark_type in cols:
+            if spark_type in _LIST_ELEM_KIND:
+                st = acc[name]
+                lengths, flat = st["lengths"], st["values"]
+                assert len(lengths) == n_rows and int(lengths.sum()) == len(flat)
+                _, _, pa_elem = _LIST_ELEM_KIND[spark_type]
+                offsets = np.zeros(n_rows + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offsets[1:])
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa_elem)
+                ))
+            else:
+                arrays.append(_values_to_arrow(acc[name]["values"], spark_type))
+        return pa.RecordBatch.from_arrays(arrays, names=[c for c, _ in cols])
 
-    return blobs.groupBy("chunk_id").applyInPandas(decode, out_schema)
+    def decode(batches):
+        acc: dict[str, dict] = {}  # chunk_id -> column -> stream -> values
+        rows: dict[str, int] = {}
+        for batch in batches:
+            cids = batch.column("chunk_id")
+            names = batch.column("column")
+            streams = batch.column("stream")
+            nr = batch.column("n_rows")
+            blob_col = batch.column("blob")
+            for i in range(batch.num_rows):  # one iteration per blob row
+                cid = cids[i].as_py()
+                name = names[i].as_py()
+                values, meta = chunklib.decode_chunk(blob_col[i].as_py())
+                rows[cid] = nr[i].as_py()
+                acc.setdefault(cid, {}).setdefault(name, {})[
+                    streams[i].as_py()
+                ] = values
+                if col_types.get(name) not in _LIST_ELEM_KIND:
+                    assert meta["n"] == rows[cid]
+        for cid, chunk_acc in acc.items():
+            yield _assemble(chunk_acc, rows[cid])
+
+    n_parts = blobs.sparkSession.sparkContext.defaultParallelism * 4
+    parts = blobs.repartition(n_parts, "chunk_id")
+    return parts.mapInArrow(decode, out_schema)
 
 
 def decode_table(spark: SparkSession, out_path: str,
