@@ -98,6 +98,32 @@ def _codec_rt(table: str, column: str, codec: int, *, dict_wrap=False,
     return q
 
 
+def _rt_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional-column round trip: derive nulls, encode (validity bitmap
+    = definition-levels analog), decode, return."""
+    import tempfile
+
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_orderstatus")).alias("status_n"),
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_custkey")).alias("custkey_n"),
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_totalprice")).alias("price_n"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_nullable_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    return pipeline.decode_table(spark, out)
+
+
 def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _encode_fresh(spark, sf_dir, "lineitem")
     m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
@@ -123,6 +149,14 @@ def _chunk_rowcounts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy(F.col("column").alias("col_name"))
         .agg(F.sum("n_rows").alias("n_rows"))
     )
+
+
+def _bloom_point_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _encode_fresh(spark, sf_dir, "orders")
+    return pipeline.bloom_point_decode(
+        spark, out, "o_custkey", 7,
+        columns_subset=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 def _prune_decode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_part": _rt_pipeline("part"),
         "rt_pipeline_customer": _rt_pipeline("customer"),
         "rt_pipeline_embeddings": _rt_embeddings,
+        "rt_pipeline_nullable": _rt_nullable,
         # ---- forced-codec round trips (E1..E10) ----
         "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
         "rt_rle_dict_returnflag": _codec_rt(
@@ -256,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_minmax_lineitem": _stats_minmax_lineitem,
         "chunk_rowcounts_lineitem": _chunk_rowcounts_lineitem,
         "prune_decode_orders": _prune_decode_orders,
+        "bloom_point_orders": _bloom_point_orders,
         # ---- dedup ----
         "dedup_exact_documents": lambda spark, sf: dedup.exact_dedup(
             _load(spark, sf, "documents"), "doc_id", "text"
@@ -420,6 +456,15 @@ def oracle_sql() -> dict[str, str]:
             "round(list_sum(CAST(embedding AS DOUBLE[])), 3) AS checksum "
             "FROM embeddings"
         ),
+        "rt_pipeline_nullable": (
+            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END "
+            "AS status_n, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END "
+            "AS custkey_n, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END "
+            "AS price_n FROM orders"
+        ),
         "rt_plain_part_name": "SELECT p_name FROM part",
         "rt_rle_dict_returnflag": "SELECT l_returnflag FROM lineitem",
         "rt_delta_bp_orderkey": "SELECT o_orderkey FROM orders",
@@ -446,6 +491,10 @@ def oracle_sql() -> dict[str, str]:
         "prune_decode_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_orderkey BETWEEN 100 AND 5000"
+        ),
+        "bloom_point_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey = 7"
         ),
         "dedup_exact_documents": (
             "SELECT sha256(text) AS digest, min(doc_id) AS keep_id, "

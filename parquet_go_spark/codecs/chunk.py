@@ -37,6 +37,9 @@ from .varint import read_uvarint, write_uvarint
 MAGIC = b"SCC1"
 FLAG_DICT = 1
 FLAG_ZSTD = 2
+FLAG_NULLS = 4  # payload prefixed by an RLE validity bitmap — the flat-
+# schema analog of definition levels (/root/reference/
+# column_buffer_optional.go:11-30; levels RLE per writer.go:2374-2379)
 
 
 def _zstd():
@@ -137,13 +140,22 @@ def encode_chunk(
     dict_wrap: bool = False,
     flba_size: int | None = None,
     zstd: bool = False,
+    validity: np.ndarray | None = None,
 ) -> bytes:
-    """Encode one column chunk into a self-describing blob."""
+    """Encode one column chunk into a self-describing blob.
+
+    validity: optional bool ndarray over ALL rows; `values` then holds
+    only the non-null values (len == validity.sum()). The header's row
+    count stays the total row count."""
     if kind == Kind.BYTE_ARRAY and not isinstance(values, ByteArrays):
         values = ByteArrays.from_pylist(list(values))
-    n = len(values)
+    n = len(validity) if validity is not None else len(values)
     header = bytearray(MAGIC)
     flags = (FLAG_DICT if dict_wrap else 0) | (FLAG_ZSTD if zstd else 0)
+    if validity is not None:
+        if len(values) != int(validity.sum()):
+            raise ValueError("values must be null-stripped when validity given")
+        flags |= FLAG_NULLS
     header += bytes([codec, kind, flags, 0])
     write_uvarint(header, n)
     if kind == Kind.FIXED_LEN_BYTE_ARRAY:
@@ -168,6 +180,11 @@ def encode_chunk(
         payload = bytes(body)
     else:
         payload = _encode_payload(values, kind, codec, flba_size)
+    if validity is not None:
+        vpay = rle.encode_boolean(np.ascontiguousarray(validity, dtype=bool))
+        pre = bytearray()
+        write_uvarint(pre, len(vpay))
+        payload = bytes(pre) + vpay + payload
     if zstd:
         comp = _zstd().compress(payload, asbytes=True)
         pre = bytearray()
@@ -199,7 +216,16 @@ def decode_chunk(blob):
         "n": n,
         "dict": bool(flags & FLAG_DICT),
         "zstd": bool(flags & FLAG_ZSTD),
+        "validity": None,
     }
+    n_values = n
+    if flags & FLAG_NULLS:
+        vlen, p = read_uvarint(payload, 0)
+        validity = rle.decode_boolean(payload[p : p + vlen], n)
+        payload = payload[p + vlen :]
+        meta["validity"] = validity
+        n_values = int(validity.sum())
+    n = n_values
     if flags & FLAG_DICT:
         p = 0
         n_dict, p = read_uvarint(payload, p)

@@ -139,7 +139,8 @@ def _trial_slice(values, kind: int):
 
 
 def select_and_encode(
-    values, kind: int, *, flba_size: int | None = None, zstd: bool = False
+    values, kind: int, *, flba_size: int | None = None, zstd: bool = False,
+    validity: np.ndarray | None = None,
 ) -> tuple[bytes, dict]:
     """Trial-encode the shortlist; return (smallest blob, info).
 
@@ -149,7 +150,10 @@ def select_and_encode(
     analog of parquet-go's static defaults + dynamic dictionary
     fallback, writer.go:2049-2077)."""
     stats = column_stats(values, kind)
-    sampled = stats["raw_bytes"] > 4 * TRIAL_BYTES
+    # nulls: candidates compete on the null-stripped values (the validity
+    # bitmap costs the same under every codec); the winner re-encodes
+    # with the validity prefix attached
+    sampled = stats["raw_bytes"] > 4 * TRIAL_BYTES or validity is not None
     trial_values = _trial_slice(values, kind) if sampled else values
     best_blob = None
     best = None
@@ -169,13 +173,15 @@ def select_and_encode(
             best_blob = blob
     if best is None:  # fall back to PLAIN, which supports every kind
         best_blob = chunklib.encode_chunk(
-            values, kind, Codec.PLAIN, flba_size=flba_size, zstd=zstd
+            values, kind, Codec.PLAIN, flba_size=flba_size, zstd=zstd,
+            validity=validity,
         )
         best = (len(best_blob), Codec.PLAIN, False)
     elif sampled:  # encode the full chunk with the winning codec only
         best_blob = chunklib.encode_chunk(
             values, kind, best[1],
             dict_wrap=best[2], flba_size=flba_size, zstd=zstd,
+            validity=validity,
         )
         best = (len(best_blob), best[1], best[2])
     info = {

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from parquet_go_spark.codecs import bloom as bloomlib
 from parquet_go_spark.codecs import chunk as chunklib
 from parquet_go_spark.codecs import selector
 from parquet_go_spark.codecs.bytearrays import ByteArrays
@@ -59,7 +60,7 @@ STAT_TRUNCATE = 16
 MANIFEST_COLUMNS = [
     "chunk_id", "repo", "bucket", "column", "stream", "n_rows", "kind",
     "codec", "dict", "zstd", "spark_type", "raw_bytes", "enc_bytes",
-    "sha256", "min_val", "max_val", "null_count",
+    "sha256", "min_val", "max_val", "null_count", "bloom",
 ]
 
 BLOB_SCHEMA = StructType(
@@ -81,6 +82,7 @@ BLOB_SCHEMA = StructType(
         StructField("min_val", StringType(), True),
         StructField("max_val", StringType(), True),
         StructField("null_count", LongType(), False),
+        StructField("bloom", BinaryType(), True),
         StructField("blob", BinaryType(), False),
     ]
 )
@@ -174,10 +176,12 @@ def _values_to_series(values, spark_type: str) -> pd.Series:
     return pd.Series(values)
 
 
-def _column_sha256(values, spark_type: str) -> str:
+def _column_sha256(values, spark_type: str, validity=None) -> str:
     """Deterministic digest of a column chunk (length-framed for strings,
     raw little-endian for fixed kinds) — the manifest lineage field."""
     h = hashlib.sha256()
+    if validity is not None:
+        h.update(np.packbits(validity).tobytes())
     if spark_type in ("string", "binary"):
         h.update(values.lengths.astype("<i8").tobytes())
         h.update(values.data[: values.offsets[-1]].tobytes())
@@ -216,15 +220,25 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
     return repr(a.min().item()), repr(a.max().item())
 
 
-def _encode_one(values, kind, spark_type, zstd, base, stream="values"):
-    blob, info = selector.select_and_encode(values, kind, zstd=zstd)
+def _encode_one(values, kind, spark_type, zstd, base, stream="values",
+                validity=None):
+    blob, info = selector.select_and_encode(
+        values, kind, zstd=zstd, validity=validity
+    )
     mn, mx = _chunk_stats(values, spark_type)
+    null_count = 0 if validity is None else int(len(validity) - validity.sum())
+    # split-block bloom per chunk (bloom/block.go analog); levels/list
+    # streams carry no bloom
+    bf = None
+    if stream == "values" and len(values) and kind != Kind.BOOLEAN:
+        bf = bloomlib.build(values, kind)
     rec = dict(base)
     rec.update(
         stream=stream, kind=kind, codec=info["codec"], dict=info["dict"],
         zstd=zstd, spark_type=spark_type, raw_bytes=info["raw_bytes"],
-        enc_bytes=len(blob), sha256=_column_sha256(values, spark_type),
-        min_val=mn, max_val=mx, null_count=0, blob=blob,
+        enc_bytes=len(blob),
+        sha256=_column_sha256(values, spark_type, validity),
+        min_val=mn, max_val=mx, null_count=null_count, bloom=bf, blob=blob,
     )
     return rec
 
@@ -251,7 +265,8 @@ _BLOB_ARROW_SCHEMA = pa.schema(
         ("spark_type", pa.string()), ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()), ("sha256", pa.string()),
         ("min_val", pa.string()), ("max_val", pa.string()),
-        ("null_count", pa.int64()), ("blob", pa.binary()),
+        ("null_count", pa.int64()), ("bloom", pa.binary()),
+        ("blob", pa.binary()),
     ]
 )
 
@@ -286,9 +301,14 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
             recs.append(_encode_one(flat, elem_kind,
                                     spark_type[len("array<"):-1], zstd, b))
         else:
-            values = _arrow_to_values(col, spark_type)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            validity = None
+            if arr.null_count:
+                validity = np.asarray(arr.is_valid())
+                arr = arr.drop_null()
+            values = _arrow_to_values(arr, spark_type)
             recs.append(_encode_one(values, _col_kind(spark_type),
-                                    spark_type, zstd, b))
+                                    spark_type, zstd, b, validity=validity))
     return pa.RecordBatch.from_pylist(recs, schema=_BLOB_ARROW_SCHEMA)
 
 
@@ -346,7 +366,7 @@ def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
     size_expr = F.lit(0)
     for c, t in df.dtypes:
         if t in ("string", "binary"):
-            size_expr = size_expr + F.octet_length(F.col(c))
+            size_expr = size_expr + F.coalesce(F.octet_length(F.col(c)), F.lit(0))
         elif t in _LIST_ELEM_KIND:
             w = 8 if t in ("array<double>", "array<bigint>") else 4
             size_expr = size_expr + F.size(F.col(c)) * F.lit(w) + F.lit(4)
@@ -491,7 +511,8 @@ def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
         for name, spark_type in cols:
             if spark_type in _LIST_ELEM_KIND:
                 st = acc[name]
-                lengths, flat = st["lengths"], st["values"]
+                lengths, _ = st["lengths"]
+                flat, _ = st["values"]
                 assert len(lengths) == n_rows and int(lengths.sum()) == len(flat)
                 _, _, pa_elem = _LIST_ELEM_KIND[spark_type]
                 offsets = np.zeros(n_rows + 1, dtype=np.int32)
@@ -500,7 +521,17 @@ def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
                     pa.array(offsets, pa.int32()), pa.array(flat, pa_elem)
                 ))
             else:
-                arrays.append(_values_to_arrow(acc[name]["values"], spark_type))
+                values, validity = acc[name]["values"]
+                arr = _values_to_arrow(values, spark_type)
+                if validity is not None:
+                    # scatter non-null values back to full rows: take with
+                    # a masked index array (mask=True → null)
+                    idx = np.cumsum(validity) - 1
+                    index = pa.array(
+                        np.where(validity, idx, 0), mask=~validity
+                    )
+                    arr = arr.take(index)
+                arrays.append(arr)
         return pa.RecordBatch.from_arrays(arrays, names=[c for c, _ in cols])
 
     def decode(batches):
@@ -519,7 +550,7 @@ def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
                 rows[cid] = nr[i].as_py()
                 acc.setdefault(cid, {}).setdefault(name, {})[
                     streams[i].as_py()
-                ] = values
+                ] = (values, meta["validity"])
                 if col_types.get(name) not in _LIST_ELEM_KIND:
                     assert meta["n"] == rows[cid]
         for cid, chunk_acc in acc.items():
@@ -544,6 +575,60 @@ def decode_table(spark: SparkSession, out_path: str,
         columns = [(c, t) for c, t in columns if c in keep]
         blobs = blobs.where(F.col("column").isin([c for c, _ in columns]))
     return _decode_blobs(blobs, columns)
+
+
+def bloom_point_decode(
+    spark: SparkSession,
+    out_path: str,
+    column: str,
+    value,
+    columns_subset: list[str] | None = None,
+) -> DataFrame:
+    """Point lookup via per-chunk split-block bloom filters: decode only
+    chunks whose bloom might contain `value`, then apply the exact
+    filter. No false negatives, so the result is exact (bloom.go:189+,
+    README.md:395-465). The probe runs over manifest rows only —
+    metadata scale, never the data."""
+    columns = dict(_read_schema_sidecar(out_path))
+    spark_type = columns[column]
+    kind = _col_kind(spark_type)
+    if spark_type in ("string", "binary"):
+        probe_vals = ByteArrays.from_pylist(
+            [value.encode() if isinstance(value, str) else value]
+        )
+    else:
+        np_dt = {Kind.INT64: np.int64, Kind.INT32: np.int32,
+                 Kind.DOUBLE: np.float64, Kind.FLOAT: np.float32}[kind]
+        probe_vals = np.array([value], dtype=np_dt)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(blooms: pd.Series) -> pd.Series:
+        out = []
+        for b in blooms:  # manifest rows only — metadata scale
+            if b is None:
+                out.append(True)  # no bloom recorded → cannot prune
+            else:
+                out.append(bool(
+                    bloomlib.might_contain(bytes(b), probe_vals, kind)[0]
+                ))
+        return pd.Series(out)
+
+    m = manifest(spark, out_path).where(
+        (F.col("column") == column) & (F.col("stream") == "values")
+    )
+    chunk_ids = m.where(probe(F.col("bloom"))).select("chunk_id").distinct()
+    blobs = spark.read.parquet(out_path).join(
+        F.broadcast(chunk_ids), "chunk_id", "left_semi"
+    )
+    cols = _read_schema_sidecar(out_path)
+    if columns_subset is not None:
+        keep = set(columns_subset) | {column}
+        cols = [(c, t) for c, t in cols if c in keep]
+        blobs = blobs.where(F.col("column").isin([c for c, _ in cols]))
+    out = _decode_blobs(blobs, cols)
+    return out.where(F.col(column) == F.lit(value))
 
 
 def _stat_expr(spark_type: str, col):
@@ -601,7 +686,14 @@ def verify_roundtrip(spark: SparkSession, source: DataFrame, out_path: str,
     cols = [c for c, _ in source.dtypes]
     decoded = decode_table(spark, out_path)
     h = lambda df: df.select(  # noqa: E731
-        F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h")
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                  for c in cols],
+            ),
+            256,
+        ).alias("h")
     )
     src = h(source).groupBy("h").count()
     dec = h(decoded).groupBy("h").count()
