@@ -189,6 +189,26 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two disjoint encodes → compact (verbatim splice + small-chunk
+    re-encode) → decode equals the original table (merge.go:25 analog)."""
+    import tempfile
+
+    o = _load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="colcodec_compact_")
+    spec = _ENCODE_SPECS["orders"]
+    for i, part in enumerate(
+        (o.where(F.col("o_orderkey") % 2 == 0), o.where(F.col("o_orderkey") % 2 == 1))
+    ):
+        pipeline.encode_table(spark, part, f"{base}/in{i}", resume=False, **spec)
+    pipeline.compact_tables(
+        spark, [f"{base}/in0", f"{base}/in1"], f"{base}/out",
+        repo_col=spec["repo_col"], salt_cols=spec["salt_cols"],
+        sort_cols=spec["sort_cols"],
+    )
+    return _fmt_ts(pipeline.decode_table(spark, f"{base}/out"), "o_orderdate")
+
+
 def _merge_dedupe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MergeRowGroups analog: overlapping unions, then dedupe (merge.go:25)."""
     o = _load(spark, sf_dir, "orders")
@@ -344,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- row reshaping / merge / scan ----
         "convert_schema_orders": _convert_schema_orders,
         "merge_dedupe_orders": _merge_dedupe_orders,
+        "compact_orders": _compact_orders,
         "topk_lineitem": _topk_lineitem,
     }
 
@@ -535,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "consecutive_dedupe_lineitem": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
         ),
+        "compact_orders": f"SELECT {o_cols} FROM orders",
         "topk_lineitem": (
             "SELECT row_number() OVER (ORDER BY l_extendedprice DESC, "
             "l_orderkey, l_linenumber) AS rank, l_orderkey, l_linenumber, "

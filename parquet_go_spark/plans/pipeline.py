@@ -272,8 +272,8 @@ _BLOB_ARROW_SCHEMA = pa.schema(
 
 
 def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
-                          zstd: bool, sort_cols: list[str] | None = None
-                          ) -> pa.RecordBatch:
+                          zstd: bool, sort_cols: list[str] | None = None,
+                          chunk_suffix: str = "") -> pa.RecordBatch:
     """Encode one (repo, bucket) group's columns → manifest+blob rows.
 
     Sorting happens HERE with Arrow's C++ sort_indices + take, not with
@@ -286,8 +286,8 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
         )
         tbl = tbl.take(idx)
     base = {
-        "chunk_id": f"{repo}#{bucket}", "repo": repo, "bucket": bucket,
-        "n_rows": tbl.num_rows,
+        "chunk_id": f"{repo}#{bucket}{chunk_suffix}", "repo": repo,
+        "bucket": bucket, "n_rows": tbl.num_rows,
     }
     recs = []
     for name, spark_type in columns:
@@ -313,7 +313,7 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
 
 
 def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
-                      sort_cols: list[str]):
+                      sort_cols: list[str], chunk_suffix: str = ""):
     """mapInArrow encode kernel: the partition is hash-partitioned on
     (__repo, __bucket) but NOT sorted — batch slices are accumulated per
     group in a dict (a partition holds only a few bounded-size groups by
@@ -351,7 +351,7 @@ def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
         for (repo, bucket), pieces in groups.items():
             tbl = pa.Table.from_batches(pieces)
             yield _encode_chunk_records(tbl, columns, repo, bucket, zstd,
-                                        sort_cols)
+                                        sort_cols, chunk_suffix)
 
     return fn
 
@@ -407,6 +407,7 @@ def encode_table(
     target_chunk_bytes: int = TARGET_CHUNK_BYTES,
     zstd: bool = False,
     resume: bool = True,
+    chunk_suffix: str = "",
 ) -> dict:
     """Encode df into a blobs+manifest parquet table at out_path.
 
@@ -421,7 +422,12 @@ def encode_table(
 
     skipped = 0
     if resume and _table_exists(out_path):
-        done = manifest(spark, out_path).select("repo", "bucket").distinct()
+        m = manifest(spark, out_path)
+        if chunk_suffix:
+            # streaming replays: only chunks of THIS micro-batch count as
+            # done — other batches legitimately reuse (repo, bucket)
+            m = m.where(F.col("chunk_id").endswith(chunk_suffix))
+        done = m.select("repo", "bucket").distinct()
         cond = (keyed["__repo"] == done["repo"]) & (keyed["__bucket"] == done["bucket"])
         keyed = keyed.join(F.broadcast(done), on=cond, how="left_anti")
         skipped = done.count()
@@ -429,7 +435,7 @@ def encode_table(
     import time as _time
 
     t0 = _time.time()
-    fn = _encode_stream_fn(columns, zstd, sort_cols)
+    fn = _encode_stream_fn(columns, zstd, sort_cols, chunk_suffix)
     # explicit partition count: AQE's advisory-size coalescing would
     # otherwise merge this shuffle into a handful of 64 MB partitions and
     # starve the Python encode kernels of parallelism; 4x parallelism
@@ -677,6 +683,63 @@ def pruned_decode(
     if hi is not None:
         out = out.where(c <= F.lit(hi))
     return out
+
+
+def compact_tables(
+    spark: SparkSession,
+    in_paths: list[str],
+    out_path: str,
+    *,
+    repo_col: str = "repo",
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    min_chunk_bytes: int = 1 << 20,
+    target_chunk_bytes: int = TARGET_CHUNK_BYTES,
+) -> dict:
+    """Merge several blobs tables into one — the MergeRowGroups analog
+    (/root/reference/merge.go:25-125). Chunks at or above min_chunk_bytes
+    are spliced VERBATIM (blob bytes copied without decode — the
+    writer_copy.go:14-60 fast path); undersized chunks are decoded,
+    regrouped, and re-encoded into full-size chunks."""
+    schemas = [_read_schema_sidecar(pth) for pth in in_paths]
+    if any(sc != schemas[0] for sc in schemas[1:]):
+        raise ValueError("compact_tables requires identical schemas")
+    cols = schemas[0]
+
+    parts = []
+    for i, pth in enumerate(in_paths):
+        parts.append(
+            spark.read.parquet(pth).withColumn(
+                "chunk_id", F.concat(F.lit(f"t{i}:"), F.col("chunk_id"))
+            )
+        )
+    blobs = parts[0]
+    for pdf in parts[1:]:
+        blobs = blobs.unionByName(pdf)
+
+    sizes = blobs.groupBy("chunk_id").agg(F.sum("raw_bytes").alias("b"))
+    small_ids = sizes.where(F.col("b") < min_chunk_bytes).select("chunk_id")
+
+    big = blobs.join(F.broadcast(small_ids), "chunk_id", "left_anti")
+    big.write.mode("overwrite").parquet(out_path)
+    _write_schema_sidecar(out_path, cols)
+
+    n_small = small_ids.count()
+    if n_small:
+        small_rows = _decode_blobs(
+            blobs.join(F.broadcast(small_ids), "chunk_id", "left_semi"), cols
+        )
+        encode_table(
+            spark, small_rows, out_path,
+            repo_col=repo_col, salt_cols=salt_cols, sort_cols=sort_cols,
+            target_chunk_bytes=target_chunk_bytes, resume=False,
+            chunk_suffix="@compact",
+        )
+    m = manifest(spark, out_path)
+    return {
+        "chunks": m.select("chunk_id").distinct().count(),
+        "merged_small_chunks": n_small,
+    }
 
 
 def verify_roundtrip(spark: SparkSession, source: DataFrame, out_path: str,

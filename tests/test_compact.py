@@ -1,0 +1,39 @@
+"""Compaction: merge blob tables with verbatim splice of full chunks
+and re-encode of undersized ones (MergeRowGroups + writer_copy analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_go_spark.plans import pipeline
+from parquet_go_spark.sources.repogen import repos_table
+
+
+def test_compact_two_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("compact")
+    a_path, b_path, out = str(base / "a"), str(base / "b"), str(base / "out")
+
+    full = repos_table(spark, 2400, seed=5, n_repos=20).cache()
+    a = full.where(F.pmod(F.xxhash64("path"), F.lit(2)) == 0)
+    b = full.where(F.pmod(F.xxhash64("path"), F.lit(2)) == 1)
+    # tiny target → many undersized chunks in both inputs
+    for df, pth in ((a, a_path), (b, b_path)):
+        pipeline.encode_table(
+            spark, df, pth, salt_cols=["path", "commit"],
+            sort_cols=["path", "commit"], target_chunk_bytes=64 << 10,
+        )
+    n_in = (
+        pipeline.manifest(spark, a_path).select("chunk_id").distinct().count()
+        + pipeline.manifest(spark, b_path).select("chunk_id").distinct().count()
+    )
+
+    res = pipeline.compact_tables(
+        spark, [a_path, b_path], out,
+        salt_cols=["path", "commit"], sort_cols=["path", "commit"],
+        min_chunk_bytes=256 << 10,
+    )
+    assert res["merged_small_chunks"] > 0
+    assert res["chunks"] < n_in  # compaction actually reduced chunk count
+    # content integrity: decoded rows == union of both inputs
+    out_res = pipeline.verify_roundtrip(spark, full, out)
+    assert out_res["ok"], out_res
