@@ -77,11 +77,10 @@ def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "vec_id", "label",
         F.size("embedding").alias("dim"),
-        F.round(
+        (F.floor(
             F.aggregate("embedding", F.lit(0.0),
-                        lambda acc, x: acc + x.cast("double")),
-            3,
-        ).alias("checksum"),
+                        lambda acc, x: acc + x.cast("double")) * 1e3 + 0.5
+        ) / 1e3).alias("checksum"),
     )
 
 
@@ -396,18 +395,23 @@ def oracle_sql() -> dict[str, str]:
     stop_es = text.sql_stop_hits("text", text.STOPWORDS_ES)
     ntok = text.sql_tokens("text")
 
+    r6 = lambda x: f"floor(({x}) * 1e6 + 0.5) / 1e6"  # noqa: E731
+    alpha_x = ("(length(text) - length(regexp_replace(text, '[A-Za-z]', "
+               "'', 'g'))) * 1.0 / greatest(length(text), 1)")
+    digit_x = ("(length(text) - length(regexp_replace(text, '[0-9]', "
+               "'', 'g'))) * 1.0 / greatest(length(text), 1)")
+    punct_x = ("(length(text) - length(regexp_replace(text, '[^" + "\\" + "w"
+               + "\\" + "s]', '', 'g'))) * 1.0 / greatest(length(text), 1)")
+    stop_x = f"{stop_en} * 1.0 / greatest({ntok}, 1)"
+    avg_x = f"(length(text) - {ntok} + 1) * 1.0 / greatest({ntok}, 1)"
     token_stats = f"""
         SELECT doc_id,
           {ntok} AS n_tokens,
-          round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-                * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
-          round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
-          round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
-          round({stop_en} * 1.0 / greatest({ntok}, 1), 6) AS stopword_ratio,
-          round((length(text) - {ntok} + 1) * 1.0 / greatest({ntok}, 1), 6)
-                AS avg_token_len
+          {r6(alpha_x)} AS alpha_ratio,
+          {r6(digit_x)} AS digit_ratio,
+          {r6(punct_x)} AS punct_ratio,
+          {r6(stop_x)} AS stopword_ratio,
+          {r6(avg_x)} AS avg_token_len
         FROM documents
     """
 
@@ -442,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
              * sqrt(list_dot_product(qv, qv))) AS sim
           FROM embeddings, q)
         SELECT row_number() OVER (ORDER BY sim DESC, nn_id) AS rank,
-               nn_id, round(sim, 4) AS sim4
+               nn_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim4
         FROM sims QUALIFY rank <= 10
     """
 
@@ -458,7 +462,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_id,
                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id)
                  AS rank,
-               nn_id, round(sim, 4) AS sim4
+               nn_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim4
         FROM sims QUALIFY rank <= 5
     """
 
@@ -474,7 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_pipeline_customer": "SELECT * FROM customer",
         "rt_pipeline_embeddings": (
             "SELECT vec_id, label, len(embedding) AS dim, "
-            "round(list_sum(CAST(embedding AS DOUBLE[])), 3) AS checksum "
+            "floor(list_sum(CAST(embedding AS DOUBLE[])) * 1e3 + 0.5) / 1e3 AS checksum "
             "FROM embeddings"
         ),
         "rt_pipeline_nullable": (

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from parquet_go_spark.operators.text import round_portable
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct text: (keep_id = min id, dup_count).
@@ -75,7 +77,7 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            round_portable(
                 F.col("inter")
                 / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
                 6,
@@ -182,7 +184,7 @@ def minhash_dedup_pairs(
         .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a", "id_b",
-            F.round(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6).alias("jaccard"),
+            round_portable(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

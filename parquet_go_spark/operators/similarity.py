@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from parquet_go_spark.operators.text import round_portable
+
 
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
@@ -54,7 +56,7 @@ def cosine_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("rank", "nn_id", F.round("sim", 4).alias("sim4"))
+        .select("rank", "nn_id", round_portable(F.col("sim"), 4).alias("sim4"))
     )
 
 
@@ -77,7 +79,7 @@ def knn_join(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("q_id", "rank", "nn_id", F.round("sim", 4).alias("sim4"))
+        .select("q_id", "rank", "nn_id", round_portable(F.col("sim"), 4).alias("sim4"))
     )
 
 
@@ -127,7 +129,7 @@ def lsh_ann_pairs(
                & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim4"),
+            round_portable(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim4"),
         )
         .where(F.col("sim4") >= min_sim)
     )
@@ -151,11 +153,13 @@ def sql_lsh_ann_pairs(
         WITH sk AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
                     {sketch} AS sketch FROM {table})
         SELECT a.id AS id_a, b.id AS id_b,
-               round(list_dot_product(a.v, b.v)
+               floor(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 4) AS sim4
+                        * sqrt(list_dot_product(b.v, b.v))) * 1e4 + 0.5) / 1e4
+                 AS sim4
         FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.id < b.id
-        WHERE round(list_dot_product(a.v, b.v)
+        WHERE floor(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 4) >= {min_sim}
+                       * sqrt(list_dot_product(b.v, b.v))) * 1e4 + 0.5) / 1e4
+                 >= {min_sim}
     """

@@ -20,6 +20,13 @@ STOPWORDS_ES = ["el", "la", "los", "y", "es", "una", "por", "con"]
 _WS = r"\s+"
 
 
+def round_portable(col: Column, digits: int) -> Column:
+    """floor(x*10^d + 0.5)/10^d — identical in Spark and DuckDB (their
+    native round() disagree on exact ties: HALF_UP vs HALF_EVEN)."""
+    f = 10 ** digits
+    return F.floor(col * f + 0.5) / f
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization; empty/blank text → empty array."""
     c = F.col(col) if isinstance(col, str) else col
@@ -51,11 +58,11 @@ def with_token_stats(df: DataFrame, col: str = "text") -> DataFrame:
         {
             "n_tokens": ntok,
             "n_chars_m": n_chars,
-            "alpha_ratio": F.round(alpha / F.greatest(n_chars, F.lit(1)), 6),
-            "digit_ratio": F.round(digit / F.greatest(n_chars, F.lit(1)), 6),
-            "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
-            "stopword_ratio": F.round(stop / F.greatest(ntok, F.lit(1)), 6),
-            "avg_token_len": F.round(
+            "alpha_ratio": round_portable(alpha / F.greatest(n_chars, F.lit(1)), 6),
+            "digit_ratio": round_portable(digit / F.greatest(n_chars, F.lit(1)), 6),
+            "punct_ratio": round_portable(punct / F.greatest(n_chars, F.lit(1)), 6),
+            "stopword_ratio": round_portable(stop / F.greatest(ntok, F.lit(1)), 6),
+            "avg_token_len": round_portable(
                 (n_chars - ntok + 1) / F.greatest(ntok, F.lit(1)), 6
             ),
         }
