@@ -85,22 +85,44 @@ def encode_binary_packed(values: np.ndarray, bits: int) -> bytes:
             continue
         idx = np.flatnonzero(widths == w)
         packed[w] = (idx, pack_le_rows(mb[idx], int(w)))
-    # index into per-width packed rows
-    slot = np.zeros(len(widths), dtype=np.int64)
-    for w, (idx, _) in packed.items():
-        slot[idx] = np.arange(len(idx))
+
+    # --- vectorized stream assembly (no per-block Python) ---
+    # zigzag-varint bytes for all block mins at once
+    m64 = mins.astype(np.int64)
+    zz = ((m64 << np.int64(1)) ^ (m64 >> np.int64(63))).astype(np.uint64)
+    nb_var = np.maximum((bit_length_u64(zz) + 6) // 7, 1).astype(np.int64)
+    max_b = int(nb_var.max())
+    var_cols = np.zeros((max_b, nblocks), dtype=np.uint8)
+    tmp = zz.copy()
+    for j in range(max_b):  # ≤10 iterations over small per-block arrays
+        var_cols[j] = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= np.uint64(7)
+        var_cols[j] |= np.where(j + 1 < nb_var, 0x80, 0).astype(np.uint8)
+
+    mb_lens = widths.astype(np.int64) * (MB // 8)  # payload bytes per mini
+    mb_lens_2d = mb_lens.reshape(nblocks, MINIBLOCKS)
+    block_payload = mb_lens_2d.sum(axis=1)
+    block_len = nb_var + MINIBLOCKS + block_payload
+    block_off = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(block_len[:-1], out=block_off[1:])
+    body = np.zeros(int(block_len.sum()), dtype=np.uint8)
+    for j in range(max_b):  # varint scatter, column-wise
+        mask = nb_var > j
+        body[block_off[mask] + j] = var_cols[j][mask]
+    woff = block_off + nb_var
     widths_2d = widths.reshape(nblocks, MINIBLOCKS)
-    mins_list = mins.tolist()
-    for b in range(nblocks):
-        write_zigzag_varint(out, mins_list[b])
-        out += widths_2d[b].tobytes()
-        for j in range(MINIBLOCKS):
-            w = int(widths_2d[b, j])
-            if w == 0:
-                continue
-            gi = b * MINIBLOCKS + j
-            out += packed[w][1][slot[gi]].tobytes()
-    return bytes(out)
+    for j in range(MINIBLOCKS):
+        body[woff + j] = widths_2d[:, j]
+    # per-miniblock payload destinations (exclusive prefix within block)
+    mb_dst = np.zeros((nblocks, MINIBLOCKS), dtype=np.int64)
+    np.cumsum(mb_lens_2d[:, :-1], axis=1, out=mb_dst[:, 1:])
+    mb_dst += (woff + MINIBLOCKS)[:, None]
+    flat_dst = mb_dst.reshape(-1)
+    for w, (idx, rows) in packed.items():
+        span = rows.shape[1]
+        dst = flat_dst[idx][:, None] + np.arange(span, dtype=np.int64)
+        body[dst] = rows
+    return bytes(out) + body.tobytes()
 
 
 def decode_binary_packed(buf, bits: int) -> tuple[np.ndarray, int]:
