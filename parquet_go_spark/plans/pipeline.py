@@ -356,13 +356,7 @@ def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
     return fn
 
 
-def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
-                target_chunk_bytes: int = TARGET_CHUNK_BYTES) -> DataFrame:
-    """Assign every row a bounded-size (repo, bucket) chunk key.
-
-    One small aggregation + a broadcast join back; the heavy table is
-    only shuffled once, by groupBy in encode_table.
-    """
+def _row_size_expr(df: DataFrame):
     size_expr = F.lit(0)
     for c, t in df.dtypes:
         if t in ("string", "binary"):
@@ -374,17 +368,48 @@ def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
             size_expr = size_expr + F.lit(8)
         else:
             size_expr = size_expr + F.lit(4)
-    sizes = (
-        df.groupBy(F.col(repo_col))
-        .agg(F.sum(size_expr).alias("__bytes"))
-        .withColumn(
-            "__n_buckets",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("__bytes") / F.lit(target_chunk_bytes))
-            ).cast("int"),
+    return size_expr
+
+
+def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
+                target_chunk_bytes: int = TARGET_CHUNK_BYTES,
+                exact_sizes: bool = True) -> DataFrame:
+    """Assign every row a bounded-size (repo, bucket) chunk key.
+
+    One small aggregation + a broadcast join back; the heavy table is
+    only shuffled once, by groupBy in encode_table.
+
+    exact_sizes=True (default) sums exact per-repo bytes in one scan.
+    exact_sizes=False estimates from a deterministic 1% row sample
+    (resume-safe: a pure function of the data) — NOTE: only worthwhile
+    when the storage layer can actually prune the sample read (e.g.
+    an Iceberg sample partition); with plain parquet the row filter
+    cannot push down, so the sample scan still reads every column and
+    the estimate costs MORE than the exact scan (measured).
+    """
+    size_expr = _row_size_expr(df)
+    if exact_sizes:
+        sizes = df.groupBy(F.col(repo_col)).agg(F.sum(size_expr).alias("__bytes"))
+    else:
+        salt_hash = F.xxhash64(*[F.col(c) for c in salt_cols])
+        sample_avg = (
+            df.where(F.pmod(salt_hash, F.lit(100)) == 0)
+            .groupBy(F.col(repo_col))
+            .agg(F.avg(size_expr).alias("__avg"))
         )
-        .select(F.col(repo_col), "__n_buckets")
-    )
+        counts = df.groupBy(F.col(repo_col)).agg(F.count(F.lit(1)).alias("__n"))
+        global_avg = F.expr("avg(__avg) over ()")  # fallback for unsampled repos
+        sizes = (
+            counts.join(F.broadcast(sample_avg), on=repo_col, how="left")
+            .withColumn("__avg", F.coalesce(F.col("__avg"), global_avg, F.lit(256.0)))
+            .withColumn("__bytes", (F.col("__n") * F.col("__avg")).cast("bigint"))
+        )
+    sizes = sizes.withColumn(
+        "__n_buckets",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("__bytes") / F.lit(target_chunk_bytes))
+        ).cast("int"),
+    ).select(F.col(repo_col), "__n_buckets")
     out = df.join(F.broadcast(sizes), on=repo_col, how="inner")
     return (
         out.withColumn("__repo", F.col(repo_col).cast("string"))
@@ -408,6 +433,7 @@ def encode_table(
     zstd: bool = False,
     resume: bool = True,
     chunk_suffix: str = "",
+    exact_sizes: bool = True,
 ) -> dict:
     """Encode df into a blobs+manifest parquet table at out_path.
 
@@ -418,7 +444,8 @@ def encode_table(
     for _, t in columns:
         _col_kind(t)  # validate early
 
-    keyed = plan_chunks(df, repo_col, salt_cols, target_chunk_bytes)
+    keyed = plan_chunks(df, repo_col, salt_cols, target_chunk_bytes,
+                        exact_sizes=exact_sizes)
 
     skipped = 0
     if resume and _table_exists(out_path):
