@@ -235,16 +235,24 @@ def _convert_schema_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k scan (ScanRowReader/limit analog) with deterministic ties."""
+    """Top-k scan (ScanRowReader/limit analog) with deterministic ties.
+
+    orderBy().limit(k) plans as TakeOrderedAndProject — a distributed
+    partial top-k (per-task k-row heap), not a single-partition global
+    sort; the rank window then runs over only the k survivors."""
     from pyspark.sql import Window
 
     li = _load(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
+    order = [
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    ]
+    top = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(*order).limit(100)
     )
+    w = Window.orderBy(*order)
     return (
-        li.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "l_orderkey", "l_linenumber", "l_extendedprice")
     )
 

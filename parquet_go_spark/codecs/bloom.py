@@ -63,8 +63,29 @@ def hash_values(values, kind: int) -> np.ndarray:
         np.add.at(acc, row, data * w[pos])
         return _mix64(acc ^ (lens.astype(np.uint64) * _K3))
     a = np.ascontiguousarray(values)
+    if a.ndim == 2:
+        # FIXED_LEN_BYTE_ARRAY rows: fold each row's bytes into 8-byte
+        # words and chain-mix them (width is ≤16 in practice, so this is
+        # 2-3 vectorized passes, not per-value work)
+        rows, width = a.shape
+        pad = (-width) % 8
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((rows, pad), dtype=np.uint8)], axis=1
+            )
+        words = a.view("<u8").reshape(rows, -1)
+        acc = np.zeros(rows, dtype=np.uint64)
+        for j in range(words.shape[1]):
+            acc = _mix64(acc ^ words[:, j])
+        return acc
     if a.dtype == bool:
         a = a.astype(np.uint8)
+    if a.dtype.kind == "f":
+        # normalize -0.0 → +0.0 before the bit view: the final exact
+        # filter treats them as equal, so the bloom must too (a probe of
+        # 0.0 pruning a chunk holding only -0.0 would be a false
+        # negative — parquet writers normalize stats the same way)
+        a = np.where(a == 0, 0, a)
     u = a.view({1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[a.itemsize])
     return _mix64(u.astype(np.uint64))
 

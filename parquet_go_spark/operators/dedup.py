@@ -19,7 +19,7 @@ training-data-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from parquet_go_spark.operators.text import round_portable
 
@@ -69,11 +69,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # NO broadcast hint on sizes: it is a per-document relation, unbounded
+    # at corpus scale (a broadcast would OOM the driver at 10^9 docs).
+    # The candidate-pair side is the small one post-threshold; let AQE
+    # pick the strategy per run.
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
-        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
@@ -177,11 +181,12 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is per-document — never broadcast it (see ngram_jaccard_pairs)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a", "id_b",
             round_portable(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6).alias("jaccard"),
@@ -250,14 +255,65 @@ def simhash_near_pairs(
     )
 
 
-def consecutive_dedupe(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+def consecutive_dedupe(df: DataFrame, sort_cols: list[str],
+                       n_partitions: int | None = None) -> DataFrame:
     """Sorted-input consecutive dedupe — the reference's dedupe.go:8-107
-    semantics (drop rows equal to their predecessor in sort order)."""
-    w = Window.orderBy(*sort_cols)
+    semantics (drop rows equal to their predecessor in sort order).
+
+    Distributed plan (no global window): range-repartition on sort_cols,
+    sort within partitions, drop equal neighbors per partition with a
+    vectorized Arrow kernel. Correct without any boundary-row handoff
+    because Spark's RangePartitioner sends equal sort keys to the same
+    partition, and two rows can only be consecutive-equal if their sort
+    keys are equal — so every run of duplicates is fully contained in
+    one partition. Rows tied on sort_cols but differing elsewhere have
+    no defined order (true of the reference's sort.Interface too), and
+    the kernel compares full rows, matching dedupe.go's row equality."""
+    import pyarrow as pa
+
     cols = df.columns
-    key = F.struct(*[F.col(c) for c in cols])
-    return (
-        df.withColumn("__prev", F.lag(key).over(w))
-        .where(F.col("__prev").isNull() | (key != F.col("__prev")))
-        .drop("__prev")
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+
+    def drop_equal_neighbors(batches):
+        prev_last = None  # last row of the previous batch (same partition)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            import numpy as np
+
+            keep = np.ones(n, dtype=bool)
+            # neighbor equality per column, vectorized in Arrow/C++
+            eq = None
+            for name in cols:
+                col = batch.column(name)
+                a, b = col.slice(1), col.slice(0, n - 1)
+                e = pa.compute.equal(a, b)
+                # null-safe: both-null counts as equal
+                both_null = pa.compute.and_(
+                    pa.compute.is_null(a), pa.compute.is_null(b)
+                )
+                e = pa.compute.or_kleene(e, both_null)
+                e = pa.compute.fill_null(e, False)
+                eq = e if eq is None else pa.compute.and_(eq, e)
+            if n > 1:
+                keep[1:] = ~np.asarray(eq)
+            if prev_last is not None:
+                first = batch.slice(0, 1)
+                same = all(
+                    first.column(c)[0].as_py() == prev_last.column(c)[0].as_py()
+                    for c in cols
+                )
+                if same:
+                    keep[0] = False
+            prev_last = batch.slice(n - 1, 1)
+            if keep.all():
+                yield batch
+            else:
+                yield batch.filter(pa.array(keep))
+
+    arranged = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
+        *sort_cols
     )
+    return arranged.mapInArrow(drop_equal_neighbors, df.schema)

@@ -52,10 +52,14 @@ def cosine_topk(
         F.col(id_col).alias("nn_id"),
         cosine(F.col(vec_col), q).alias("sim"),
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject: each task keeps
+    # a k-row heap and only k·n_partitions rows ever reach the driver-side
+    # merge — no single-partition global sort of all similarities. The
+    # rank window then runs over just the k survivors.
+    top = sims.orderBy(F.col("sim").desc(), F.col("nn_id")).limit(k)
     w = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "nn_id", round_portable(F.col("sim"), 4).alias("sim4"))
     )
 

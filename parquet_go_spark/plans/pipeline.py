@@ -101,21 +101,118 @@ _KIND_BY_SPARK = {
 }
 
 # List columns are encoded as two streams — lengths (the repetition-level
-# analog, SURVEY.md §1.1) + flattened element values.
+# analog, SURVEY.md §1.1) + flattened element values. String lists reuse
+# the same two-stream design with a flattened ByteArrays value stream
+# (the reference's LIST node over BYTE_ARRAY leaves, node.go:505-525).
 _LIST_ELEM_KIND = {
     "array<float>": (Kind.FLOAT, np.float32, pa.float32()),
     "array<double>": (Kind.DOUBLE, np.float64, pa.float64()),
     "array<int>": (Kind.INT32, np.int32, pa.int32()),
     "array<bigint>": (Kind.INT64, np.int64, pa.int64()),
+    "array<string>": (Kind.BYTE_ARRAY, None, pa.string()),
 }
+
+
+def _struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
+    """Parse 'struct<a:int,b:string,...>' → [(name, type), ...], else
+    None. Splits on depth-0 commas only, so decimal(p,s) and other
+    parenthesized field types parse correctly. One level of nesting —
+    the reference shreds deeper nests the same way recursively
+    (schema.go:341-430); our input surface is flat-plus-one-level."""
+    if not spark_type.startswith("struct<") or not spark_type.endswith(">"):
+        return None
+    inner = spark_type[len("struct<"):-1]
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    if inner:
+        parts.append(inner[start:])
+    out = []
+    for fld in parts:
+        fname, ftype = fld.split(":", 1)
+        out.append((fname.strip(), ftype.strip()))
+    return out
+
+
+def _decimal_info(spark_type: str) -> tuple[int, int] | None:
+    """Parse 'decimal(p,s)' → (precision, scale), else None."""
+    if not spark_type.startswith("decimal(") or not spark_type.endswith(")"):
+        return None
+    p, s = spark_type[len("decimal("):-1].split(",")
+    return int(p), int(s)
+
+
+def _decimal_kind(precision: int) -> int:
+    """DECIMAL physical mapping by precision — the reference's
+    type_decimal.go:18 rule: unscaled INT32 for p≤9, INT64 for p≤18,
+    FIXED_LEN_BYTE_ARRAY(16) beyond (the full decimal128 words)."""
+    if precision <= 9:
+        return Kind.INT32
+    if precision <= 18:
+        return Kind.INT64
+    return Kind.FIXED_LEN_BYTE_ARRAY
 
 
 def _col_kind(spark_type: str) -> int:
     if spark_type in _LIST_ELEM_KIND:
         return _LIST_ELEM_KIND[spark_type][0]
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        return _decimal_kind(dp[0])
+    sf = _struct_fields(spark_type)
+    if sf is not None:
+        for _, ftype in sf:  # validate every leaf; no single kind
+            if _struct_fields(ftype) is not None or ftype in _LIST_ELEM_KIND:
+                raise ValueError(
+                    f"nested struct/list field unsupported: {ftype}"
+                )
+            _col_kind(ftype)
+        return Kind.BYTE_ARRAY  # sentinel; per-field kinds used in encode
     if spark_type not in _KIND_BY_SPARK:
         raise ValueError(f"unsupported column type {spark_type}")
     return _KIND_BY_SPARK[spark_type]
+
+
+def _decimal_words(arr: pa.Array) -> np.ndarray:
+    """decimal128 Arrow array → (n, 2) little-endian int64 words
+    (low, high) via a zero-copy buffer view."""
+    n = len(arr)
+    buf = arr.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8", count=2 * (arr.offset + n))
+    return words.reshape(-1, 2)[arr.offset:]
+
+
+def _decimal_to_values(arr: pa.Array, precision: int):
+    """decimal128 → unscaled int32/int64 ndarray, or (n,16) uint8 FLBA."""
+    words = _decimal_words(arr)
+    if precision <= 9:
+        return words[:, 0].astype(np.int32)
+    if precision <= 18:
+        # a value that fits int64 has its low word == the int64 value
+        # (two's-complement truncation is exact within range)
+        return np.ascontiguousarray(words[:, 0])
+    return np.ascontiguousarray(words).view(np.uint8).reshape(-1, 16)
+
+
+def _values_to_decimal(values, precision: int, scale: int) -> pa.Array:
+    n = len(values)
+    if precision <= 18:
+        v = np.asarray(values, dtype=np.int64)
+        words = np.empty((n, 2), dtype="<i8")
+        words[:, 0] = v
+        words[:, 1] = v >> 63  # arithmetic shift sign-extends to 0 / -1
+        buf = pa.py_buffer(words.tobytes())
+    else:
+        buf = pa.py_buffer(
+            np.ascontiguousarray(values, dtype=np.uint8).tobytes()
+        )
+    return pa.Array.from_buffers(pa.decimal128(precision, scale), n, [None, buf])
 
 
 def _series_to_values(s: pd.Series, spark_type: str):
@@ -123,6 +220,10 @@ def _series_to_values(s: pd.Series, spark_type: str):
     if spark_type in ("string", "binary"):
         arr = pa.Array.from_pandas(s, type=pa.binary() if spark_type == "binary" else pa.string())
         return ByteArrays.from_arrow(arr)
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        arr = pa.Array.from_pandas(s, type=pa.decimal128(*dp))
+        return _decimal_to_values(arr, dp[0])
     if spark_type in ("timestamp", "timestamp_ntz"):
         return s.values.astype("datetime64[us]").astype(np.int64)
     if spark_type == "date":
@@ -140,6 +241,9 @@ def _arrow_to_values(arr: pa.Array, spark_type: str):
         raise ValueError("null values not supported in encode columns")
     if spark_type in ("string", "binary"):
         return ByteArrays.from_arrow(arr)
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        return _decimal_to_values(arr, dp[0])
     if spark_type in ("timestamp", "timestamp_ntz"):
         return np.asarray(arr.cast(pa.int64()))  # micros since epoch
     if spark_type == "date":
@@ -151,6 +255,9 @@ def _arrow_to_values(arr: pa.Array, spark_type: str):
 
 def _values_to_arrow(values, spark_type: str) -> pa.Array:
     """Kernel value container → Arrow column, zero per-row boxing."""
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        return _values_to_decimal(values, *dp)
     if spark_type == "string":
         return values.to_arrow(pa.string())
     if spark_type == "binary":
@@ -165,6 +272,9 @@ def _values_to_arrow(values, spark_type: str) -> pa.Array:
 
 
 def _values_to_series(values, spark_type: str) -> pd.Series:
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        return _values_to_decimal(values, *dp).to_pandas()
     if spark_type == "string":
         return values.to_arrow(pa.string()).to_pandas()
     if spark_type == "binary":
@@ -214,6 +324,20 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
         lo = mm["min"].as_py() or b""
         hi = mm["max"].as_py() or b""
         return lo[:STAT_TRUNCATE].decode("latin-1"), _truncate_max(hi)
+    dp = _decimal_info(spark_type)
+    if dp is not None and dp[0] > 18:
+        # FLBA(16) decimals: lexsort the (high, low-unsigned) word pairs
+        # to find the int128 extremes, stored as unscaled-int strings
+        a = np.ascontiguousarray(values, dtype=np.uint8)
+        if a.size == 0:
+            return None, None
+        words = a.view("<i8").reshape(-1, 2)
+        lo_w, hi_w = words[:, 0].view(np.uint64), words[:, 1]
+        order = np.lexsort((lo_w, hi_w))
+        to_int = lambda i: (  # noqa: E731
+            (int(words[i, 1]) << 64) | int(lo_w[i])
+        )
+        return repr(to_int(order[0])), repr(to_int(order[-1]))
     a = np.asarray(values)
     if a.size == 0 or a.dtype == bool:
         return None, None
@@ -222,8 +346,11 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
 
 def _encode_one(values, kind, spark_type, zstd, base, stream="values",
                 validity=None):
+    flba_size = None
+    if kind == Kind.FIXED_LEN_BYTE_ARRAY:
+        flba_size = values.shape[1] if len(values) else 16
     blob, info = selector.select_and_encode(
-        values, kind, zstd=zstd, validity=validity
+        values, kind, flba_size=flba_size, zstd=zstd, validity=validity
     )
     mn, mx = _chunk_stats(values, spark_type)
     null_count = 0 if validity is None else int(len(validity) - validity.sum())
@@ -244,14 +371,17 @@ def _encode_one(values, kind, spark_type, zstd, base, stream="values",
 
 
 def _list_to_streams_arrow(arr, spark_type: str):
-    """Arrow list column → (lengths int32, flat element ndarray)."""
+    """Arrow list column → (lengths int32, flat element values)."""
     _, np_dtype, _ = _LIST_ELEM_KIND[spark_type]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
         raise ValueError("list columns must be non-null")
     lengths = np.asarray(pa.compute.list_value_length(arr)).astype(np.int32)
-    flat = np.asarray(arr.flatten(), dtype=np_dtype)
+    if np_dtype is None:  # string elements → ByteArrays stream
+        flat = ByteArrays.from_arrow(arr.flatten())
+    else:
+        flat = np.asarray(arr.flatten(), dtype=np_dtype)
     return lengths, flat
 
 
@@ -293,6 +423,7 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
     for name, spark_type in columns:
         b = dict(base, column=name)
         col = tbl.column(name)
+        sf = _struct_fields(spark_type)
         if spark_type in _LIST_ELEM_KIND:
             elem_kind, _, _ = _LIST_ELEM_KIND[spark_type]
             lengths, flat = _list_to_streams_arrow(col, spark_type)
@@ -300,6 +431,25 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
                                     stream="lengths"))
             recs.append(_encode_one(flat, elem_kind,
                                     spark_type[len("array<"):-1], zstd, b))
+        elif sf is not None:
+            # struct → one stream per field (the Deconstruct shredding
+            # analog, schema.go:341-361): each leaf encodes on its own
+            # kernel path with its own validity bitmap
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if arr.null_count:
+                raise ValueError("struct columns must be non-null "
+                                 "(fields may be null)")
+            children = arr.flatten()
+            for (fname, ftype), child in zip(sf, children):
+                validity = None
+                if child.null_count:
+                    validity = np.asarray(child.is_valid())
+                    child = child.drop_null()
+                values = _arrow_to_values(child, ftype)
+                recs.append(_encode_one(
+                    values, _col_kind(ftype), ftype, zstd, b,
+                    stream=f"f:{fname}", validity=validity,
+                ))
         else:
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             validity = None
@@ -359,11 +509,20 @@ def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
 def _row_size_expr(df: DataFrame):
     size_expr = F.lit(0)
     for c, t in df.dtypes:
+        dp = _decimal_info(t)
         if t in ("string", "binary"):
             size_expr = size_expr + F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+        elif t == "array<string>":
+            size_expr = size_expr + F.aggregate(
+                F.col(c), F.lit(0), lambda acc, x: acc + F.octet_length(x)
+            ) + F.size(F.col(c)) * F.lit(4) + F.lit(4)
         elif t in _LIST_ELEM_KIND:
             w = 8 if t in ("array<double>", "array<bigint>") else 4
             size_expr = size_expr + F.size(F.col(c)) * F.lit(w) + F.lit(4)
+        elif dp is not None:
+            size_expr = size_expr + F.lit(16 if dp[0] > 18 else 8)
+        elif t.startswith("struct<"):
+            size_expr = size_expr + F.lit(16)  # rough per-row struct cost
         elif t in ("bigint", "double", "timestamp", "timestamp_ntz"):
             size_expr = size_expr + F.lit(8)
         else:
@@ -524,24 +683,54 @@ _SPARK_TYPE_NAMES = {
 
 
 def _out_field(name: str, spark_type: str) -> StructField:
+    from pyspark.sql.types import ArrayType, DecimalType
+
     if spark_type in _LIST_ELEM_KIND:
         elem = _SPARK_TYPE_NAMES[spark_type[len("array<"):-1]]
-        from pyspark.sql.types import ArrayType
-
         return StructField(name, ArrayType(elem), True)
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        return StructField(name, DecimalType(*dp), True)
+    sf = _struct_fields(spark_type)
+    if sf is not None:
+        return StructField(
+            name, StructType([_out_field(fn, ft) for fn, ft in sf]), True
+        )
     return StructField(name, _SPARK_TYPE_NAMES[spark_type], True)
 
 
-def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
-    """Arrow-native decode: hash-partition blob rows by chunk_id, stream
-    them through mapInArrow, and emit one RecordBatch per chunk built
-    straight from the kernel output buffers (no pandas boxing)."""
-    out_schema = StructType([_out_field(c, t) for c, t in cols])
+def _flat_to_arrow(flat, pa_elem) -> pa.Array:
+    """Flattened list-element stream → Arrow array (numeric ndarray or a
+    ByteArrays container for string/binary elements)."""
+    if isinstance(flat, ByteArrays):
+        return flat.to_arrow(pa_elem)
+    return pa.array(flat, pa_elem)
+
+
+def _decode_stream_fn(cols: list[tuple[str, str]]):
+    """Build the mapInArrow decode kernel. Input blob rows arrive sorted
+    by chunk_id within the partition (repartition + sortWithinPartitions
+    upstream), so the kernel holds exactly ONE chunk's decoded streams at
+    a time and yields it the moment the chunk_id changes — peak memory is
+    one decoded chunk per task, never the whole partition. Factored out
+    of _decode_blobs so tests can drive it directly and assert the
+    streaming behavior (yield-before-exhaustion)."""
     col_types = dict(cols)
+
+    def _rebuild(values, validity, spark_type: str) -> pa.Array:
+        arr = _values_to_arrow(values, spark_type)
+        if validity is not None:
+            # scatter non-null values back to full rows: take with
+            # a masked index array (mask=True → null)
+            idx = np.cumsum(validity) - 1
+            index = pa.array(np.where(validity, idx, 0), mask=~validity)
+            arr = arr.take(index)
+        return arr
 
     def _assemble(acc: dict, n_rows: int) -> pa.RecordBatch:
         arrays = []
         for name, spark_type in cols:
+            sf = _struct_fields(spark_type)
             if spark_type in _LIST_ELEM_KIND:
                 st = acc[name]
                 lengths, _ = st["lengths"]
@@ -551,47 +740,61 @@ def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
                 offsets = np.zeros(n_rows + 1, dtype=np.int32)
                 np.cumsum(lengths, out=offsets[1:])
                 arrays.append(pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), pa.array(flat, pa_elem)
+                    pa.array(offsets, pa.int32()), _flat_to_arrow(flat, pa_elem)
+                ))
+            elif sf is not None:
+                children = [
+                    _rebuild(*acc[name][f"f:{fname}"], ftype)
+                    for fname, ftype in sf
+                ]
+                arrays.append(pa.StructArray.from_arrays(
+                    children, names=[fname for fname, _ in sf]
                 ))
             else:
-                values, validity = acc[name]["values"]
-                arr = _values_to_arrow(values, spark_type)
-                if validity is not None:
-                    # scatter non-null values back to full rows: take with
-                    # a masked index array (mask=True → null)
-                    idx = np.cumsum(validity) - 1
-                    index = pa.array(
-                        np.where(validity, idx, 0), mask=~validity
-                    )
-                    arr = arr.take(index)
-                arrays.append(arr)
+                arrays.append(_rebuild(*acc[name]["values"], spark_type))
         return pa.RecordBatch.from_arrays(arrays, names=[c for c, _ in cols])
 
     def decode(batches):
-        acc: dict[str, dict] = {}  # chunk_id -> column -> stream -> values
-        rows: dict[str, int] = {}
+        cur_id = None
+        cur_acc: dict = {}  # column -> stream -> (values, validity)
+        cur_rows = 0
         for batch in batches:
             cids = batch.column("chunk_id")
             names = batch.column("column")
             streams = batch.column("stream")
             nr = batch.column("n_rows")
             blob_col = batch.column("blob")
-            for i in range(batch.num_rows):  # one iteration per blob row
-                cid = cids[i].as_py()
+            for i in range(batch.num_rows):  # one iteration per blob ROW
+                cid = cids[i].as_py()  # (metadata scale: one per column
+                # per chunk, thousands of values each — not per value)
+                if cid != cur_id:
+                    if cur_id is not None:
+                        yield _assemble(cur_acc, cur_rows)
+                    cur_id, cur_acc = cid, {}
                 name = names[i].as_py()
                 values, meta = chunklib.decode_chunk(blob_col[i].as_py())
-                rows[cid] = nr[i].as_py()
-                acc.setdefault(cid, {}).setdefault(name, {})[
-                    streams[i].as_py()
-                ] = (values, meta["validity"])
+                cur_rows = nr[i].as_py()
+                cur_acc.setdefault(name, {})[streams[i].as_py()] = (
+                    values, meta["validity"]
+                )
                 if col_types.get(name) not in _LIST_ELEM_KIND:
-                    assert meta["n"] == rows[cid]
-        for cid, chunk_acc in acc.items():
-            yield _assemble(chunk_acc, rows[cid])
+                    assert meta["n"] == cur_rows
+        if cur_id is not None:
+            yield _assemble(cur_acc, cur_rows)
 
+    return decode
+
+
+def _decode_blobs(blobs: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+    """Arrow-native decode: hash-partition blob rows by chunk_id, SORT by
+    chunk_id within partitions (cheap — metadata-scale row count), and
+    stream them through the one-chunk-in-flight kernel."""
+    out_schema = StructType([_out_field(c, t) for c, t in cols])
     n_parts = blobs.sparkSession.sparkContext.defaultParallelism * 4
-    parts = blobs.repartition(n_parts, "chunk_id")
-    return parts.mapInArrow(decode, out_schema)
+    parts = blobs.repartition(n_parts, "chunk_id").sortWithinPartitions(
+        "chunk_id"
+    )
+    return parts.mapInArrow(_decode_stream_fn(cols), out_schema)
 
 
 def decode_table(spark: SparkSession, out_path: str,
@@ -625,10 +828,26 @@ def bloom_point_decode(
     columns = dict(_read_schema_sidecar(out_path))
     spark_type = columns[column]
     kind = _col_kind(spark_type)
+    dp = _decimal_info(spark_type)
     if spark_type in ("string", "binary"):
         probe_vals = ByteArrays.from_pylist(
             [value.encode() if isinstance(value, str) else value]
         )
+    elif dp is not None:
+        from decimal import Decimal
+
+        unscaled = int(Decimal(str(value)).scaleb(dp[1]).to_integral_value())
+        if dp[0] <= 9:
+            probe_vals = np.array([unscaled], dtype=np.int32)
+        elif dp[0] <= 18:
+            probe_vals = np.array([unscaled], dtype=np.int64)
+        else:
+            mask64 = (1 << 64) - 1
+            words = np.array(
+                [[unscaled & mask64, (unscaled >> 64) & mask64]],
+                dtype=np.uint64,
+            )
+            probe_vals = words.view(np.uint8).reshape(1, 16)
     else:
         np_dt = {Kind.INT64: np.int64, Kind.INT32: np.int32,
                  Kind.DOUBLE: np.float64, Kind.FLOAT: np.float32}[kind]
@@ -665,12 +884,40 @@ def bloom_point_decode(
 
 
 def _stat_expr(spark_type: str, col):
-    """Parse a manifest min/max string back to a comparable value."""
+    """Parse a manifest min/max string back to a comparable value.
+
+    Integer-family stats cast to bigint (NOT double: above 2^53 a double
+    cast rounds and can silently prune a chunk containing the probed
+    key). String stats are latin-1-decoded raw bytes; re-encoding with
+    ISO-8859-1 recovers the exact bytes so the comparison happens in
+    byte space — the reference compares truncated byte bounds the same
+    way (column_index.go:499-533), never via re-encoded text."""
     if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz", "date"):
-        return col.cast("double")  # repr(int) parses as double fine for bounds
+        return col.cast("bigint")  # repr(int) parses losslessly as bigint
+    if _decimal_info(spark_type) is not None:
+        return col.cast("decimal(38,0)")  # unscaled ints, up to int128
     if spark_type in ("float", "double"):
         return col.cast("double")
-    return col  # strings compare lexicographically (latin-1 truncated bounds)
+    return F.encode(col, "ISO-8859-1")  # raw bound bytes, unsigned compare
+
+
+def _probe_expr(spark_type: str, value):
+    """A probe literal comparable against _stat_expr's output."""
+    if value is None:
+        return None
+    if spark_type in ("string", "binary"):
+        b = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        return F.lit(b)  # binary literal: byte-space comparison
+    if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz", "date"):
+        return F.lit(int(value)).cast("bigint")
+    dp = _decimal_info(spark_type)
+    if dp is not None:
+        # stats hold UNSCALED ints; scale the user's probe to match
+        from decimal import Decimal
+
+        unscaled = int(Decimal(str(value)).scaleb(dp[1]).to_integral_value())
+        return F.lit(str(unscaled)).cast("decimal(38,0)")
+    return F.lit(value).cast("double")
 
 
 def pruned_decode(
@@ -691,8 +938,17 @@ def pruned_decode(
     )
     mn = _stat_expr(spark_type, F.col("min_val"))
     mx = _stat_expr(spark_type, F.col("max_val"))
-    keep_lo = F.lit(True) if lo is None else (mx >= F.lit(lo))
-    keep_hi = F.lit(True) if hi is None else (mn <= F.lit(hi))
+    # NULL bounds mean "unbounded", never "prunable": _truncate_max
+    # returns None for an all-0xFF prefix, and boolean/empty chunks
+    # record no stats at all — such chunks must always be kept.
+    keep_lo = (
+        F.lit(True) if lo is None
+        else (F.col("max_val").isNull() | (mx >= _probe_expr(spark_type, lo)))
+    )
+    keep_hi = (
+        F.lit(True) if hi is None
+        else (F.col("min_val").isNull() | (mn <= _probe_expr(spark_type, hi)))
+    )
     chunk_ids = m.where(keep_lo & keep_hi).select("chunk_id").distinct()
 
     blobs = spark.read.parquet(out_path).join(
@@ -728,6 +984,15 @@ def compact_tables(
     are spliced VERBATIM (blob bytes copied without decode — the
     writer_copy.go:14-60 fast path); undersized chunks are decoded,
     regrouped, and re-encoded into full-size chunks."""
+    # in-place compaction would overwrite input blobs that the lazy
+    # 'big'/'small_rows' plans still need to read — refuse loudly
+    out_real = os.path.realpath(out_path)
+    for pth in in_paths:
+        if os.path.realpath(pth) == out_real:
+            raise ValueError(
+                f"compact_tables: out_path {out_path!r} is also an input; "
+                "write to a fresh directory and move afterwards"
+            )
     schemas = [_read_schema_sidecar(pth) for pth in in_paths]
     if any(sc != schemas[0] for sc in schemas[1:]):
         raise ValueError("compact_tables requires identical schemas")
