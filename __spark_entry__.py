@@ -123,6 +123,92 @@ def _rt_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.decode_table(spark, out)
 
 
+def _rt_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL logical-type round trip (type_decimal.go:18 analog):
+    p≤9 → unscaled INT32, p≤18 → INT64, p>18 → FLBA(16). Output cast to
+    string for a formatting-stable oracle comparison."""
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            (F.col("o_custkey") % 1000).cast("decimal(7,0)").alias("ckey_small"),
+            # >18-digit decimal built via string concat (decimal arithmetic
+            # would rescale): orderkey digits + 18 zeros + ".25" → FLBA(16)
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("000000000000000000.25"),
+            ).cast("decimal(38,2)").alias("price_big"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_decimal_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "o_orderkey", "grp",
+        F.col("price").cast("string").alias("price"),
+        F.col("ckey_small").cast("string").alias("ckey_small"),
+        F.col("price_big").cast("string").alias("price_big"),
+    )
+
+
+def _rt_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<string> round trip — the LIST-of-BYTE_ARRAY shredding
+    (lengths stream + flattened values, node.go:505-525 analog)."""
+    df = (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.slice(F.split(F.col("text"), " "), 1, 5).alias("tags"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_tags_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="source", salt_cols=["doc_id"],
+        sort_cols=["doc_id"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "doc_id", "source", F.concat_ws("\x1f", "tags").alias("tags_joined"),
+        F.size("tags").alias("n_tags"),
+    )
+
+
+def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct round trip — per-field stream shredding (Deconstruct/
+    Reconstruct analog, schema.go:341-430) incl. a nullable field and a
+    decimal field."""
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.when(F.col("o_orderkey") % 4 == 0, None)
+                .otherwise(F.col("o_custkey")).alias("ckey"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            ).alias("props"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_struct_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "o_orderkey",
+        F.col("props.status").alias("status"),
+        F.col("props.ckey").alias("ckey"),
+        F.col("props.price").cast("string").alias("price"),
+    )
+
+
 def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _encode_fresh(spark, sf_dir, "lineitem")
     m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
@@ -293,6 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_customer": _rt_pipeline("customer"),
         "rt_pipeline_embeddings": _rt_embeddings,
         "rt_pipeline_nullable": _rt_nullable,
+        "rt_pipeline_decimal": _rt_decimal,
+        "rt_pipeline_tags": _rt_tags,
+        "rt_pipeline_struct": _rt_struct,
         # ---- forced-codec round trips (E1..E10) ----
         "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
         "rt_rle_dict_returnflag": _codec_rt(
@@ -497,6 +586,27 @@ def oracle_sql() -> dict[str, str]:
             "AS custkey_n, "
             "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END "
             "AS price_n FROM orders"
+        ),
+        "rt_pipeline_decimal": (
+            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price, "
+            "CAST(CAST(o_custkey % 1000 AS DECIMAL(7,0)) AS VARCHAR) "
+            "AS ckey_small, "
+            "CAST(CAST(CAST(o_orderkey AS VARCHAR) || "
+            "'000000000000000000.25' AS DECIMAL(38,2)) AS VARCHAR) "
+            "AS price_big FROM orders"
+        ),
+        "rt_pipeline_tags": (
+            "SELECT doc_id, source, "
+            "array_to_string(list_slice(string_split(text, ' '), 1, 5), "
+            "chr(31)) AS tags_joined, "
+            "least(len(string_split(text, ' ')), 5) AS n_tags FROM documents"
+        ),
+        "rt_pipeline_struct": (
+            "SELECT o_orderkey, o_orderstatus AS status, "
+            "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey END AS ckey, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price "
+            "FROM orders"
         ),
         "rt_plain_part_name": "SELECT p_name FROM part",
         "rt_rle_dict_returnflag": "SELECT l_returnflag FROM lineitem",

@@ -36,14 +36,22 @@ from .varint import read_uvarint, write_uvarint
 
 MAGIC = b"SCC1"
 FLAG_DICT = 1
-FLAG_ZSTD = 2
+FLAG_ZSTD = 2  # historical name; means "outer-compressed" — the codec
+# id lives in the header's 4th byte (0 = legacy zstd blobs)
 FLAG_NULLS = 4  # payload prefixed by an RLE validity bitmap — the flat-
 # schema analog of definition levels (/root/reference/
 # column_buffer_optional.go:11-30; levels RLE per writer.go:2374-2379)
 
+# Outer compression codecs — the compress/ layer of the reference
+# (/root/reference/compress/compress.go:19-37: snappy, gzip, brotli,
+# zstd, lz4). Orthogonal to the lightweight encodings; id 0 is reserved
+# for legacy blobs written before the codec-id byte existed (zstd).
+COMPRESSION_IDS = {"zstd": 1, "snappy": 2, "gzip": 3, "lz4": 4, "brotli": 5}
+_COMPRESSION_NAMES = {0: "zstd", **{v: k for k, v in COMPRESSION_IDS.items()}}
 
-def _zstd():
-    return pa.Codec("zstd")
+
+def _outer(name: str):
+    return pa.Codec(name)
 
 
 def _encode_payload(values, kind: int, codec: int, flba_size: int | None) -> bytes:
@@ -140,23 +148,37 @@ def encode_chunk(
     dict_wrap: bool = False,
     flba_size: int | None = None,
     zstd: bool = False,
+    compression: str | None = None,
     validity: np.ndarray | None = None,
+    capture: dict | None = None,
 ) -> bytes:
     """Encode one column chunk into a self-describing blob.
 
     validity: optional bool ndarray over ALL rows; `values` then holds
     only the non-null values (len == validity.sum()). The header's row
-    count stays the total row count."""
+    count stays the total row count.
+
+    capture: optional dict that receives by-products already computed
+    during encoding — currently `uniques` for dict-wrapped chunks, so
+    callers can build bloom filters from the dictionary for free (the
+    writer.go:2089-2095 analog) instead of re-hashing every value."""
+    if compression is None and zstd:
+        compression = "zstd"
+    if compression is not None and compression not in COMPRESSION_IDS:
+        raise ValueError(f"unknown outer compression {compression!r}")
     if kind == Kind.BYTE_ARRAY and not isinstance(values, ByteArrays):
         values = ByteArrays.from_pylist(list(values))
     n = len(validity) if validity is not None else len(values)
     header = bytearray(MAGIC)
-    flags = (FLAG_DICT if dict_wrap else 0) | (FLAG_ZSTD if zstd else 0)
+    flags = (FLAG_DICT if dict_wrap else 0) | (
+        FLAG_ZSTD if compression else 0
+    )
     if validity is not None:
         if len(values) != int(validity.sum()):
             raise ValueError("values must be null-stripped when validity given")
         flags |= FLAG_NULLS
-    header += bytes([codec, kind, flags, 0])
+    header += bytes([codec, kind, flags,
+                     COMPRESSION_IDS[compression] if compression else 0])
     write_uvarint(header, n)
     if kind == Kind.FIXED_LEN_BYTE_ARRAY:
         write_uvarint(header, flba_size)
@@ -170,6 +192,8 @@ def encode_chunk(
             uniques = _byte_arrays_to_flba(uniques_ba, flba_size)
         else:
             uniques, indexes = dictionary.factorize_numeric(values)
+        if capture is not None:
+            capture["uniques"] = uniques
         dict_payload = _encode_payload(uniques, kind, codec, flba_size)
         idx_payload = rle.encode_dictionary_indexes(indexes)
         body = bytearray()
@@ -185,8 +209,8 @@ def encode_chunk(
         pre = bytearray()
         write_uvarint(pre, len(vpay))
         payload = bytes(pre) + vpay + payload
-    if zstd:
-        comp = _zstd().compress(payload, asbytes=True)
+    if compression:
+        comp = _outer(compression).compress(payload, asbytes=True)
         pre = bytearray()
         write_uvarint(pre, len(payload))  # pyarrow needs decompressed_size
         payload = bytes(pre) + comp
@@ -198,7 +222,7 @@ def decode_chunk(blob):
     mv = memoryview(blob)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
-    codec, kind, flags, _ = mv[4], mv[5], mv[6], mv[7]
+    codec, kind, flags, comp_id = mv[4], mv[5], mv[6], mv[7]
     pos = 8
     n, pos = read_uvarint(mv, pos)
     flba_size = None
@@ -207,8 +231,9 @@ def decode_chunk(blob):
     payload = mv[pos:]
     if flags & FLAG_ZSTD:
         raw_len, p = read_uvarint(payload, 0)
+        name = _COMPRESSION_NAMES[comp_id]
         payload = memoryview(
-            _zstd().decompress(payload[p:].tobytes(), raw_len, asbytes=True)
+            _outer(name).decompress(payload[p:].tobytes(), raw_len, asbytes=True)
         )
     meta = {
         "codec": codec,

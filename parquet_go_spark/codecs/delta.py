@@ -154,7 +154,12 @@ def decode_binary_packed(buf, bits: int) -> tuple[np.ndarray, int]:
         widths = bytes(mv[pos : pos + nmini])
         pos += nmini
         for j in range(nmini):
-            w = widths[j]
+            # miniblocks past the last delta carry NO payload regardless
+            # of their declared width — parquet-format says readers must
+            # ignore the widths of unused trailing miniblocks (parquet-mr
+            # writes arbitrary widths there); a used-but-partial final
+            # miniblock IS padded to full length by writers
+            w = widths[j] if got + j * mb_size < nd else 0
             mb_offsets.append(pos)
             mb_widths.append(w)
             pos += (mb_size * w) // 8

@@ -69,7 +69,8 @@ def _buckets(keys: np.ndarray, salt: int) -> np.ndarray:
 
 
 class FsstTable:
-    __slots__ = ("lengths", "keys", "salt", "_bucket_key", "_bucket_meta")
+    __slots__ = ("lengths", "keys", "salt", "_bucket_key", "_bucket_meta",
+                 "_sym2", "_prefix2")
 
     def __init__(self, lengths: np.ndarray, keys: np.ndarray):
         """lengths: (k,) uint8 in 1..8; keys: (k,) uint64. Codes are the
@@ -106,6 +107,23 @@ class FsstTable:
         )
         self._bucket_key = bk
         self._bucket_meta = bm
+        # fast-parse side tables (paper's shortCodes idea, vectorized):
+        # _sym2[two-byte key] — direct membership of length-2 symbols, so
+        # the all-singles first merge pass is ONE gather, no hashing;
+        # _prefix2[first two bytes] — necessary-condition filter for
+        # longer pairs, so later passes hash only plausible positions
+        sym2 = np.zeros(1 << 16, dtype=bool)
+        is2 = self.lengths == 2
+        sym2[self.keys[is2].astype(np.int64)] = True
+        self._sym2 = sym2
+        # prefixes of len≥3 symbols ONLY: pairs in later passes have
+        # pair_len ≥ 3 unless both halves are unmatched singles (handled
+        # via _sym2 exactly); including len-2 symbols here would make the
+        # filter pass nearly every pair on symbol-dense text
+        prefix2 = np.zeros(1 << 16, dtype=bool)
+        ge3 = self.lengths >= 3
+        prefix2[(self.keys[ge3] & np.uint64(0xFFFF)).astype(np.int64)] = True
+        self._prefix2 = prefix2
 
     def __len__(self) -> int:
         return len(self.lengths)
@@ -120,6 +138,32 @@ class FsstTable:
             (meta >> 16) == lens
         ) & (meta != 0)
         return np.where(hit, (meta & 0xFFFF) - 1, -1).astype(np.int64)
+
+    def pair_hits(self, lens: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Membership-only probe for merge candidates. 2-byte pairs
+        resolve exactly via the _sym2 bitmap (one gather, no hash);
+        longer pairs gather the len≥3-prefix filter first and hash ONLY
+        the survivors (compressed index) — with ≤255 symbols most 2-byte
+        prefixes are dead, so the hash work collapses."""
+        if len(self.keys) == 0 or len(lens) == 0:
+            return np.zeros(len(lens), dtype=bool)
+        key16 = (keys & np.uint64(0xFFFF)).astype(np.int64)
+        is2 = lens == 2
+        out = self._sym2[key16]
+        out &= is2
+        maybe = self._prefix2[key16]
+        maybe &= ~is2
+        maybe &= lens <= MAX_LEN
+        idx = np.flatnonzero(maybe)
+        if len(idx):
+            k = keys[idx]
+            b = _buckets(k, self.salt)
+            meta = self._bucket_meta[b]
+            hit = (self._bucket_key[b] == k) & ((meta >> 16) == lens[idx]) & (
+                meta != 0
+            )
+            out[idx[hit]] = True
+        return out
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.lengths)])
@@ -143,57 +187,155 @@ class FsstTable:
         return FsstTable(lengths, keys), pos
 
 
-def _merge_pass(tok_key: np.ndarray, tok_len: np.ndarray, table: FsstTable):
-    """One pair-merge pass; mutates and compresses the token arrays.
+class _Workspace:
+    """Preallocated scratch buffers for the parse loop. Fresh numpy
+    temporaries were HALF the measured encode cost (allocation + first
+    touch of ~6 MB per pass); one workspace per Python worker process
+    removes that entirely. mapInArrow workers run one kernel at a time,
+    so a process-level singleton is safe."""
 
-    tok_key is uint64, tok_len is uint8; both owned by the caller loop
-    (safe to mutate). Pairs longer than 8 bytes get a clamped (wrong)
-    key, but the exact length verify in lookup rejects them.
-    """
-    n = len(tok_key)
-    if n < 2:
-        return tok_key, tok_len, False
-    pair_len = tok_len[:-1] + tok_len[1:]  # uint8; max 16, no overflow
-    shift = np.minimum(tok_len[:-1], 7).astype(np.uint64)
-    shift <<= np.uint64(3)
-    pair_key = tok_key[1:] << shift
-    pair_key |= tok_key[:-1]
-    cand = table.lookup(pair_len, pair_key) >= 0
-    if not cand.any():
-        return tok_key, tok_len, False
-    # resolve overlaps: within each run of consecutive candidates keep
-    # the ones at even offset from the run start (left-greedy);
-    # run starts via diff + cumsum (SIMD) instead of maximum.accumulate
-    run_start = cand.copy()
-    run_start[1:] &= ~cand[:-1]
-    run_id = np.cumsum(run_start, dtype=np.int32)  # 1-based run number
-    starts = np.flatnonzero(run_start)
-    ci = np.flatnonzero(cand)
-    offset = ci - starts[run_id[ci] - 1]
-    ki = ci[(offset & 1) == 0]
-    tok_key[ki] = pair_key[ki]
-    tok_len[ki] = pair_len[ki]
-    alive = np.ones(n, dtype=bool)
-    alive[ki + 1] = False
-    return tok_key[alive], tok_len[alive], True
+    __slots__ = ("n", "i32a", "i32b", "boola", "boolb", "u64a", "u64b",
+                 "u64c", "u8a", "u8b", "ar")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.i32a = np.empty(n, np.int32)
+        self.i32b = np.empty(n, np.int32)
+        self.boola = np.empty(n, bool)
+        self.boolb = np.empty(n, bool)
+        self.u64a = np.empty(n, np.uint64)
+        self.u64b = np.empty(n, np.uint64)
+        self.u64c = np.empty(n, np.uint64)
+        self.u8a = np.empty(n, np.uint8)
+        self.u8b = np.empty(n, np.uint8)
+        self.ar = np.arange(n, dtype=np.int32)
+
+
+_WS: _Workspace | None = None
+
+
+def _workspace(n: int) -> _Workspace:
+    global _WS
+    if _WS is None or _WS.n < n:
+        _WS = _Workspace(max(n, ENC_BLOCK))
+    return _WS
+
+
+def _parse(data: np.ndarray, table: FsstTable,
+           max_passes: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize data (uint8 array) into table symbols + leftover bytes.
+
+    Pass 0 (all tokens are single raw bytes) detects candidates with a
+    single gather from the 2-byte symbol bitmap in int32 index math —
+    no hashing — then resolves overlaps with the same exact left-greedy
+    parity rule as later passes (see inline note on why aligned pairing
+    was rejected).
+
+    Returned arrays are VIEWS into the process workspace — valid until
+    the next _parse call (all callers consume them immediately)."""
+    n = len(data)
+    out_empty = (np.empty(0, np.uint64), np.empty(0, np.uint8))
+    if n == 0:
+        return out_empty
+    ws = _workspace(n)
+    tok_key = ws.u64a[:n]
+    np.copyto(tok_key, data, casting="unsafe")
+    tok_len = ws.u8a[:n]
+    tok_len[:] = 1
+    cur = 0  # ping-pong: 0 → (u64a,u8a) current, spare (u64b,u8b)
+    passes = max_passes or PARSE_PASSES
+    for p in range(passes):
+        k = len(tok_key)
+        m = k - 1
+        if m < 1:
+            break
+        spare_key = (ws.u64b if cur == 0 else ws.u64a)
+        spare_len = (ws.u8b if cur == 0 else ws.u8a)
+        if p == 0:
+            # candidate detection in int32 index math (half the traffic
+            # of uint64), pair keys materialized lazily at winners only
+            idx = ws.i32a[:m]
+            np.copyto(idx, data[:-1], casting="unsafe")
+            tmp = ws.i32b[:m]
+            np.copyto(tmp, data[1:], casting="unsafe")
+            np.left_shift(tmp, 8, out=tmp)
+            np.bitwise_or(idx, tmp, out=idx)
+            cand = np.take(table._sym2, idx, out=ws.boola[:m])
+            # exact left-greedy (offset parity within candidate runs).
+            # NOT aligned even-position pairing: on periodic code-like
+            # text a wrong-phase first pass blocks all deeper symbol
+            # formation — measured ratio 2.94→2.42 on the repos corpus
+            # for a ~10% speed gain. Not worth it.
+            lb = ws.i32a[:m]  # idx no longer needed after the take
+            np.copyto(lb, ws.ar[:m])
+            np.copyto(lb, np.int32(-1), where=cand, casting="unsafe")
+            np.maximum.accumulate(lb, out=lb)
+            np.subtract(ws.ar[:m], lb, out=lb)
+            np.bitwise_and(lb, 1, out=lb)
+            cand &= lb.astype(bool)
+            ki = np.flatnonzero(cand)
+            if len(ki) == 0:
+                break
+            tok_key[ki] |= tok_key[ki + 1] << np.uint64(8)
+            tok_len[ki] = 2
+            pair_len = None
+        else:
+            pair_len = spare_len[:m]
+            np.add(tok_len[:-1], tok_len[1:], out=pair_len)
+            shift = ws.u64c[:m]
+            np.copyto(shift, np.minimum(tok_len[:-1], 7), casting="unsafe")
+            shift <<= np.uint64(3)
+            pair_key = spare_key[:m]
+            np.left_shift(tok_key[1:], shift, out=pair_key)
+            np.bitwise_or(pair_key, tok_key[:-1], out=pair_key)
+            # inline pair_hits with workspace buffers (the method's fresh
+            # temporaries were ~30% of encode time): exact 2-byte pairs
+            # via _sym2, longer pairs prefix-filtered then hash-verified
+            np.bitwise_and(pair_key, np.uint64(0xFFFF), out=shift)
+            key16 = ws.i32b[:m]
+            np.copyto(key16, shift, casting="unsafe")
+            cand = np.take(table._sym2, key16, out=ws.boola[:m])
+            np.equal(pair_len, 2, out=ws.boolb[:m])
+            cand &= ws.boolb[:m]
+            maybe = np.take(table._prefix2, key16, out=ws.boolb[:m])
+            hidx = np.flatnonzero(maybe)
+            if len(hidx):
+                hk = pair_key[hidx]
+                b = _buckets(hk, table.salt)
+                meta = table._bucket_meta[b]
+                hit = (table._bucket_key[b] == hk) & (
+                    (meta >> 16) == pair_len[hidx]) & (meta != 0)
+                cand[hidx[hit]] = True
+            # exact left-greedy: offset-in-run parity via nearest
+            # non-candidate index (maximum.accumulate of masked arange)
+            lb = ws.i32a[:m]
+            np.copyto(lb, ws.ar[:m])
+            np.copyto(lb, np.int32(-1), where=cand, casting="unsafe")
+            np.maximum.accumulate(lb, out=lb)
+            np.subtract(ws.ar[:m], lb, out=lb)
+            np.bitwise_and(lb, 1, out=lb)
+            cand &= lb.astype(bool)
+            ki = np.flatnonzero(cand)
+            if len(ki) == 0:
+                break
+            tok_key[ki] = pair_key[ki]
+            tok_len[ki] = pair_len[ki]
+        alive = ws.boola[:k]
+        alive[:] = True
+        alive[ki + 1] = False
+        alividx = np.flatnonzero(alive)
+        cnt = len(alividx)
+        np.take(tok_key, alividx, out=spare_key[:cnt])
+        np.take(tok_len, alividx, out=spare_len[:cnt])
+        tok_key, tok_len = spare_key[:cnt], spare_len[:cnt]
+        cur ^= 1
+    return tok_key, tok_len
 
 
 TRAIN_PARSE_PASSES = 1  # during training, parse the sample SHALLOW: pair
 # counts over short tokens estimate greedy-encode gain far better than
 # counts over already-merged long tokens — measured ratio 3.0 vs 1.3 on
 # code-like text with deep training parses
-
-
-def _parse(data: np.ndarray, table: FsstTable,
-           max_passes: int | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize data (uint8 array) into table symbols + leftover bytes."""
-    tok_key = data.astype(np.uint64)
-    tok_len = np.ones(len(data), dtype=np.uint8)
-    for _ in range(max_passes or PARSE_PASSES):
-        tok_key, tok_len, changed = _merge_pass(tok_key, tok_len, table)
-        if not changed:
-            break
-    return tok_key, tok_len
 
 
 def _unique_counts(lens: np.ndarray, keys: np.ndarray):

@@ -140,6 +140,7 @@ def _trial_slice(values, kind: int):
 
 def select_and_encode(
     values, kind: int, *, flba_size: int | None = None, zstd: bool = False,
+    compression: str | None = None,
     validity: np.ndarray | None = None,
 ) -> tuple[bytes, dict]:
     """Trial-encode the shortlist; return (smallest blob, info).
@@ -149,6 +150,8 @@ def select_and_encode(
     sample, and only the winner encodes the full chunk (the measured
     analog of parquet-go's static defaults + dynamic dictionary
     fallback, writer.go:2049-2077)."""
+    if compression is None and zstd:
+        compression = "zstd"
     stats = column_stats(values, kind)
     # nulls: candidates compete on the null-stripped values (the validity
     # bitmap costs the same under every codec); the winner re-encodes
@@ -157,12 +160,16 @@ def select_and_encode(
     trial_values = _trial_slice(values, kind) if sampled else values
     best_blob = None
     best = None
+    capture: dict = {}
     trials = {}
     for codec, dict_wrap in shortlist(stats):
+        cap: dict = {}
         try:
             blob = chunklib.encode_chunk(
                 trial_values, kind, codec,
-                dict_wrap=dict_wrap, flba_size=flba_size, zstd=zstd,
+                dict_wrap=dict_wrap, flba_size=flba_size,
+                compression=compression,
+                capture=None if sampled else cap,
             )
         except Exception:
             continue
@@ -171,17 +178,22 @@ def select_and_encode(
         if best is None or key < best:
             best = key
             best_blob = blob
+            capture = cap
     if best is None:  # fall back to PLAIN, which supports every kind
         best_blob = chunklib.encode_chunk(
-            values, kind, Codec.PLAIN, flba_size=flba_size, zstd=zstd,
-            validity=validity,
+            values, kind, Codec.PLAIN, flba_size=flba_size,
+            compression=compression, validity=validity,
         )
         best = (len(best_blob), Codec.PLAIN, False)
-    elif sampled:  # encode the full chunk with the winning codec only
+    elif sampled:  # encode the full chunk with the winning codec only;
+        # capture the full-chunk uniques so callers can build bloom
+        # filters from the dictionary for free (writer.go:2089-2095)
+        capture = {}
         best_blob = chunklib.encode_chunk(
             values, kind, best[1],
-            dict_wrap=best[2], flba_size=flba_size, zstd=zstd,
-            validity=validity,
+            dict_wrap=best[2], flba_size=flba_size,
+            compression=compression,
+            validity=validity, capture=capture,
         )
         best = (len(best_blob), best[1], best[2])
     info = {
@@ -192,5 +204,6 @@ def select_and_encode(
         "n": stats["n"],
         "trials": trials,
         "sampled": sampled,
+        "uniques": capture.get("uniques"),
     }
     return best_blob, info

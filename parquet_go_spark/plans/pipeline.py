@@ -344,25 +344,29 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
     return repr(a.min().item()), repr(a.max().item())
 
 
-def _encode_one(values, kind, spark_type, zstd, base, stream="values",
-                validity=None):
+def _encode_one(values, kind, spark_type, compression, base,
+                stream="values", validity=None):
     flba_size = None
     if kind == Kind.FIXED_LEN_BYTE_ARRAY:
         flba_size = values.shape[1] if len(values) else 16
     blob, info = selector.select_and_encode(
-        values, kind, flba_size=flba_size, zstd=zstd, validity=validity
+        values, kind, flba_size=flba_size, compression=compression,
+        validity=validity,
     )
     mn, mx = _chunk_stats(values, spark_type)
     null_count = 0 if validity is None else int(len(validity) - validity.sum())
     # split-block bloom per chunk (bloom/block.go analog); levels/list
-    # streams carry no bloom
+    # streams carry no bloom. Dict-wrapped chunks build the filter from
+    # the dictionary uniques already in hand (writer.go:2089-2095):
+    # identical no-false-negative semantics, NDV-proportional cost.
     bf = None
     if stream == "values" and len(values) and kind != Kind.BOOLEAN:
-        bf = bloomlib.build(values, kind)
+        uniq = info.get("uniques")
+        bf = bloomlib.build(uniq if uniq is not None else values, kind)
     rec = dict(base)
     rec.update(
         stream=stream, kind=kind, codec=info["codec"], dict=info["dict"],
-        zstd=zstd, spark_type=spark_type, raw_bytes=info["raw_bytes"],
+        zstd=compression is not None, spark_type=spark_type, raw_bytes=info["raw_bytes"],
         enc_bytes=len(blob),
         sha256=_column_sha256(values, spark_type, validity),
         min_val=mn, max_val=mx, null_count=null_count, bloom=bf, blob=blob,
@@ -401,20 +405,46 @@ _BLOB_ARROW_SCHEMA = pa.schema(
 )
 
 
-def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
-                          zstd: bool, sort_cols: list[str] | None = None,
-                          chunk_suffix: str = "") -> pa.RecordBatch:
-    """Encode one (repo, bucket) group's columns → manifest+blob rows.
+def _encode_chunk_batches(tbl: pa.Table, columns, repo: str, bucket: int,
+                          compression: str | None,
+                          sort_cols: list[str] | None = None,
+                          chunk_suffix: str = "",
+                          target_bytes: int | None = None):
+    """Encode one (repo, bucket) group's columns → manifest+blob record
+    batches (a generator: one batch per emitted chunk).
 
     Sorting happens HERE with Arrow's C++ sort_indices + take, not with
     Spark's sortWithinPartitions: a JVM row sort of wide string rows cost
     more than the encode kernels themselves, while a per-group columnar
-    sort is nearly free."""
+    sort is nearly free.
+
+    Groups larger than 2× target_bytes split into row-range sub-chunks
+    AFTER the sort (ids '#<bucket><suffix>s<i>'): the safety net that
+    bounds chunk size when the planner's size estimate under-bucketed a
+    repo (metadata-based sizing uses a global average row size), the
+    dynamic analog of the reference's page-flush size checks
+    (writer.go:262-267)."""
     if sort_cols:
         idx = pa.compute.sort_indices(
             tbl, sort_keys=[(c, "ascending") for c in sort_cols]
         )
         tbl = tbl.take(idx)
+    n_splits = 1
+    if target_bytes and tbl.nbytes > 2 * target_bytes:
+        n_splits = -(-tbl.nbytes // target_bytes)
+    rows_per = -(-tbl.num_rows // n_splits)
+    for si in range(n_splits):
+        sub = tbl.slice(si * rows_per, rows_per)
+        if sub.num_rows == 0:
+            continue
+        suffix = chunk_suffix + (f"s{si}" if n_splits > 1 else "")
+        yield _encode_one_chunk(sub, columns, repo, bucket,
+                                compression, suffix)
+
+
+def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
+                      compression: str | None,
+                      chunk_suffix: str) -> pa.RecordBatch:
     base = {
         "chunk_id": f"{repo}#{bucket}{chunk_suffix}", "repo": repo,
         "bucket": bucket, "n_rows": tbl.num_rows,
@@ -427,10 +457,11 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
         if spark_type in _LIST_ELEM_KIND:
             elem_kind, _, _ = _LIST_ELEM_KIND[spark_type]
             lengths, flat = _list_to_streams_arrow(col, spark_type)
-            recs.append(_encode_one(lengths, Kind.INT32, "int", zstd, b,
-                                    stream="lengths"))
+            recs.append(_encode_one(lengths, Kind.INT32, "int", compression,
+                                    b, stream="lengths"))
             recs.append(_encode_one(flat, elem_kind,
-                                    spark_type[len("array<"):-1], zstd, b))
+                                    spark_type[len("array<"):-1],
+                                    compression, b))
         elif sf is not None:
             # struct → one stream per field (the Deconstruct shredding
             # analog, schema.go:341-361): each leaf encodes on its own
@@ -447,7 +478,7 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
                     child = child.drop_null()
                 values = _arrow_to_values(child, ftype)
                 recs.append(_encode_one(
-                    values, _col_kind(ftype), ftype, zstd, b,
+                    values, _col_kind(ftype), ftype, compression, b,
                     stream=f"f:{fname}", validity=validity,
                 ))
         else:
@@ -458,12 +489,15 @@ def _encode_chunk_records(tbl: pa.Table, columns, repo: str, bucket: int,
                 arr = arr.drop_null()
             values = _arrow_to_values(arr, spark_type)
             recs.append(_encode_one(values, _col_kind(spark_type),
-                                    spark_type, zstd, b, validity=validity))
+                                    spark_type, compression, b,
+                                    validity=validity))
     return pa.RecordBatch.from_pylist(recs, schema=_BLOB_ARROW_SCHEMA)
 
 
-def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
-                      sort_cols: list[str], chunk_suffix: str = ""):
+def _encode_stream_fn(columns: list[tuple[str, str]],
+                      compression: str | None,
+                      sort_cols: list[str], chunk_suffix: str = "",
+                      target_bytes: int | None = None):
     """mapInArrow encode kernel: the partition is hash-partitioned on
     (__repo, __bucket) but NOT sorted — batch slices are accumulated per
     group in a dict (a partition holds only a few bounded-size groups by
@@ -500,8 +534,9 @@ def _encode_stream_fn(columns: list[tuple[str, str]], zstd: bool,
                 groups.setdefault(key, []).append(data.slice(s, e - s))
         for (repo, bucket), pieces in groups.items():
             tbl = pa.Table.from_batches(pieces)
-            yield _encode_chunk_records(tbl, columns, repo, bucket, zstd,
-                                        sort_cols, chunk_suffix)
+            yield from _encode_chunk_batches(tbl, columns, repo, bucket,
+                                             compression, sort_cols,
+                                             chunk_suffix, target_bytes)
 
     return fn
 
@@ -530,24 +565,146 @@ def _row_size_expr(df: DataFrame):
     return size_expr
 
 
+RANGE_GRANULARITY = 128  # quantile resolution for the range layout
+
+
+def _order_surrogate(col, spark_type: str):
+    """An orderable numeric surrogate of a sort key, for quantile
+    computation: strings/binary use their first 7 bytes packed big-endian
+    into a bigint (prefix order == byte order; ties within a 7-byte
+    prefix collapse to one quantile, which only costs resolution)."""
+    if spark_type in ("string", "binary"):
+        h = F.hex(F.encode(col, "UTF-8")) if spark_type == "string" else F.hex(col)
+        return F.conv(F.rpad(F.substring(h, 1, 14), 14, "0"), 16, 10).cast("bigint")
+    return col.cast("double")
+
+
+def compute_range_bounds(df: DataFrame, repo_col: str, key_col: str,
+                         size_expr, target_chunk_bytes: int) -> DataFrame:
+    """One scan computing BOTH per-repo byte totals and per-repo quantile
+    boundaries of the sort key → (repo, __n_buckets, __bnds). The
+    SortingWriter analog's planning step (sorting.go:23-127): disjoint
+    key ranges per chunk instead of hash-interleaved ones, which is what
+    makes min/max pruning actually prune."""
+    key_type = dict(df.dtypes)[key_col]
+    key = _order_surrogate(F.col(key_col), key_type)
+    pcts = [i / RANGE_GRANULARITY for i in range(1, RANGE_GRANULARITY)]
+    agg = df.groupBy(F.col(repo_col)).agg(
+        F.sum(size_expr).alias("__bytes"),
+        F.percentile_approx(key, pcts, 10000).alias("__bnds"),
+    )
+    return agg.withColumn(
+        "__n_buckets",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("__bytes") / F.lit(target_chunk_bytes))
+        ).cast("int"),
+    ).select(F.col(repo_col), "__n_buckets", "__bnds")
+
+
+def plan_chunks_range(df: DataFrame, repo_col: str, sort_key: str,
+                      bounds: DataFrame) -> DataFrame:
+    """Assign rows to range-ordered buckets from precomputed boundaries:
+    bucket = quantile-position of the sort key scaled to the repo's
+    bucket count. Chunk key ranges are (approximately) disjoint, so
+    chunk min/max stats prune instead of overlapping (VERDICT: the
+    xxhash bucket layout made every chunk span the full key range)."""
+    key_type = dict(df.dtypes)[sort_key]
+    key = _order_surrogate(F.col(sort_key), key_type)
+    out = df.join(F.broadcast(bounds), on=repo_col, how="inner")
+    pos = F.aggregate(
+        F.col("__bnds"), F.lit(0),
+        lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+    )
+    bucket = F.floor(
+        pos * F.col("__n_buckets") / F.lit(RANGE_GRANULARITY)
+    ).cast("int")
+    return (
+        out.withColumn("__repo", F.col(repo_col).cast("string"))
+        .withColumn("__bucket",
+                    F.least(bucket, F.col("__n_buckets") - 1))
+        .drop("__n_buckets", "__bnds")
+    )
+
+
+def _avg_row_bytes_from_metadata(df: DataFrame) -> float | None:
+    """Average row size of df's input parquet files, read from their
+    footers only (driver-side, no data scan): parquet row groups record
+    total_byte_size (ENCODED-uncompressed page bytes — dictionary/RLE
+    applied, outer compression not) + num_rows, so this UNDERSTATES
+    logical row bytes on highly repetitive data. That bias is safe:
+    planning only shapes bucket counts, and the encode kernel splits any
+    group that exceeds 2× the target regardless. Returns None when the
+    plan has no parquet file inputs (derived DataFrames, other formats).
+
+    This is the catalog-statistics path the reference gets from file
+    metadata (file.go footer reads): planning a 100 TB encode must not
+    cost a second 100 TB scan."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total_bytes = total_rows = 0
+    for f in files:
+        if not f.endswith(".parquet"):
+            return None
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            total_bytes += rg.total_byte_size
+            total_rows += rg.num_rows
+    if total_rows == 0:
+        return None
+    return total_bytes / total_rows
+
+
 def plan_chunks(df: DataFrame, repo_col: str, salt_cols: list[str],
                 target_chunk_bytes: int = TARGET_CHUNK_BYTES,
-                exact_sizes: bool = True) -> DataFrame:
+                exact_sizes: bool = True,
+                size_mode: str | None = None) -> DataFrame:
     """Assign every row a bounded-size (repo, bucket) chunk key.
 
     One small aggregation + a broadcast join back; the heavy table is
     only shuffled once, by groupBy in encode_table.
 
-    exact_sizes=True (default) sums exact per-repo bytes in one scan.
-    exact_sizes=False estimates from a deterministic 1% row sample
-    (resume-safe: a pure function of the data) — NOTE: only worthwhile
-    when the storage layer can actually prune the sample read (e.g.
-    an Iceberg sample partition); with plain parquet the row filter
-    cannot push down, so the sample scan still reads every column and
-    the estimate costs MORE than the exact scan (measured).
+    size_mode:
+      "metadata" — per-repo COUNT (a repo-column-only scan: Spark prunes
+        every other column, ~1-5% of table bytes on content-heavy data)
+        × the global average row size read from parquet FOOTERS (driver-
+        side, zero data bytes). Underestimates for repos with atypically
+        large rows are bounded by the encode kernel's group splitting.
+        This is the 100 TB default: planning never re-reads the data.
+      "exact" — sums exact per-repo bytes in one full scan (a 100 TB
+        job reads 200 TB; only right when footers are unavailable AND
+        skew by row size is extreme).
+      "sample" — deterministic 1% row-hash sample; only worthwhile when
+        the storage layer can prune the sample read (Iceberg sample
+        partitions) — with plain parquet it reads everything anyway.
+      None/default — "metadata" when footer stats exist, else "exact".
+
+    exact_sizes is the legacy flag: True→default resolution, False→sample.
     """
+    if size_mode is None:
+        size_mode = "auto" if exact_sizes else "sample"
     size_expr = _row_size_expr(df)
-    if exact_sizes:
+    avg = None
+    if size_mode in ("auto", "metadata"):
+        avg = _avg_row_bytes_from_metadata(df)
+        if avg is None and size_mode == "metadata":
+            raise ValueError("size_mode='metadata': no parquet footer stats")
+    if avg is not None:
+        counts = df.groupBy(F.col(repo_col)).agg(F.count(F.lit(1)).alias("__n"))
+        sizes = counts.withColumn(
+            "__bytes", (F.col("__n") * F.lit(float(avg))).cast("bigint")
+        )
+    elif size_mode in ("auto", "exact"):
         sizes = df.groupBy(F.col(repo_col)).agg(F.sum(size_expr).alias("__bytes"))
     else:
         salt_hash = F.xxhash64(*[F.col(c) for c in salt_cols])
@@ -590,11 +747,21 @@ def encode_table(
     sort_cols: list[str] | None = None,
     target_chunk_bytes: int = TARGET_CHUNK_BYTES,
     zstd: bool = False,
+    compression: str | None = None,
     resume: bool = True,
     chunk_suffix: str = "",
     exact_sizes: bool = True,
+    size_mode: str | None = None,
+    layout: str = "hash",
 ) -> dict:
     """Encode df into a blobs+manifest parquet table at out_path.
+
+    layout="hash" buckets rows by xxhash64(salt_cols) — fastest, but
+    chunk key ranges interleave. layout="range" buckets by sort-key
+    quantiles (disjoint chunk ranges → min/max pruning works, the
+    SortingWriter analog); its boundaries are persisted to a `_bounds`
+    sidecar BEFORE encoding so resumed runs reuse the exact same
+    assignment (percentile sketches are not bit-stable across runs).
 
     Returns summary metrics (chunks encoded, bytes, ratio, skipped)."""
     salt_cols = salt_cols or [c for c, _ in df.dtypes if c != repo_col][:2]
@@ -603,8 +770,20 @@ def encode_table(
     for _, t in columns:
         _col_kind(t)  # validate early
 
-    keyed = plan_chunks(df, repo_col, salt_cols, target_chunk_bytes,
-                        exact_sizes=exact_sizes)
+    if layout == "range":
+        bounds_path = os.path.join(out_path, "_bounds")
+        if not (resume and _table_exists(bounds_path)):
+            bounds = compute_range_bounds(
+                df, repo_col, sort_cols[0], _row_size_expr(df),
+                target_chunk_bytes,
+            )
+            bounds.write.mode("overwrite").parquet(bounds_path)
+        keyed = plan_chunks_range(
+            df, repo_col, sort_cols[0], spark.read.parquet(bounds_path)
+        )
+    else:
+        keyed = plan_chunks(df, repo_col, salt_cols, target_chunk_bytes,
+                            exact_sizes=exact_sizes, size_mode=size_mode)
 
     skipped = 0
     if resume and _table_exists(out_path):
@@ -621,7 +800,9 @@ def encode_table(
     import time as _time
 
     t0 = _time.time()
-    fn = _encode_stream_fn(columns, zstd, sort_cols, chunk_suffix)
+    comp = compression or ("zstd" if zstd else None)
+    fn = _encode_stream_fn(columns, comp, sort_cols, chunk_suffix,
+                           target_bytes=target_chunk_bytes)
     # explicit partition count: AQE's advisory-size coalescing would
     # otherwise merge this shuffle into a handful of 64 MB partitions and
     # starve the Python encode kernels of parallelism; 4x parallelism
@@ -983,7 +1164,15 @@ def compact_tables(
     (/root/reference/merge.go:25-125). Chunks at or above min_chunk_bytes
     are spliced VERBATIM (blob bytes copied without decode — the
     writer_copy.go:14-60 fast path); undersized chunks are decoded,
-    regrouped, and re-encoded into full-size chunks."""
+    regrouped, and re-encoded into full-size chunks.
+
+    Schemas need not be identical: like the reference's MergeNodes +
+    Convert (merge.go:25, convert.go:370), inputs are unified to the
+    ordered union of their columns. Tables already matching the union
+    schema keep the verbatim fast path; tables missing columns are
+    decoded, null-filled to the union, and re-encoded (a column absent
+    from a source table decodes as NULL — the convert.go null-fill
+    rule). A shared column name with two different types is an error."""
     # in-place compaction would overwrite input blobs that the lazy
     # 'big'/'small_rows' plans still need to read — refuse loudly
     out_real = os.path.realpath(out_path)
@@ -994,35 +1183,64 @@ def compact_tables(
                 "write to a fresh directory and move afterwards"
             )
     schemas = [_read_schema_sidecar(pth) for pth in in_paths]
-    if any(sc != schemas[0] for sc in schemas[1:]):
-        raise ValueError("compact_tables requires identical schemas")
-    cols = schemas[0]
+    union: list[tuple[str, str]] = []
+    seen: dict[str, str] = {}
+    for sc in schemas:
+        for name, typ in sc:
+            if name in seen:
+                if seen[name] != typ:
+                    raise ValueError(
+                        f"compact_tables: column {name!r} has conflicting "
+                        f"types {seen[name]!r} vs {typ!r}"
+                    )
+            else:
+                seen[name] = typ
+                union.append((name, typ))
+    cols = union
 
-    parts = []
+    verbatim_parts = []
+    convert_dfs = []
     for i, pth in enumerate(in_paths):
-        parts.append(
-            spark.read.parquet(pth).withColumn(
-                "chunk_id", F.concat(F.lit(f"t{i}:"), F.col("chunk_id"))
+        if schemas[i] == union:
+            verbatim_parts.append(
+                spark.read.parquet(pth).withColumn(
+                    "chunk_id", F.concat(F.lit(f"t{i}:"), F.col("chunk_id"))
+                )
             )
-        )
-    blobs = parts[0]
-    for pdf in parts[1:]:
-        blobs = blobs.unionByName(pdf)
+        else:
+            d = decode_table(spark, pth)
+            have = {c for c, _ in schemas[i]}
+            for name, typ in union:
+                if name not in have:
+                    d = d.withColumn(name, F.lit(None).cast(typ))
+            convert_dfs.append(d.select([c for c, _ in union]))
 
-    sizes = blobs.groupBy("chunk_id").agg(F.sum("raw_bytes").alias("b"))
-    small_ids = sizes.where(F.col("b") < min_chunk_bytes).select("chunk_id")
+    n_small = 0
+    if verbatim_parts:
+        blobs = verbatim_parts[0]
+        for pdf in verbatim_parts[1:]:
+            blobs = blobs.unionByName(pdf)
+        sizes = blobs.groupBy("chunk_id").agg(F.sum("raw_bytes").alias("b"))
+        small_ids = sizes.where(F.col("b") < min_chunk_bytes).select("chunk_id")
+        big = blobs.join(F.broadcast(small_ids), "chunk_id", "left_anti")
+        big.write.mode("overwrite").parquet(out_path)
+        _write_schema_sidecar(out_path, cols)
+        n_small = small_ids.count()
+        if n_small:
+            convert_dfs.append(_decode_blobs(
+                blobs.join(F.broadcast(small_ids), "chunk_id", "left_semi"),
+                cols,
+            ))
+    else:
+        os.makedirs(out_path, exist_ok=True)
+        _write_schema_sidecar(out_path, cols)
 
-    big = blobs.join(F.broadcast(small_ids), "chunk_id", "left_anti")
-    big.write.mode("overwrite").parquet(out_path)
-    _write_schema_sidecar(out_path, cols)
-
-    n_small = small_ids.count()
-    if n_small:
-        small_rows = _decode_blobs(
-            blobs.join(F.broadcast(small_ids), "chunk_id", "left_semi"), cols
-        )
+    if convert_dfs:
+        rows = convert_dfs[0]
+        for d in convert_dfs[1:]:
+            rows = rows.unionByName(d)
         encode_table(
-            spark, small_rows, out_path,
+            spark, rows, out_path,
             repo_col=repo_col, salt_cols=salt_cols, sort_cols=sort_cols,
             target_chunk_bytes=target_chunk_bytes, resume=False,
             chunk_suffix="@compact",
@@ -1031,6 +1249,7 @@ def compact_tables(
     return {
         "chunks": m.select("chunk_id").distinct().count(),
         "merged_small_chunks": n_small,
+        "converted_tables": len(convert_dfs) - (1 if n_small else 0),
     }
 
 

@@ -37,3 +37,49 @@ def test_compact_two_tables(spark, tmp_path_factory):
     # content integrity: decoded rows == union of both inputs
     out_res = pipeline.verify_roundtrip(spark, full, out)
     assert out_res["ok"], out_res
+
+
+def test_compact_unifies_schemas(spark, tmp_path_factory):
+    """MergeNodes/Convert analog: inputs with different column sets merge
+    to the union schema; missing columns decode as NULL."""
+    base = tmp_path_factory.mktemp("compact_schema")
+    a_path, b_path, out = str(base / "a"), str(base / "b"), str(base / "out")
+
+    a = spark.createDataFrame(
+        [("r", i, f"text-{i}") for i in range(100)],
+        "repo string, k bigint, body string",
+    )
+    b = spark.createDataFrame(
+        [("r", 1000 + i, f"text-{i}", float(i)) for i in range(100)],
+        "repo string, k bigint, body string, score double",
+    )
+    for df, pth in ((a, a_path), (b, b_path)):
+        pipeline.encode_table(spark, df, pth, salt_cols=["k"],
+                              sort_cols=["k"], resume=False)
+
+    res = pipeline.compact_tables(
+        spark, [a_path, b_path], out, salt_cols=["k"], sort_cols=["k"],
+    )
+    dec = pipeline.decode_table(spark, out)
+    assert set(dec.columns) == {"repo", "k", "body", "score"}
+    assert dec.count() == 200
+    # a's rows null-filled on the added column; b's rows keep their score
+    assert dec.where(F.col("k") < 1000).where(
+        F.col("score").isNotNull()).count() == 0
+    got = {r["k"]: r["score"] for r in dec.where(F.col("k") >= 1000).collect()}
+    assert got == {1000 + i: float(i) for i in range(100)}
+
+
+def test_compact_conflicting_types_raises(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("compact_conflict")
+    a_path, b_path = str(base / "a"), str(base / "b")
+    a = spark.createDataFrame([("r", 1, "x")], "repo string, k bigint, v string")
+    b = spark.createDataFrame([("r", 2, 3.5)], "repo string, k bigint, v double")
+    for df, pth in ((a, a_path), (b, b_path)):
+        pipeline.encode_table(spark, df, pth, salt_cols=["k"],
+                              sort_cols=["k"], resume=False)
+    with _pytest.raises(ValueError, match="conflicting"):
+        pipeline.compact_tables(spark, [a_path, b_path], str(base / "out"),
+                                salt_cols=["k"], sort_cols=["k"])

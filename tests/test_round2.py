@@ -226,3 +226,155 @@ def test_decode_kernel_merges_split_chunks():
     out = list(fn(iter([b1, b2])))
     assert len(out) == 1
     assert out[0].column("w").to_pylist() == [0, 2, 4, 6]
+
+
+# ---------- range-ordered chunk layout ----------
+
+def _chunks_kept(spark, out, column, lo, hi):
+    m = pipeline.manifest(spark, out).where(
+        (F.col("column") == column) & (F.col("stream") == "values")
+    )
+    mn = F.col("min_val").cast("bigint")
+    mx = F.col("max_val").cast("bigint")
+    return m.where((mx >= lo) & (mn <= hi)).select("chunk_id").distinct().count()
+
+
+def test_range_layout_prunes_more_than_hash(spark):
+    rows = [("r", i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "repo string, k bigint").select(
+        "repo", "k", F.concat(F.lit("v"), F.col("k")).alias("payload"),
+        F.sha2(F.col("k").cast("string"), 256).alias("pad"),
+    )
+    out_h = tempfile.mkdtemp(prefix="colcodec_hash_")
+    out_r = tempfile.mkdtemp(prefix="colcodec_range_")
+    kw = dict(repo_col="repo", salt_cols=["k"], sort_cols=["k"],
+              target_chunk_bytes=64 << 10, resume=False)
+    pipeline.encode_table(spark, df, out_h, layout="hash", **kw)
+    pipeline.encode_table(spark, df, out_r, layout="range", **kw)
+
+    total = pipeline.manifest(spark, out_r).where(
+        (F.col("column") == "k") & (F.col("stream") == "values")
+    ).select("chunk_id").distinct().count()
+    assert total >= 8  # enough buckets for pruning to matter
+
+    kept_h = _chunks_kept(spark, out_h, "k", 5000, 5400)
+    kept_r = _chunks_kept(spark, out_r, "k", 5000, 5400)
+    # hash interleaving makes every chunk span ~the full key range;
+    # range buckets are disjoint, so strictly fewer chunks survive
+    assert kept_r < kept_h
+
+    # and the range table still round-trips + prunes correctly
+    got = pipeline.pruned_decode(spark, out_r, "k", lo=5000, hi=5400)
+    assert got.count() == 401
+
+
+def test_range_layout_resume_reuses_bounds(spark):
+    rows = [("r", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "repo string, k bigint").select(
+        "repo", "k", F.sha2(F.col("k").cast("string"), 256).alias("pad"),
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_rresume_")
+    kw = dict(repo_col="repo", salt_cols=["k"], sort_cols=["k"],
+              target_chunk_bytes=32 << 10)
+    pipeline.encode_table(spark, df, out, layout="range", resume=False, **kw)
+    m1 = pipeline.encode_table(spark, df, out, layout="range", resume=True, **kw)
+    assert m1["skipped_chunks"] > 0
+    dec = pipeline.decode_table(spark, out)
+    assert dec.count() == 2000  # no duplicated chunks from a re-plan
+
+
+# ---------- metadata-based planning + kernel-side splitting ----------
+
+def test_metadata_sizing_no_second_scan(spark, tmp_path_factory):
+    """size_mode='metadata' plans from parquet footers + a repo-only
+    count scan; the resulting table still round-trips and is chunked."""
+    src = str(tmp_path_factory.mktemp("meta_src") / "t.parquet")
+    # distinct-per-row content: parquet footers record ENCODED page bytes,
+    # so repetitive data would understate logical size — the estimator is
+    # documented as encoded-size-based, with kernel splitting as the bound
+    df0 = spark.createDataFrame(
+        [(f"repo{i % 4}", i) for i in range(4000)], "repo string, k bigint"
+    ).select(
+        "repo", "k",
+        F.repeat(F.sha2(F.col("k").cast("string"), 256), 10).alias("content"),
+    )
+    df0.write.parquet(src)
+    df = spark.read.parquet(src)
+
+    avg = pipeline._avg_row_bytes_from_metadata(df)
+    assert avg is not None and avg > 300  # content dominates
+
+    out = tempfile.mkdtemp(prefix="colcodec_meta_")
+    m = pipeline.encode_table(
+        spark, df, out, repo_col="repo", salt_cols=["k"], sort_cols=["k"],
+        target_chunk_bytes=1 << 20, size_mode="metadata", resume=False,
+    )
+    assert m["chunks"] >= 4
+    v = pipeline.verify_roundtrip(spark, df, out, content_col="content")
+    assert v["ok"], v
+
+
+def test_metadata_sizing_unavailable_raises(spark):
+    df = spark.createDataFrame([("r", 1)], "repo string, k bigint")
+    with pytest.raises(ValueError, match="no parquet footer stats"):
+        pipeline.plan_chunks(df, "repo", ["k"], size_mode="metadata")
+
+
+def test_kernel_splits_oversized_groups(spark, tmp_path_factory):
+    """A repo whose rows dwarf the global average row size gets split
+    into bounded sub-chunks inside the encode kernel (ids ...s<i>)."""
+    src = str(tmp_path_factory.mktemp("split_src") / "t.parquet")
+    rows = [("small", i, "x") for i in range(2000)]
+    rows += [("big", i, "y" * 20000) for i in range(200)]
+    spark.createDataFrame(rows, "repo string, k bigint, content string") \
+        .write.parquet(src)
+    df = spark.read.parquet(src)
+
+    out = tempfile.mkdtemp(prefix="colcodec_split_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="repo", salt_cols=["k"], sort_cols=["k"],
+        target_chunk_bytes=256 << 10, size_mode="metadata", resume=False,
+    )
+    m = pipeline.manifest(spark, out)
+    split_ids = [r["chunk_id"] for r in
+                 m.select("chunk_id").distinct().collect() if "s" in r["chunk_id"].split("#")[1]]
+    assert split_ids, "oversized group was not split"
+    v = pipeline.verify_roundtrip(spark, df, out, content_col="content")
+    assert v["ok"], v
+
+
+# ---------- outer compression codecs beyond zstd ----------
+
+def test_outer_compression_codecs_roundtrip():
+    from parquet_go_spark.codecs import chunk as chunklib
+    from parquet_go_spark.codecs.kinds import Codec
+
+    vals = np.arange(5000, dtype=np.int64) % 97
+    for name in ("zstd", "snappy", "gzip", "lz4", "brotli"):
+        blob = chunklib.encode_chunk(vals, Kind.INT64, Codec.PLAIN,
+                                     compression=name)
+        dec, meta = chunklib.decode_chunk(blob)
+        assert meta["zstd"] is True
+        assert np.array_equal(dec, vals), name
+
+
+def test_outer_compression_legacy_zstd_flag():
+    from parquet_go_spark.codecs import chunk as chunklib
+    from parquet_go_spark.codecs.kinds import Codec
+
+    vals = np.arange(100, dtype=np.int32)
+    blob = chunklib.encode_chunk(vals, Kind.INT32, Codec.PLAIN, zstd=True)
+    dec, _ = chunklib.decode_chunk(blob)
+    assert np.array_equal(dec, vals)
+
+
+def test_pipeline_snappy_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("r", i, f"payload-{i}" * 20) for i in range(500)],
+        "repo string, k bigint, content string",
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_snappy_")
+    pipeline.encode_table(spark, df, out, repo_col="repo", salt_cols=["k"],
+                          sort_cols=["k"], compression="snappy", resume=False)
+    v = pipeline.verify_roundtrip(spark, df, out, content_col="content")
+    assert v["ok"], v
