@@ -29,7 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from . import bitpacked, bytestreamsplit, delta, dictionary, fsst, plain, rle
+from . import (bitpacked, bytestreamsplit, delta, dictionary, fsst, plain,
+               registry, rle)
 from .bytearrays import ByteArrays
 from .kinds import Codec, Kind, KIND_WIDTHS
 from .varint import read_uvarint, write_uvarint
@@ -89,6 +90,11 @@ def _encode_payload(values, kind: int, codec: int, flba_size: int | None) -> byt
         return bytestreamsplit.encode(values, width)
     if codec == Codec.FSST:
         return fsst.encode_byte_array(values)
+    custom = registry.lookup(codec)
+    if custom is not None:
+        if kind not in custom.kinds:
+            raise ValueError(f"codec {custom.name} does not support kind {kind}")
+        return custom.encode(values, kind)
     raise ValueError(f"unsupported codec {codec} for kind {kind}")
 
 
@@ -127,6 +133,9 @@ def _decode_payload(buf, n: int, kind: int, codec: int, flba_size: int | None):
         return bytestreamsplit.decode(buf, n, KIND_WIDTHS[kind], kind)
     if codec == Codec.FSST:
         return fsst.decode_byte_array(buf, n)
+    custom = registry.lookup(codec)
+    if custom is not None:
+        return custom.decode(buf, n, kind)
     raise ValueError(f"unsupported codec {codec} for kind {kind}")
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import chunk as chunklib
-from . import delta, rle
+from . import delta, registry, rle
 from .bitpack import bit_length_u64
 from .bytearrays import ByteArrays
 from .kinds import Codec, Kind
@@ -77,7 +77,15 @@ def column_stats(values, kind: int) -> dict:
 
 
 def shortlist(stats: dict) -> list[tuple[int, bool]]:
-    """Candidate (codec, dict_wrap) list per kind — the canEncode analog."""
+    """Candidate (codec, dict_wrap) list per kind — the canEncode analog.
+    Registered custom codecs (registry.py, the RegisterEncoding analog)
+    that opted into selection compete alongside the built-ins."""
+    base = _builtin_shortlist(stats)
+    base.extend((cid, False) for cid in registry.selectable_for(stats))
+    return base
+
+
+def _builtin_shortlist(stats: dict) -> list[tuple[int, bool]]:
     kind = stats["kind"]
     ndv = stats.get("ndv_ratio", 1.0)
     cands: list[tuple[int, bool]] = []
