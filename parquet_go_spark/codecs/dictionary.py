@@ -52,6 +52,34 @@ def lookup_byte_array(uniques: ByteArrays, indexes: np.ndarray) -> ByteArrays:
     return ByteArrays(uniques.data[src], offsets)
 
 
+def decode_legacy_plain_dictionary(
+    dict_payload, n_dict: int, data_payload, n: int, kind: int,
+    flba_size: int | None = None,
+):
+    """PLAIN_DICTIONARY read-compat (E5) — the deprecated format-2.0
+    dictionary encoding still emitted by parquet-mr 1.x / impala, which
+    the reference keeps readable (/root/reference/format/parquet.go:
+    586-592; encoding.go canEncode treats it as RLE_DICTIONARY's alias).
+    The dictionary page payload is PLAIN values and the data page is a
+    1-byte index bit-width + RLE/bit-packed hybrid — byte-identical
+    framing to RLE_DICTIONARY — so reading is the PLAIN kernel + the
+    hybrid index decoder + a gather. There is deliberately no write
+    path: the format deprecated the encoding in favor of RLE_DICTIONARY
+    and the engine never emits it (mirrors the reference's writer)."""
+    from . import plain, rle
+    from .kinds import Kind
+
+    idx = rle.decode_dictionary_indexes(data_payload, n)
+    if kind == Kind.BYTE_ARRAY:
+        uniques = plain.decode_byte_array(dict_payload, n_dict)
+        return lookup_byte_array(uniques, idx)
+    if kind == Kind.FIXED_LEN_BYTE_ARRAY:
+        uniques = plain.decode_flba(dict_payload, n_dict, flba_size)
+    else:
+        uniques = plain.decode_numeric(dict_payload, n_dict, kind)
+    return lookup_numeric(uniques, idx)
+
+
 def dict_size_bytes(uniques) -> int:
     """Approximate in-memory dictionary footprint — drives the
     DictionaryMaxBytes fallback rule (writer.go:2049-2061)."""

@@ -7,8 +7,10 @@ the other direction: raw page payloads written by parquet-mr / impala /
 other writers are fed straight into our decoders and compared against
 pyarrow's decode of the same file. Covers DELTA_BINARY_PACKED (66
 columns, int32+int64 widths), DELTA_BYTE_ARRAY, DELTA_LENGTH_BYTE_ARRAY
-(zstd outer), RLE boolean (gzip outer), PLAIN, and the v1 def-level RLE
-streams (our hybrid decoder on reference-written level bytes)."""
+(zstd outer), RLE boolean (gzip outer), PLAIN, legacy PLAIN_DICTIONARY
+(dict page + hybrid index pages from parquet-mr 1.x / impala), and the v1
+def-level RLE streams (our hybrid decoder on reference-written level
+bytes)."""
 
 from __future__ import annotations
 
@@ -16,7 +18,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from parquet_go_spark.codecs import delta, plain, rle
+from parquet_go_spark.codecs import delta, dictionary, plain, rle
 from parquet_go_spark.codecs.kinds import Codec
 
 from tests.parquet_rawpages import page_nonnull, read_columns, split_levels
@@ -121,3 +123,46 @@ def test_plain_reference_pages():
                 (fname, col.name)
             checked += 1
     assert checked >= 4
+
+def test_plain_dictionary_reference_pages():
+    """E5 read-compat: PLAIN_DICTIONARY pages written by parquet-mr 1.x /
+    impala (alltypes fixtures the reference reads in file_test.go:26-29)
+    decode through decode_legacy_plain_dictionary bit-identically to
+    pyarrow's decode of the same files."""
+    checked = 0
+    for fname in ("alltypes_dictionary.parquet", "alltypes_plain.parquet",
+                  "alltypes_tiny_pages.parquet"):
+        path = f"{TESTDATA}/{fname}"
+        for col in read_columns(path):
+            if col.physical_type not in (1, 2, 4, 5, 6):
+                continue
+            dict_pages = [p for p in col.pages if p.page_type == 2]
+            if not dict_pages:
+                continue
+            dpage = dict_pages[0]
+            assert dpage.encoding in (Codec.PLAIN, Codec.PLAIN_DICTIONARY)
+            expected = _expected_column(path, col.name)
+            off = 0
+            for page in (p for p in col.pages if p.page_type in (0, 3)):
+                if page.encoding != Codec.PLAIN_DICTIONARY:
+                    off += page.num_values
+                    continue
+                levels, values = split_levels(page, col.optional)
+                n_nonnull = page_nonnull(page, levels)
+                got = dictionary.decode_legacy_plain_dictionary(
+                    np.frombuffer(dpage.payload, np.uint8), dpage.num_values,
+                    np.frombuffer(values, np.uint8), n_nonnull,
+                    col.physical_type,
+                )
+                exp = expected.slice(off, page.num_values).drop_null()
+                if col.physical_type == 6:
+                    exp_b = [v.as_py() for v in exp.cast("binary")]
+                    got_b = [bytes(got.data[got.offsets[i]:got.offsets[i + 1]])
+                             for i in range(len(got))]
+                    assert got_b == exp_b, (fname, col.name)
+                else:
+                    assert np.array_equal(np.asarray(got), np.asarray(exp)), \
+                        (fname, col.name)
+                off += page.num_values
+                checked += 1
+    assert checked >= 12
