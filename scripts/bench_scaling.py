@@ -24,6 +24,7 @@ def run(cpus: int, rows: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_ENCODE_ONLY="1",
         BENCH_ENCODE_ROWS=str(rows),
+        BENCH_ENCODE_REPS="1",  # scaling inputs are GB-scale; one sample
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
