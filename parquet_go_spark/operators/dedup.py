@@ -151,7 +151,12 @@ def minhash_dedup_pairs(
     exact gram-intersection join. On a mid-similarity corpus the
     estimate stage cuts candidates ~15x, which is what keeps the verify
     join from exploding at scale."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # persist the signature matrix: it feeds three plan branches (band
+    # explode + both sides of the agreement join) and would otherwise be
+    # recomputed — 64 xxhash64 per gram each time. Signatures are
+    # metadata-scale (num_perm longs per doc, ~0.5 KB), so caching them
+    # is the scale-correct call where caching the gram explosion never is.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).persist()
     raw_cands = minhash_lsh_candidates(sigs, num_perm, bands)
     # estimate: fraction of agreeing signature components; keep a margin
     # below threshold so near-threshold true pairs survive (binomial
@@ -163,13 +168,29 @@ def minhash_dedup_pairs(
     )
     sa = sigs.alias("a")
     sb = sigs.alias("b")
+    # candidate pair ids also feed two branches (the id extraction for
+    # the semi-join below + the intersection join) — same metadata-scale
+    # persist rationale as sigs
     cands = (
         raw_cands.join(sa, F.col("id_a") == F.col("a.id"))
         .join(sb, F.col("id_b") == F.col("b.id"))
         .where((agree / num_perm) >= est_cut)
         .select("id_a", "id_b")
+    ).persist()
+    # exact verify touches ONLY candidate documents: the n-gram explode
+    # is a ~30x data blowup, and at corpus scale candidates are a tiny
+    # fraction of documents — semi-join them out BEFORE exploding so the
+    # verify stage's input is proportional to the candidate set, not the
+    # corpus (exploding all docs here would re-read the whole table twice)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    grams = df.select(
+    docs_v = df.join(
+        cand_ids, df[id_col] == cand_ids["id"], "left_semi"
+    )
+    grams = docs_v.select(
         F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
