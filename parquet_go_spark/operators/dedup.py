@@ -61,7 +61,12 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc gram-set size straight off the array — no second explode +
+    # shuffle aggregation; one narrow row per doc
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(char_ngrams(text_col, n)).alias("sz"),
+    )
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
@@ -193,7 +198,10 @@ def minhash_dedup_pairs(
     grams = docs_v.select(
         F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = docs_v.select(
+        F.col(id_col).alias("id"),
+        F.size(char_ngrams(text_col, n)).alias("sz"),
+    )
     ga = grams.alias("ga")
     gb = grams.alias("gb")
     inter = (
