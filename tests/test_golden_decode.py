@@ -7,10 +7,10 @@ the other direction: raw page payloads written by parquet-mr / impala /
 other writers are fed straight into our decoders and compared against
 pyarrow's decode of the same file. Covers DELTA_BINARY_PACKED (66
 columns, int32+int64 widths), DELTA_BYTE_ARRAY, DELTA_LENGTH_BYTE_ARRAY
-(zstd outer), RLE boolean (gzip outer), PLAIN, legacy PLAIN_DICTIONARY
-(dict page + hybrid index pages from parquet-mr 1.x / impala), and the v1
-def-level RLE streams (our hybrid decoder on reference-written level
-bytes)."""
+(zstd outer), RLE boolean (gzip outer), PLAIN, RLE_DICTIONARY (incl. the
+empty-dict all-null edge), legacy PLAIN_DICTIONARY (dict page + hybrid
+index pages from parquet-mr 1.x / impala), and the v1 def-level RLE
+streams (our hybrid decoder on reference-written level bytes)."""
 
 from __future__ import annotations
 
@@ -166,3 +166,48 @@ def test_plain_dictionary_reference_pages():
                 off += page.num_values
                 checked += 1
     assert checked >= 12
+
+def test_rle_dictionary_reference_pages():
+    """E4 byte-compat: RLE_DICTIONARY data pages (PLAIN dict page +
+    1-byte-width hybrid index stream) written by other writers decode
+    through our PLAIN + hybrid-index + gather kernels. null_columns.
+    parquet also exercises the empty-dictionary / all-null page edge."""
+    checked = 0
+    for fname in ("binary_min_val_exact.parquet", "null_columns.parquet"):
+        path = f"{TESTDATA}/{fname}"
+        for col in read_columns(path):
+            dict_pages = [p for p in col.pages if p.page_type == 2]
+            if not dict_pages:
+                continue
+            dpage = dict_pages[0]
+            assert dpage.encoding == Codec.PLAIN
+            expected = _expected_column(path, col.name)
+            off = 0
+            for page in (p for p in col.pages if p.page_type in (0, 3)):
+                if page.encoding != Codec.RLE_DICTIONARY:
+                    off += page.num_values
+                    continue
+                levels, values = split_levels(page, col.optional)
+                n_nonnull = page_nonnull(page, levels)
+                idx = rle.decode_dictionary_indexes(
+                    np.frombuffer(values, np.uint8), n_nonnull)
+                exp = expected.slice(off, page.num_values).drop_null()
+                if col.physical_type == 6:
+                    uniq = plain.decode_byte_array(
+                        np.frombuffer(dpage.payload, np.uint8),
+                        dpage.num_values)
+                    got = dictionary.lookup_byte_array(uniq, idx)
+                    got_b = [bytes(got.data[got.offsets[i]:got.offsets[i + 1]])
+                             for i in range(len(got))]
+                    assert got_b == [v.as_py() for v in exp.cast("binary")], \
+                        (fname, col.name)
+                else:
+                    uniq = plain.decode_numeric(
+                        np.frombuffer(dpage.payload, np.uint8),
+                        dpage.num_values, col.physical_type)
+                    got = dictionary.lookup_numeric(uniq, idx)
+                    assert np.array_equal(np.asarray(got), np.asarray(exp)), \
+                        (fname, col.name)
+                off += page.num_values
+                checked += 1
+    assert checked >= 3
