@@ -178,6 +178,38 @@ def _rt_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map<string,string> round trip — MAP key_value shredding (three
+    streams: entry lengths + flattened keys + nullable values;
+    node.go:528-540 analog). Output projected to scalars via
+    element_at/size for a portable oracle comparison."""
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.create_map(
+                F.lit("status"), F.col("o_orderstatus"),
+                F.lit("prio"),
+                F.when(F.col("o_orderkey") % 3 == 0, None)
+                .otherwise(F.col("o_orderpriority")),
+            ).alias("attrs"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_map_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "o_orderkey", "grp",
+        F.element_at("attrs", "status").alias("status"),
+        F.element_at("attrs", "prio").alias("prio"),
+        F.size("attrs").alias("n_entries"),
+    )
+
+
 def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct round trip — per-field stream shredding (Deconstruct/
     Reconstruct analog, schema.go:341-430) incl. a nullable field and a
@@ -382,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_decimal": _rt_decimal,
         "rt_pipeline_tags": _rt_tags,
         "rt_pipeline_struct": _rt_struct,
+        "rt_pipeline_map": _rt_map,
         # ---- forced-codec round trips (E1..E10) ----
         "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
         "rt_rle_dict_returnflag": _codec_rt(
@@ -601,6 +634,12 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_slice(string_split(text, ' '), 1, 5), "
             "chr(31)) AS tags_joined, "
             "least(len(string_split(text, ' ')), 5) AS n_tags FROM documents"
+        ),
+        "rt_pipeline_map": (
+            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
+            "o_orderstatus AS status, "
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority "
+            "END AS prio, 2 AS n_entries FROM orders"
         ),
         "rt_pipeline_struct": (
             "SELECT o_orderkey, o_orderstatus AS status, "

@@ -140,6 +140,28 @@ def _struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
     return out
 
 
+def _map_kv(spark_type: str) -> tuple[str, str] | None:
+    """Parse 'map<K,V>' → (key_type, value_type), else None. A map is
+    the reference's MAP node — a repeated key_value group over two leaf
+    columns (node.go:528-540, schema.go key_value shredding); here it
+    encodes as three streams: entry-count lengths (the repetition-level
+    analog shared by both leaves), flattened keys, and flattened values
+    with a validity bitmap (keys are required, values nullable — the
+    parquet MAP contract)."""
+    if not spark_type.startswith("map<") or not spark_type.endswith(">"):
+        return None
+    inner = spark_type[len("map<"):-1]
+    depth = 0
+    for i, ch in enumerate(inner):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return inner[:i], inner[i + 1:]
+    raise ValueError(f"malformed map type {spark_type!r}")
+
+
 def _decimal_info(spark_type: str) -> tuple[int, int] | None:
     """Parse 'decimal(p,s)' → (precision, scale), else None."""
     if not spark_type.startswith("decimal(") or not spark_type.endswith(")"):
@@ -174,6 +196,14 @@ def _col_kind(spark_type: str) -> int:
                 )
             _col_kind(ftype)
         return Kind.BYTE_ARRAY  # sentinel; per-field kinds used in encode
+    mk = _map_kv(spark_type)
+    if mk is not None:
+        for t in mk:  # both leaves must be scalar
+            if (_struct_fields(t) is not None or t in _LIST_ELEM_KIND
+                    or _map_kv(t) is not None):
+                raise ValueError(f"nested map leaf unsupported: {t}")
+            _col_kind(t)
+        return Kind.BYTE_ARRAY  # sentinel; per-leaf kinds used in encode
     if spark_type not in _KIND_BY_SPARK:
         raise ValueError(f"unsupported column type {spark_type}")
     return _KIND_BY_SPARK[spark_type]
@@ -462,6 +492,34 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
             recs.append(_encode_one(flat, elem_kind,
                                     spark_type[len("array<"):-1],
                                     compression, b))
+        elif _map_kv(spark_type) is not None:
+            ktype, vtype = _map_kv(spark_type)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if arr.null_count:
+                raise ValueError("map columns must be non-null "
+                                 "(entry values may be null)")
+            # cast map → list<struct<key,value>> (slice-safe; pyarrow's
+            # list kernels have no map variants), then shred
+            arr = arr.cast(pa.list_(pa.struct([
+                pa.field("key", arr.type.key_type, nullable=False),
+                pa.field("value", arr.type.item_type),
+            ])))
+            lengths = np.asarray(
+                pa.compute.list_value_length(arr)).astype(np.int32)
+            entries = arr.flatten()  # StructArray of (key, value)
+            keys, items = entries.field(0), entries.field(1)
+            recs.append(_encode_one(lengths, Kind.INT32, "int", compression,
+                                    b, stream="lengths"))
+            recs.append(_encode_one(_arrow_to_values(keys, ktype),
+                                    _col_kind(ktype), ktype, compression,
+                                    b, stream="keys"))
+            validity = None
+            if items.null_count:
+                validity = np.asarray(items.is_valid())
+                items = items.drop_null()
+            recs.append(_encode_one(_arrow_to_values(items, vtype),
+                                    _col_kind(vtype), vtype, compression,
+                                    b, validity=validity))
         elif sf is not None:
             # struct → one stream per field (the Deconstruct shredding
             # analog, schema.go:341-361): each leaf encodes on its own
@@ -558,6 +616,10 @@ def _row_size_expr(df: DataFrame):
             size_expr = size_expr + F.lit(16 if dp[0] > 18 else 8)
         elif t.startswith("struct<"):
             size_expr = size_expr + F.lit(16)  # rough per-row struct cost
+        elif t.startswith("map<"):
+            # rough per-entry cost; planning only shapes bucket counts and
+            # the encode kernel splits any group exceeding 2x the target
+            size_expr = size_expr + F.size(F.col(c)) * F.lit(24) + F.lit(4)
         elif t in ("bigint", "double", "timestamp", "timestamp_ntz"):
             size_expr = size_expr + F.lit(8)
         else:
@@ -877,6 +939,15 @@ def _out_field(name: str, spark_type: str) -> StructField:
         return StructField(
             name, StructType([_out_field(fn, ft) for fn, ft in sf]), True
         )
+    mk = _map_kv(spark_type)
+    if mk is not None:
+        from pyspark.sql.types import MapType
+
+        return StructField(
+            name,
+            MapType(_SPARK_TYPE_NAMES[mk[0]], _SPARK_TYPE_NAMES[mk[1]], True),
+            True,
+        )
     return StructField(name, _SPARK_TYPE_NAMES[spark_type], True)
 
 
@@ -923,6 +994,21 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
                 arrays.append(pa.ListArray.from_arrays(
                     pa.array(offsets, pa.int32()), _flat_to_arrow(flat, pa_elem)
                 ))
+            elif _map_kv(spark_type) is not None:
+                ktype, vtype = _map_kv(spark_type)
+                st = acc[name]
+                lengths, _ = st["lengths"]
+                keys, _ = st["keys"]
+                items, item_validity = st["values"]
+                assert len(lengths) == n_rows
+                offsets = np.zeros(n_rows + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offsets[1:])
+                karr = _values_to_arrow(keys, ktype)
+                iarr = _rebuild(items, item_validity, vtype)
+                assert int(offsets[-1]) == len(karr) == len(iarr)
+                arrays.append(pa.MapArray.from_arrays(
+                    pa.array(offsets, pa.int32()), karr, iarr
+                ))
             elif sf is not None:
                 children = [
                     _rebuild(*acc[name][f"f:{fname}"], ftype)
@@ -958,7 +1044,9 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
                 cur_acc.setdefault(name, {})[streams[i].as_py()] = (
                     values, meta["validity"]
                 )
-                if col_types.get(name) not in _LIST_ELEM_KIND:
+                ctype = col_types.get(name)
+                if (ctype not in _LIST_ELEM_KIND
+                        and (ctype is None or _map_kv(ctype) is None)):
                     assert meta["n"] == cur_rows
         if cur_id is not None:
             yield _assemble(cur_acc, cur_rows)

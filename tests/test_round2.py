@@ -173,6 +173,58 @@ def test_struct_roundtrip(spark):
     assert got == src
 
 
+def test_map_roundtrip(spark):
+    """map<string,V> → three streams (entry lengths + flattened keys +
+    flattened nullable values), the MAP key_value shredding analog
+    (/root/reference/node.go:528-540). Covers null entry values and
+    empty maps."""
+    df = spark.createDataFrame(
+        [("r", i) for i in range(300)], "repo string, k bigint"
+    ).select(
+        "repo", "k",
+        F.when(F.col("k") % 11 == 0, F.create_map().cast("map<string,string>"))
+        .otherwise(F.create_map(
+            F.lit("st"), F.concat(F.lit("v"), F.col("k") % 5),
+            F.lit("opt"),
+            F.when(F.col("k") % 3 == 0, None).otherwise(F.lit("present")),
+        )).alias("attrs"),
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_map_")
+    pipeline.encode_table(spark, df, out, repo_col="repo", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    dec = pipeline.decode_table(spark, out)
+    src = {r["k"]: r["attrs"] for r in df.collect()}
+    got = {r["k"]: r["attrs"] for r in dec.collect()}
+    assert got == src
+
+
+def test_map_bigint_values_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("r", i) for i in range(200)], "repo string, k bigint"
+    ).select(
+        "repo", "k",
+        F.create_map(F.lit("n"), F.col("k") * 3,
+                     F.lit("m"), F.col("k") % 9).alias("counts"),
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_mapint_")
+    pipeline.encode_table(spark, df, out, repo_col="repo", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    dec = pipeline.decode_table(spark, out)
+    src = {r["k"]: r["counts"] for r in df.collect()}
+    got = {r["k"]: r["counts"] for r in dec.collect()}
+    assert got == src
+
+
+def test_map_kv_parser():
+    assert pipeline._map_kv("map<string,string>") == ("string", "string")
+    assert pipeline._map_kv("map<string,decimal(10,2)>") == (
+        "string", "decimal(10,2)")
+    assert pipeline._map_kv("bigint") is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nested map leaf"):
+        pipeline._col_kind("map<string,map<string,int>>")
+
+
 def test_struct_fields_parser():
     assert pipeline._struct_fields("struct<a:int,b:string>") == [
         ("a", "int"), ("b", "string")
