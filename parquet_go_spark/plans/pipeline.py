@@ -1300,7 +1300,18 @@ def compact_tables(
             have = {c for c, _ in schemas[i]}
             for name, typ in union:
                 if name not in have:
-                    d = d.withColumn(name, F.lit(None).cast(typ))
+                    # scalar columns null-fill (the convert.go rule);
+                    # list/map columns fill with EMPTY containers — the
+                    # engine's nested input surface is non-null (null
+                    # entries live in the values-stream validity), so
+                    # the empty container is the representable analog
+                    if typ in _LIST_ELEM_KIND:
+                        fill = F.array().cast(typ)
+                    elif _map_kv(typ) is not None:
+                        fill = F.create_map().cast(typ)
+                    else:
+                        fill = F.lit(None).cast(typ)
+                    d = d.withColumn(name, fill)
             convert_dfs.append(d.select([c for c, _ in union]))
 
     n_small = 0

@@ -83,3 +83,39 @@ def test_compact_conflicting_types_raises(spark, tmp_path_factory):
     with _pytest.raises(ValueError, match="conflicting"):
         pipeline.compact_tables(spark, [a_path, b_path], str(base / "out"),
                                 salt_cols=["k"], sort_cols=["k"])
+
+
+def test_compact_unifies_nested_columns(spark, tmp_path_factory):
+    """A table missing a list/map column unifies via EMPTY containers
+    (the engine's nested input surface is non-null; null entries live in
+    the values-stream validity, so empty is the representable convert
+    analog)."""
+    base = tmp_path_factory.mktemp("compact_nested")
+    a_path, b_path, out = str(base / "a"), str(base / "b"), str(base / "out")
+
+    a = spark.createDataFrame(
+        [("r", i) for i in range(50)], "repo string, k bigint"
+    )
+    b = spark.createDataFrame(
+        [("r", 100 + i) for i in range(50)], "repo string, k bigint"
+    ).select(
+        "repo", "k",
+        F.array(F.lit("t1"), F.lit("t2")).alias("tags"),
+        F.create_map(F.lit("a"), F.lit("1")).alias("attrs"),
+    )
+    for df, pth in ((a, a_path), (b, b_path)):
+        pipeline.encode_table(spark, df, pth, salt_cols=["k"],
+                              sort_cols=["k"], resume=False)
+
+    pipeline.compact_tables(
+        spark, [a_path, b_path], out, salt_cols=["k"], sort_cols=["k"],
+        min_chunk_bytes=1 << 30,  # force re-encode of everything
+    )
+    dec = pipeline.decode_table(spark, out)
+    assert set(dec.columns) == {"repo", "k", "tags", "attrs"}
+    assert dec.count() == 100
+    filled = dec.where(F.col("k") < 100)
+    assert filled.where(F.size("tags") != 0).count() == 0
+    assert filled.where(F.size("attrs") != 0).count() == 0
+    kept = dec.where(F.col("k") >= 100).first()
+    assert kept["tags"] == ["t1", "t2"] and kept["attrs"] == {"a": "1"}
