@@ -148,6 +148,7 @@ def minhash_lsh_candidates(
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3,
     num_perm: int = 64, bands: int = 8, threshold: float = 0.5,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """LSH candidates → signature-agreement estimate → exact n-gram
     Jaccard. Three-stage filter: banding proposes pairs cheaply, the
@@ -155,7 +156,16 @@ def minhash_dedup_pairs(
     far pairs without touching the text, and only the survivors pay the
     exact gram-intersection join. On a mid-similarity corpus the
     estimate stage cuts candidates ~15x, which is what keeps the verify
-    join from exploding at scale."""
+    join from exploding at scale.
+
+    eager_cleanup=True (default) materializes the verified pairs with
+    localCheckpoint and unpersists the signature/candidate caches before
+    returning, so repeated calls never accumulate cached intermediates
+    in executor storage (only the small thresholded pair set stays
+    resident, and it is released when the caller drops the result).
+    Pass False to keep the plan lazy/inspectable; the persisted
+    intermediates are then exposed as result._colcodec_persisted for
+    caller-side unpersist."""
     # persist the signature matrix: it feeds three plan branches (band
     # explode + both sides of the agreement join) and would otherwise be
     # recomputed — 64 xxhash64 per gram each time. Signatures are
@@ -213,7 +223,7 @@ def minhash_dedup_pairs(
     # sizes is per-document — never broadcast it (see ngram_jaccard_pairs)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    return (
+    out = (
         inter.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, F.col("id_b") == F.col("sb.id"))
         .select(
@@ -222,6 +232,13 @@ def minhash_dedup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if eager_cleanup:
+        res = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+        cands.unpersist()
+        return res
+    out._colcodec_persisted = (sigs, cands)
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -134,6 +134,7 @@ def hyperplane_sketch(
 
 def lsh_ann_pairs(
     df: DataFrame, vec_col: str, id_col: str, *, n_planes: int | None = None,
+    n_vectors: int | None = None,
     dim: int = 64, seed: int = 42, min_sim: float = 0.7,
 ) -> DataFrame:
     """ANN candidate pairs: equal LSH sketch bucket → verify exact cosine.
@@ -142,9 +143,17 @@ def lsh_ann_pairs(
     n_planes=None sizes the bucket space from the corpus row count
     (auto_planes) so in-bucket verification stays sub-quadratic at any
     scale; pass an explicit count for reproducible bucket layouts.
+
+    n_vectors supplies that row count without a scan — pass it from
+    catalog statistics or the encoded table's manifest
+    (pipeline.manifest row counts) so auto-sizing costs zero jobs at
+    100 TB; plane sizing needs only the order of magnitude, so a stale
+    estimate is fine. Only when BOTH n_planes and n_vectors are absent
+    does the operator fall back to a df.count() scan.
     """
     if n_planes is None:
-        n_planes = auto_planes(df.count())
+        n_planes = auto_planes(n_vectors if n_vectors is not None
+                               else df.count())
     sk = hyperplane_sketch(df, vec_col, id_col, n_planes, dim, seed)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sk = sk.join(vecs, "id")

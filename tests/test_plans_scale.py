@@ -87,10 +87,15 @@ def test_ngram_jaccard_no_broadcast_hint(docs):
 
 
 def test_minhash_no_broadcast_hint(docs):
-    out = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    # eager_cleanup=False keeps the lazy plan inspectable (the default
+    # materializes + checkpoints, hiding the join tree behind an RDD scan)
+    out = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5,
+                                    eager_cleanup=False)
     analyzed = _analyzed_plan(out)
     assert "ResolvedHint" not in analyzed
     out.count()
+    for cached in out._colcodec_persisted:
+        cached.unpersist()
 
 
 def test_knn_join_broadcasts_only_queries(spark, emb):
