@@ -55,7 +55,8 @@ def _outer(name: str):
     return pa.Codec(name)
 
 
-def _encode_payload(values, kind: int, codec: int, flba_size: int | None) -> bytes:
+def _encode_payload(values, kind: int, codec: int, flba_size: int | None,
+                    fsst_table=None) -> bytes:
     if codec == Codec.PLAIN:
         if kind == Kind.BOOLEAN:
             return plain.encode_boolean(values)
@@ -89,7 +90,7 @@ def _encode_payload(values, kind: int, codec: int, flba_size: int | None) -> byt
         width = flba_size if kind == Kind.FIXED_LEN_BYTE_ARRAY else KIND_WIDTHS[kind]
         return bytestreamsplit.encode(values, width)
     if codec == Codec.FSST:
-        return fsst.encode_byte_array(values)
+        return fsst.encode_byte_array(values, table=fsst_table)
     custom = registry.lookup(codec)
     if custom is not None:
         if kind not in custom.kinds:
@@ -160,12 +161,17 @@ def encode_chunk(
     compression: str | None = None,
     validity: np.ndarray | None = None,
     capture: dict | None = None,
+    fsst_table=None,
 ) -> bytes:
     """Encode one column chunk into a self-describing blob.
 
     validity: optional bool ndarray over ALL rows; `values` then holds
     only the non-null values (len == validity.sum()). The header's row
     count stays the total row count.
+
+    fsst_table: optional pre-trained FsstTable reused across chunks of
+    the same column (training amortization — the table is still
+    serialized into every blob, so decode never needs side state).
 
     capture: optional dict that receives by-products already computed
     during encoding — currently `uniques` for dict-wrapped chunks, so
@@ -203,7 +209,8 @@ def encode_chunk(
             uniques, indexes = dictionary.factorize_numeric(values)
         if capture is not None:
             capture["uniques"] = uniques
-        dict_payload = _encode_payload(uniques, kind, codec, flba_size)
+        dict_payload = _encode_payload(uniques, kind, codec, flba_size,
+                                       fsst_table)
         idx_payload = rle.encode_dictionary_indexes(indexes)
         body = bytearray()
         write_uvarint(body, len(uniques))
@@ -212,7 +219,7 @@ def encode_chunk(
         body += idx_payload
         payload = bytes(body)
     else:
-        payload = _encode_payload(values, kind, codec, flba_size)
+        payload = _encode_payload(values, kind, codec, flba_size, fsst_table)
     if validity is not None:
         vpay = rle.encode_boolean(np.ascontiguousarray(validity, dtype=bool))
         pre = bytearray()

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import chunk as chunklib
-from . import delta, registry, rle
+from . import delta, fsst, registry, rle
 from .bitpack import bit_length_u64
 from .bytearrays import ByteArrays
 from .kinds import Codec, Kind
@@ -129,6 +129,44 @@ def _builtin_shortlist(stats: dict) -> list[tuple[int, bool]]:
 
 TRIAL_BYTES = 256 << 10  # big chunks: trial-encode a positional sample
 TRIAL_MIN_ROWS = 256
+FSST_RETRAIN_FACTOR = 1.25  # reused-table drift bound: retrain when the
+# trial ratio degrades beyond this vs the ratio at training time
+
+
+def _fsst_trial(trial_values, kind, flba_size, compression, sampled, cap,
+                fsst_state):
+    """Trial-encode FSST, reusing a cached symbol table when the caller
+    scoped one (training amortization) and retraining on distribution
+    drift: if the reused table's trial ratio is worse than
+    FSST_RETRAIN_FACTOR × the ratio recorded when it was trained, the
+    content distribution has shifted and a fresh table is built — so
+    reuse can cost at most the drift bound, never a missed fresh-FSST
+    win on shifted data."""
+    raw = max(int(trial_values.offsets[-1]), 1)
+    table = fsst_state.get("table") if fsst_state is not None else None
+    fresh = table is None
+    if fresh:
+        table = fsst.train(trial_values.data[:raw])
+    blob = chunklib.encode_chunk(
+        trial_values, kind, Codec.FSST, flba_size=flba_size,
+        compression=compression, capture=None if sampled else cap,
+        fsst_table=table,
+    )
+    if not fresh and (
+        len(blob) / raw
+        > FSST_RETRAIN_FACTOR * fsst_state.get("ratio", float("inf"))
+    ):
+        table = fsst.train(trial_values.data[:raw])
+        blob = chunklib.encode_chunk(
+            trial_values, kind, Codec.FSST, flba_size=flba_size,
+            compression=compression, capture=None if sampled else cap,
+            fsst_table=table,
+        )
+        fresh = True
+    if fresh and fsst_state is not None:
+        fsst_state["table"] = table
+        fsst_state["ratio"] = len(blob) / raw
+    return blob, table
 
 
 def _trial_slice(values, kind: int):
@@ -150,6 +188,7 @@ def select_and_encode(
     values, kind: int, *, flba_size: int | None = None, zstd: bool = False,
     compression: str | None = None,
     validity: np.ndarray | None = None,
+    fsst_state: dict | None = None,
 ) -> tuple[bytes, dict]:
     """Trial-encode the shortlist; return (smallest blob, info).
 
@@ -157,7 +196,21 @@ def select_and_encode(
     candidate: the shortlist competes on a deterministic positional
     sample, and only the winner encodes the full chunk (the measured
     analog of parquet-go's static defaults + dynamic dictionary
-    fallback, writer.go:2049-2077)."""
+    fallback, writer.go:2049-2077).
+
+    fsst_state: optional mutable dict scoped by the caller to one
+    (repo, column, stream). The first chunk trains an FSST symbol
+    table (on the trial slice) and stores it under "table"; later
+    chunks reuse it for both the trial and the full encode, amortizing
+    the ~GENERATIONS×parse training cost across a column's chunks —
+    the batch-level analog of parquet-go training its dictionary once
+    per row group (writer.go:2049-2077) rather than per page. With
+    reuse active the FSST candidate's size (and thus the codec choice)
+    depends on task-local history, not on the chunk bytes alone; this
+    is safe because blobs stay self-describing (the table is embedded
+    in every blob) and resume/replay dedupe on chunk ids, never on
+    blob identity. The selector still guards ratio: a stale table that
+    compresses poorly simply loses the trial to DELTA_LENGTH/dict."""
     if compression is None and zstd:
         compression = "zstd"
     stats = column_stats(values, kind)
@@ -170,15 +223,22 @@ def select_and_encode(
     best = None
     capture: dict = {}
     trials = {}
+    fsst_table = None
     for codec, dict_wrap in shortlist(stats):
         cap: dict = {}
         try:
-            blob = chunklib.encode_chunk(
-                trial_values, kind, codec,
-                dict_wrap=dict_wrap, flba_size=flba_size,
-                compression=compression,
-                capture=None if sampled else cap,
-            )
+            if codec == Codec.FSST and not dict_wrap:
+                blob, fsst_table = _fsst_trial(
+                    trial_values, kind, flba_size, compression,
+                    sampled, cap, fsst_state,
+                )
+            else:
+                blob = chunklib.encode_chunk(
+                    trial_values, kind, codec,
+                    dict_wrap=dict_wrap, flba_size=flba_size,
+                    compression=compression,
+                    capture=None if sampled else cap,
+                )
         except Exception:
             continue
         key = (len(blob), codec, dict_wrap)  # deterministic tie-break
@@ -202,6 +262,7 @@ def select_and_encode(
             dict_wrap=best[2], flba_size=flba_size,
             compression=compression,
             validity=validity, capture=capture,
+            fsst_table=fsst_table if best[1] == Codec.FSST else None,
         )
         best = (len(best_blob), best[1], best[2])
     info = {

@@ -375,13 +375,24 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
 
 
 def _encode_one(values, kind, spark_type, compression, base,
-                stream="values", validity=None):
+                stream="values", validity=None, fsst_cache=None):
     flba_size = None
     if kind == Kind.FIXED_LEN_BYTE_ARRAY:
         flba_size = values.shape[1] if len(values) else 16
+    # FSST training amortization (VERDICT r2 #3): one symbol table per
+    # (repo, column, stream) per task, trained on the first chunk's
+    # trial slice and reused by every later chunk of that column —
+    # sub-chunk splits and streaming waves stop paying the
+    # GENERATIONS×parse training cost. ~2 KB/entry; capped below.
+    fsst_state = None
+    if fsst_cache is not None and kind == Kind.BYTE_ARRAY:
+        ck = (base.get("repo"), base.get("column"), stream)
+        if ck not in fsst_cache and len(fsst_cache) >= 512:
+            fsst_cache.clear()
+        fsst_state = fsst_cache.setdefault(ck, {})
     blob, info = selector.select_and_encode(
         values, kind, flba_size=flba_size, compression=compression,
-        validity=validity,
+        validity=validity, fsst_state=fsst_state,
     )
     mn, mx = _chunk_stats(values, spark_type)
     null_count = 0 if validity is None else int(len(validity) - validity.sum())
@@ -441,7 +452,8 @@ def _encode_chunk_batches(tbl: pa.Table, columns, repo: str, bucket: int,
                           chunk_suffix: str = "",
                           target_bytes: int | None = None,
                           split_offset: int = 0,
-                          force_split: bool = False):
+                          force_split: bool = False,
+                          fsst_cache: dict | None = None):
     """Encode one (repo, bucket) group's columns → manifest+blob record
     batches (a generator: one batch per emitted chunk).
 
@@ -480,12 +492,14 @@ def _encode_chunk_batches(tbl: pa.Table, columns, repo: str, bucket: int,
         # done on replay (a replayed micro-batch must not re-encode them)
         tag = f"s{split_offset + si}" if (n_splits > 1 or force_split) else ""
         yield _encode_one_chunk(sub, columns, repo, bucket,
-                                compression, tag + chunk_suffix)
+                                compression, tag + chunk_suffix,
+                                fsst_cache=fsst_cache)
 
 
 def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
                       compression: str | None,
-                      chunk_suffix: str) -> pa.RecordBatch:
+                      chunk_suffix: str,
+                      fsst_cache: dict | None = None) -> pa.RecordBatch:
     base = {
         "chunk_id": f"{repo}#{bucket}{chunk_suffix}", "repo": repo,
         "bucket": bucket, "n_rows": tbl.num_rows,
@@ -502,7 +516,7 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
                                     b, stream="lengths"))
             recs.append(_encode_one(flat, elem_kind,
                                     spark_type[len("array<"):-1],
-                                    compression, b))
+                                    compression, b, fsst_cache=fsst_cache))
         elif _map_kv(spark_type) is not None:
             ktype, vtype = _map_kv(spark_type)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -523,14 +537,15 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
                                     b, stream="lengths"))
             recs.append(_encode_one(_arrow_to_values(keys, ktype),
                                     _col_kind(ktype), ktype, compression,
-                                    b, stream="keys"))
+                                    b, stream="keys", fsst_cache=fsst_cache))
             validity = None
             if items.null_count:
                 validity = np.asarray(items.is_valid())
                 items = items.drop_null()
             recs.append(_encode_one(_arrow_to_values(items, vtype),
                                     _col_kind(vtype), vtype, compression,
-                                    b, validity=validity))
+                                    b, validity=validity,
+                                    fsst_cache=fsst_cache))
         elif sf is not None:
             # struct → one stream per field (the Deconstruct shredding
             # analog, schema.go:341-361): each leaf encodes on its own
@@ -549,6 +564,7 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
                 recs.append(_encode_one(
                     values, _col_kind(ftype), ftype, compression, b,
                     stream=f"f:{fname}", validity=validity,
+                    fsst_cache=fsst_cache,
                 ))
         else:
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -559,7 +575,8 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
             values = _arrow_to_values(arr, spark_type)
             recs.append(_encode_one(values, _col_kind(spark_type),
                                     spark_type, compression, b,
-                                    validity=validity))
+                                    validity=validity,
+                                    fsst_cache=fsst_cache))
     return pa.RecordBatch.from_pylist(recs, schema=_BLOB_ARROW_SCHEMA)
 
 
@@ -591,6 +608,7 @@ def _encode_stream_fn(columns: list[tuple[str, str]],
         groups: dict[tuple, list[pa.RecordBatch]] = {}
         gbytes: dict[tuple, int] = {}
         flushed: dict[tuple, int] = {}  # sub-chunks already emitted
+        fsst_cache: dict = {}  # (repo, column, stream) -> trained table
 
         def drain(key, final):
             repo, bucket = key
@@ -605,6 +623,7 @@ def _encode_stream_fn(columns: list[tuple[str, str]],
                 tbl, columns, repo, bucket, compression, sort_cols,
                 chunk_suffix, target_bytes,
                 split_offset=start, force_split=force,
+                fsst_cache=fsst_cache,
             ):
                 count += 1
                 yield rb
