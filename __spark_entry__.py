@@ -210,6 +210,32 @@ def _rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID-ish fixed-width binary round trip (type_uuid.go:14 analog):
+    a 16-byte binary column auto-upgrades to FLBA(16), dropping the
+    per-value length framing of the generic BYTE_ARRAY path. Output is
+    hex-projected for a portable oracle comparison."""
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.unhex(F.md5(
+                F.concat(F.lit("k"), F.col("o_orderkey").cast("string"))
+            )).alias("uid"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_uuid_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "o_orderkey", "grp", F.hex("uid").alias("uuid_hex"),
+    )
+
+
 def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct round trip — per-field stream shredding (Deconstruct/
     Reconstruct analog, schema.go:341-430) incl. a nullable field and a
@@ -415,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_tags": _rt_tags,
         "rt_pipeline_struct": _rt_struct,
         "rt_pipeline_map": _rt_map,
+        "rt_pipeline_uuid": _rt_uuid,
         # ---- forced-codec round trips (E1..E10) ----
         "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
         "rt_rle_dict_returnflag": _codec_rt(
@@ -645,6 +672,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_orderstatus AS status, "
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey END AS ckey, "
             "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price "
+            "FROM orders"
+        ),
+        "rt_pipeline_uuid": (
+            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
+            "upper(md5('k' || CAST(o_orderkey AS VARCHAR))) AS uuid_hex "
             "FROM orders"
         ),
         "rt_plain_part_name": "SELECT p_name FROM part",

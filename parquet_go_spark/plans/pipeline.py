@@ -283,6 +283,15 @@ def _arrow_to_values(arr: pa.Array, spark_type: str):
     return np.asarray(arr)
 
 
+def _flba_to_byte_values(values: np.ndarray) -> ByteArrays:
+    """(n, w) FLBA rows → variable-length ByteArrays container."""
+    n, w = values.shape
+    return ByteArrays(
+        np.ascontiguousarray(values, np.uint8).reshape(-1),
+        np.arange(n + 1, dtype=np.int64) * w,
+    )
+
+
 def _values_to_arrow(values, spark_type: str) -> pa.Array:
     """Kernel value container → Arrow column, zero per-row boxing."""
     dp = _decimal_info(spark_type)
@@ -291,6 +300,8 @@ def _values_to_arrow(values, spark_type: str) -> pa.Array:
     if spark_type == "string":
         return values.to_arrow(pa.string())
     if spark_type == "binary":
+        if isinstance(values, np.ndarray):  # FLBA-upgraded uniform chunk
+            values = _flba_to_byte_values(values)
         return values.to_arrow(pa.binary())
     if spark_type == "timestamp":
         return pa.array(values, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
@@ -308,6 +319,8 @@ def _values_to_series(values, spark_type: str) -> pd.Series:
     if spark_type == "string":
         return values.to_arrow(pa.string()).to_pandas()
     if spark_type == "binary":
+        if isinstance(values, np.ndarray):  # FLBA-upgraded uniform chunk
+            values = _flba_to_byte_values(values)
         return values.to_arrow(pa.binary()).to_pandas()
     if spark_type in ("timestamp", "timestamp_ntz"):
         return pd.Series(values.astype("datetime64[us]"))
@@ -376,9 +389,28 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
 
 def _encode_one(values, kind, spark_type, compression, base,
                 stream="values", validity=None, fsst_cache=None):
+    # UUID-ish upgrade (type_uuid.go:14 analog): a binary chunk whose
+    # values all share one width w ≤ 64 encodes as FLBA(w) — dropping
+    # the per-value length framing and unlocking the BYTE_STREAM_SPLIT
+    # and FLBA-dict kernels. Physical-only: stats, sha256, and bloom
+    # stay in logical byte-array space (probes don't know the physical
+    # kind), and decode rebuilds plain binary from the blob's own
+    # header, so ragged and uniform chunks of one column can coexist.
+    enc_values = values
+    flba_upgraded = False
+    if (kind == Kind.BYTE_ARRAY and spark_type == "binary"
+            and isinstance(values, ByteArrays) and len(values)):
+        lens = values.lengths
+        w = int(lens[0])
+        if 1 <= w <= 64 and bool((lens == w).all()):
+            enc_values = np.ascontiguousarray(
+                values.data[: values.offsets[-1]]
+            ).reshape(-1, w)
+            kind = Kind.FIXED_LEN_BYTE_ARRAY
+            flba_upgraded = True
     flba_size = None
     if kind == Kind.FIXED_LEN_BYTE_ARRAY:
-        flba_size = values.shape[1] if len(values) else 16
+        flba_size = enc_values.shape[1] if len(enc_values) else 16
     # FSST training amortization (VERDICT r2 #3): one symbol table per
     # (repo, column, stream) per task, trained on the first chunk's
     # trial slice and reused by every later chunk of that column —
@@ -391,7 +423,7 @@ def _encode_one(values, kind, spark_type, compression, base,
             fsst_cache.clear()
         fsst_state = fsst_cache.setdefault(ck, {})
     blob, info = selector.select_and_encode(
-        values, kind, flba_size=flba_size, compression=compression,
+        enc_values, kind, flba_size=flba_size, compression=compression,
         validity=validity, fsst_state=fsst_state,
     )
     mn, mx = _chunk_stats(values, spark_type)
@@ -403,7 +435,16 @@ def _encode_one(values, kind, spark_type, compression, base,
     bf = None
     if stream == "values" and len(values) and kind != Kind.BOOLEAN:
         uniq = info.get("uniques")
-        bf = bloomlib.build(uniq if uniq is not None else values, kind)
+        if flba_upgraded:
+            # hash in byte-array space: bloom_point_decode probes with
+            # the LOGICAL type's hashing and must not see the upgrade
+            if uniq is not None:
+                uniq = _flba_to_byte_values(uniq)
+            bf = bloomlib.build(uniq if uniq is not None else values,
+                                Kind.BYTE_ARRAY)
+        else:
+            bf = bloomlib.build(uniq if uniq is not None else enc_values,
+                                kind)
     rec = dict(base)
     rec.update(
         stream=stream, kind=kind, codec=info["codec"], dict=info["dict"],

@@ -360,3 +360,39 @@ def test_fsst_reuse_still_loses_trial_when_stale(monkeypatch):
     assert len(blob) <= len(fresh_blob) * 1.05
     out, _ = chunklib.decode_chunk(blob)
     assert out.to_pylist() == rnd.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #6: uniform-width binary columns upgrade to FLBA — no per-value
+# length framing, bloom/stats stay in logical byte-array space.
+# ---------------------------------------------------------------------------
+
+def test_uuid_binary_upgrades_to_flba(spark, tmp_path):
+    from parquet_go_spark.codecs.kinds import Kind
+
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("uid"),  # 16 B
+        F.col("id").cast("string").cast("binary").alias("ragged"),
+    )
+    out = str(tmp_path / "uuid")
+    pipeline.encode_table(spark, df, out, repo_col="grp", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    man = pipeline.manifest(spark, out)
+    rows = {(r["column"]): r for r in man.where(
+        F.col("stream") == "values").collect() if r["column"] in ("uid", "ragged")}
+    assert rows["uid"]["kind"] == Kind.FIXED_LEN_BYTE_ARRAY
+    # FLBA drops length framing: encoded strictly below raw+lengths
+    assert rows["uid"]["enc_bytes"] < rows["uid"]["raw_bytes"] + 4 * rows["uid"]["n_rows"]
+    assert rows["ragged"]["kind"] == Kind.BYTE_ARRAY  # non-uniform stays
+
+    d = pipeline.decode_table(spark, out)
+    src = {r["k"]: r["uid"] for r in df.collect()}
+    got = {r["k"]: r["uid"] for r in d.collect()}
+    assert got == src
+
+    # bloom point lookup probes in logical byte-array space
+    probe = src[123]
+    hits = pipeline.bloom_point_decode(spark, out, "uid", probe).collect()
+    assert [r["k"] for r in hits] == [123]
