@@ -178,6 +178,48 @@ def _rt_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<struct<w:string,n:int>> round trip — the repeated-group
+    shredding (one shared lengths stream + per-field flattened `f:`
+    streams with validity, column_buffer_repeated.go +
+    schema.go:341-430 analog), incl. a nullable int field. Output
+    projected to scalars (size / field-concat / null-aware sum) for a
+    portable oracle comparison."""
+    df = (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.transform(
+                F.slice(F.split(F.col("text"), " "), 1, 5),
+                lambda x: F.struct(
+                    x.alias("w"),
+                    F.when(F.length(x) % 3 == 0, None)
+                    .otherwise(F.length(x)).cast("int").alias("n"),
+                ),
+            ).alias("props"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_props_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="source", salt_cols=["doc_id"],
+        sort_cols=["doc_id"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "doc_id", "source",
+        F.size("props").alias("n_elems"),
+        F.concat_ws(
+            "\x1f", F.transform("props", lambda s: s["w"])
+        ).alias("ws_joined"),
+        F.aggregate(
+            "props", F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.coalesce(
+                s["n"].cast("bigint"), F.lit(0)
+            ),
+        ).alias("n_sum"),
+    )
+
+
 def _rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """map<string,string> round trip — MAP key_value shredding (three
     streams: entry lengths + flattened keys + nullable values;
@@ -439,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_nullable": _rt_nullable,
         "rt_pipeline_decimal": _rt_decimal,
         "rt_pipeline_tags": _rt_tags,
+        "rt_pipeline_props": _rt_props,
         "rt_pipeline_struct": _rt_struct,
         "rt_pipeline_map": _rt_map,
         "rt_pipeline_uuid": _rt_uuid,
@@ -661,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_slice(string_split(text, ' '), 1, 5), "
             "chr(31)) AS tags_joined, "
             "least(len(string_split(text, ' ')), 5) AS n_tags FROM documents"
+        ),
+        "rt_pipeline_props": (
+            "SELECT doc_id, source, "
+            "least(len(string_split(text, ' ')), 5) AS n_elems, "
+            "array_to_string(list_slice(string_split(text, ' '), 1, 5), "
+            "chr(31)) AS ws_joined, "
+            "CAST(coalesce(list_sum(list_transform("
+            "list_slice(string_split(text, ' '), 1, 5), "
+            "x -> CASE WHEN length(x) % 3 = 0 THEN 0 ELSE length(x) END)), "
+            "0) AS BIGINT) AS n_sum FROM documents"
         ),
         "rt_pipeline_map": (
             "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "

@@ -140,6 +140,20 @@ def _struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
     return out
 
 
+def _list_struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
+    """Parse 'array<struct<...>>' → [(field, type), ...], else None —
+    the repeated-group shape (a LIST node over a GROUP of scalar
+    leaves, the reference's column_buffer_repeated.go +
+    schema.go:341-430). Shreds as ONE shared lengths stream (every
+    leaf of a repeated group shares its repetition levels) plus one
+    flattened `f:<name>` stream per field, each with its own validity
+    bitmap (definition-level analog)."""
+    if not (spark_type.startswith("array<struct<")
+            and spark_type.endswith(">>")):
+        return None
+    return _struct_fields(spark_type[len("array<"):-1])
+
+
 def _map_kv(spark_type: str) -> tuple[str, str] | None:
     """Parse 'map<K,V>' → (key_type, value_type), else None. A map is
     the reference's MAP node — a repeated key_value group over two leaf
@@ -187,6 +201,17 @@ def _col_kind(spark_type: str) -> int:
     dp = _decimal_info(spark_type)
     if dp is not None:
         return _decimal_kind(dp[0])
+    lsf = _list_struct_fields(spark_type)
+    if lsf is not None:
+        for _, ftype in lsf:  # repeated-group leaves must be scalar
+            if (_struct_fields(ftype) is not None
+                    or ftype in _LIST_ELEM_KIND
+                    or _map_kv(ftype) is not None):
+                raise ValueError(
+                    f"nested field under array<struct> unsupported: {ftype}"
+                )
+            _col_kind(ftype)
+        return Kind.BYTE_ARRAY  # sentinel; per-field kinds used in encode
     sf = _struct_fields(spark_type)
     if sf is not None:
         for _, ftype in sf:  # validate every leaf; no single kind
@@ -558,6 +583,33 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
             recs.append(_encode_one(flat, elem_kind,
                                     spark_type[len("array<"):-1],
                                     compression, b, fsst_cache=fsst_cache))
+        elif _list_struct_fields(spark_type) is not None:
+            # array<struct<...>> — a repeated group: one lengths stream
+            # shared by every leaf (their repetition levels are by
+            # construction identical, column_buffer_repeated.go) plus a
+            # flattened `f:` stream per field with its own validity
+            lsf = _list_struct_fields(spark_type)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if arr.null_count:
+                raise ValueError("array<struct> columns must be non-null")
+            lengths = np.asarray(
+                pa.compute.list_value_length(arr)).astype(np.int32)
+            entries = arr.flatten()  # StructArray of the group fields
+            if entries.null_count:
+                raise ValueError("array<struct> elements must be non-null "
+                                 "(fields may be null)")
+            recs.append(_encode_one(lengths, Kind.INT32, "int", compression,
+                                    b, stream="lengths"))
+            for (fname, ftype), child in zip(lsf, entries.flatten()):
+                validity = None
+                if child.null_count:
+                    validity = np.asarray(child.is_valid())
+                    child = child.drop_null()
+                recs.append(_encode_one(
+                    _arrow_to_values(child, ftype), _col_kind(ftype),
+                    ftype, compression, b, stream=f"f:{fname}",
+                    validity=validity, fsst_cache=fsst_cache,
+                ))
         elif _map_kv(spark_type) is not None:
             ktype, vtype = _map_kv(spark_type)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -1083,6 +1135,13 @@ def _out_field(name: str, spark_type: str) -> StructField:
     dp = _decimal_info(spark_type)
     if dp is not None:
         return StructField(name, DecimalType(*dp), True)
+    lsf = _list_struct_fields(spark_type)
+    if lsf is not None:
+        return StructField(
+            name,
+            ArrayType(StructType([_out_field(fn, ft) for fn, ft in lsf])),
+            True,
+        )
     sf = _struct_fields(spark_type)
     if sf is not None:
         return StructField(
@@ -1143,6 +1202,24 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
                 arrays.append(pa.ListArray.from_arrays(
                     pa.array(offsets, pa.int32()), _flat_to_arrow(flat, pa_elem)
                 ))
+            elif _list_struct_fields(spark_type) is not None:
+                lsf = _list_struct_fields(spark_type)
+                st = acc[name]
+                lengths, _ = st["lengths"]
+                assert len(lengths) == n_rows
+                offsets = np.zeros(n_rows + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offsets[1:])
+                children = [
+                    _rebuild(*st[f"f:{fname}"], ftype)
+                    for fname, ftype in lsf
+                ]
+                assert all(len(c) == int(offsets[-1]) for c in children)
+                struct_arr = pa.StructArray.from_arrays(
+                    children, names=[fname for fname, _ in lsf]
+                )
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), struct_arr
+                ))
             elif _map_kv(spark_type) is not None:
                 ktype, vtype = _map_kv(spark_type)
                 st = acc[name]
@@ -1195,7 +1272,9 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
                 )
                 ctype = col_types.get(name)
                 if (ctype not in _LIST_ELEM_KIND
-                        and (ctype is None or _map_kv(ctype) is None)):
+                        and (ctype is None
+                             or (_map_kv(ctype) is None
+                                 and _list_struct_fields(ctype) is None))):
                     assert meta["n"] == cur_rows
         if cur_id is not None:
             yield _assemble(cur_acc, cur_rows)
@@ -1455,7 +1534,8 @@ def compact_tables(
                     # entries live in the values-stream validity), so
                     # the empty container is the representable analog
                     sf = _struct_fields(typ)
-                    if typ in _LIST_ELEM_KIND:
+                    if (typ in _LIST_ELEM_KIND
+                            or _list_struct_fields(typ) is not None):
                         fill = F.array().cast(typ)
                     elif _map_kv(typ) is not None:
                         fill = F.create_map().cast(typ)

@@ -396,3 +396,79 @@ def test_uuid_binary_upgrades_to_flba(spark, tmp_path):
     probe = src[123]
     hits = pipeline.bloom_point_decode(spark, out, "uid", probe).collect()
     assert [r["k"] for r in hits] == [123]
+
+
+def test_array_struct_roundtrip(spark, tmp_path):
+    """array<struct<...>> — repeated-group shredding (one shared lengths
+    stream + per-field `f:` streams with validity; the reference's
+    column_buffer_repeated.go + schema.go:341-430). Covers empty lists,
+    a nullable int field, and string/float leaves."""
+    df = spark.range(3000).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, F.array().cast(
+            "array<struct<w:string,n:int,x:double>>"
+        )).otherwise(F.transform(
+            F.sequence(F.lit(1), (F.col("id") % 4) + 1),
+            lambda i: F.struct(
+                F.concat(F.lit("w"), (F.col("id") * 10 + i).cast("string")).alias("w"),
+                F.when(i % 3 == 0, None).otherwise(i.cast("int")).alias("n"),
+                (i * 0.5).alias("x"),
+            ),
+        )).alias("props"),
+    )
+    out = str(tmp_path / "lstruct")
+    pipeline.encode_table(spark, df, out, repo_col="grp", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+
+    # stream layout: one lengths + one stream per field, no "values"
+    man = pipeline.manifest(spark, out)
+    streams = {r["stream"] for r in man.where(
+        F.col("column") == "props").select("stream").distinct().collect()}
+    assert streams == {"lengths", "f:w", "f:n", "f:x"}
+
+    d = pipeline.decode_table(spark, out)
+    src = {r["k"]: r["props"] for r in df.collect()}
+    got = {r["k"]: r["props"] for r in d.collect()}
+    assert got == src
+
+    # column pruning still works alongside the nested column
+    sub = pipeline.decode_table(spark, out, columns_subset=["k"])
+    assert sub.columns == ["k"]
+    assert sub.count() == 3000
+
+
+def test_array_struct_rejects_deeper_nesting():
+    with pytest.raises(ValueError, match="array<struct>"):
+        pipeline._col_kind("array<struct<a:array<int>>>")
+    with pytest.raises(ValueError, match="array<struct>"):
+        pipeline._col_kind("array<struct<a:struct<b:int>>>")
+    with pytest.raises(ValueError, match="array<struct>"):
+        pipeline._col_kind("array<struct<a:map<string,int>>>")
+
+
+def test_compact_array_struct_empty_fill(spark, tmp_path):
+    """Schema-unifying compaction fills a missing array<struct> column
+    with EMPTY lists (the non-null nested-input contract)."""
+    t = "array<struct<a:string,b:int>>"
+    d1 = spark.range(200).select(
+        F.lit("r").alias("grp"), F.col("id").alias("k"),
+        F.array(F.struct(
+            F.col("id").cast("string").alias("a"),
+            F.col("id").cast("int").alias("b"),
+        )).alias("props"),
+    )
+    d2 = spark.range(200, 400).select(
+        F.lit("r").alias("grp"), F.col("id").alias("k"),
+    )
+    p1, p2, po = (str(tmp_path / x) for x in ("a", "b", "o"))
+    for d, p in ((d1, p1), (d2, p2)):
+        pipeline.encode_table(spark, d, p, repo_col="grp", salt_cols=["k"],
+                              sort_cols=["k"], resume=False)
+    pipeline.compact_tables(spark, [p1, p2], po, repo_col="grp",
+                            salt_cols=["k"], sort_cols=["k"])
+    out = pipeline.decode_table(spark, po)
+    rows = {r["k"]: r["props"] for r in out.collect()}
+    assert len(rows) == 400
+    assert rows[5][0]["a"] == "5" and rows[5][0]["b"] == 5
+    assert rows[300] == []
