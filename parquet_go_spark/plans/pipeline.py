@@ -782,6 +782,8 @@ def _row_size_expr(df: DataFrame):
 
 
 RANGE_GRANULARITY = 128  # quantile resolution for the range layout
+RANGE_GRANULARITY2 = 32  # secondary-key quantile resolution (compound)
+RANGE_SUBSPLIT = 8  # max secondary sub-buckets per coarse primary range
 
 
 def _order_surrogate(col, spark_type: str):
@@ -795,59 +797,132 @@ def _order_surrogate(col, spark_type: str):
     return col.cast("double")
 
 
-def compute_range_bounds(df: DataFrame, repo_col: str, key_col: str,
-                         size_expr, target_chunk_bytes: int) -> DataFrame:
-    """One scan computing BOTH per-repo byte totals and per-repo quantile
-    boundaries of the sort key → (repo, __n_buckets, __bnds). The
-    SortingWriter analog's planning step (sorting.go:23-127): disjoint
-    key ranges per chunk instead of hash-interleaved ones, which is what
-    makes min/max pruning actually prune."""
-    key_type = dict(df.dtypes)[key_col]
-    key = _order_surrogate(F.col(key_col), key_type)
+def compute_range_bounds(df: DataFrame, repo_col: str, key_cols,
+                         size_expr, target_chunk_bytes: int):
+    """Per-repo byte totals and sort-key quantile boundaries →
+    (primary_bounds, secondary_bounds | None). The SortingWriter
+    analog's planning step (sorting.go:23-127): disjoint key ranges per
+    chunk instead of hash-interleaved ones, which is what makes min/max
+    pruning actually prune. With ≥2 key_cols the split is hierarchical
+    (SortingColumns, config.go:411): coarse primary ranges, secondary
+    quantiles conditional on each coarse range."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    types = dict(df.dtypes)
+    key = _order_surrogate(F.col(key_cols[0]), types[key_cols[0]])
     pcts = [i / RANGE_GRANULARITY for i in range(1, RANGE_GRANULARITY)]
     agg = df.groupBy(F.col(repo_col)).agg(
         F.sum(size_expr).alias("__bytes"),
         F.percentile_approx(key, pcts, 10000).alias("__bnds"),
     )
-    return agg.withColumn(
+    agg = agg.withColumn(
         "__n_buckets",
         F.greatest(
             F.lit(1), F.ceil(F.col("__bytes") / F.lit(target_chunk_bytes))
         ).cast("int"),
-    ).select(F.col(repo_col), "__n_buckets", "__bnds")
+    )
+    if len(key_cols) == 1:
+        b1 = agg.select(
+            F.col(repo_col), "__n_buckets", "__bnds",
+            F.col("__n_buckets").alias("__n1"),
+            F.lit(1).alias("__w"),
+        )
+        return b1, None
+    # Compound sort keys (the reference's SortingColumns,
+    # sorting.go:23-127 + config.go:411): the primary key splits each
+    # repo into __n1 COARSE ranges; each coarse range splits into __w
+    # sub-buckets by quantiles of the secondary key CONDITIONAL on the
+    # coarse range (a global secondary quantile would skew bucket sizes
+    # whenever the keys correlate). Two wins at scale: (a) chunk ranges
+    # are disjoint in lexicographic (k1, k2) prefix order, so stats
+    # prune on k1, and on k2 within a k1 range; (b) a LOW-CARDINALITY
+    # primary key no longer collapses planning into a handful of giant
+    # single-task groups — the secondary split restores parallelism
+    # while the per-group columnar sort keeps chunks k2-ordered.
+    b1 = agg.select(
+        F.col(repo_col), "__n_buckets", "__bnds",
+        F.greatest(F.lit(1), F.ceil(
+            F.col("__n_buckets") / F.lit(RANGE_SUBSPLIT)
+        )).cast("int").alias("__n1"),
+        F.least(F.col("__n_buckets"), F.lit(RANGE_SUBSPLIT))
+        .cast("int").alias("__w"),
+    )
+    keyed1 = df.join(F.broadcast(b1), on=repo_col, how="inner")
+    coarse = _coarse_bucket_expr(key)
+    key2 = _order_surrogate(F.col(key_cols[1]), types[key_cols[1]])
+    pcts2 = [i / RANGE_GRANULARITY2 for i in range(1, RANGE_GRANULARITY2)]
+    b2 = (
+        keyed1.withColumn("__coarse", coarse)
+        .groupBy(F.col(repo_col), "__coarse")
+        .agg(F.percentile_approx(key2, pcts2, 10000).alias("__bnds2"))
+    )
+    return b1, b2
 
 
-def plan_chunks_range(df: DataFrame, repo_col: str, sort_key: str,
-                      bounds: DataFrame) -> DataFrame:
+def _coarse_bucket_expr(key):
+    """Primary-key quantile position → coarse range index [0, __n1).
+    Shared by bounds computation and row assignment so both phases
+    agree on the coarse split (the columns __bnds/__n1 come from the
+    joined bounds table)."""
+    pos = F.aggregate(
+        F.col("__bnds"), F.lit(0),
+        lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+    )
+    return F.least(
+        F.floor(pos * F.col("__n1") / F.lit(RANGE_GRANULARITY)).cast("int"),
+        F.col("__n1") - 1,
+    )
+
+
+def plan_chunks_range(df: DataFrame, repo_col: str, sort_keys,
+                      bounds: DataFrame,
+                      bounds2: DataFrame | None = None) -> DataFrame:
     """Assign rows to range-ordered buckets from precomputed boundaries:
     bucket = quantile-position of the sort key scaled to the repo's
     bucket count. Chunk key ranges are (approximately) disjoint, so
     chunk min/max stats prune instead of overlapping (VERDICT: the
-    xxhash bucket layout made every chunk span the full key range)."""
-    key_type = dict(df.dtypes)[sort_key]
-    key = _order_surrogate(F.col(sort_key), key_type)
+    xxhash bucket layout made every chunk span the full key range).
+
+    With bounds2 (compound sort keys) the bucket id is
+    coarse * __w + sub, where sub comes from the secondary key's
+    conditional quantiles — the lexicographic (k1, k2) split."""
+    sort_keys = [sort_keys] if isinstance(sort_keys, str) else list(sort_keys)
+    types = dict(df.dtypes)
+    key = _order_surrogate(F.col(sort_keys[0]), types[sort_keys[0]])
     # LEFT join: a resumed run over a grown input may contain repos that
     # were absent when the _bounds sidecar was computed — an inner join
     # would silently drop their rows (data loss). Unmatched repos fall
     # back to a single bucket 0; the encode kernel's group splitting
     # bounds their chunk sizes regardless.
     out = df.join(F.broadcast(bounds), on=repo_col, how="left")
-    pos = F.aggregate(
-        F.col("__bnds"), F.lit(0),
-        lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
-    )
-    bucket = F.floor(
-        pos * F.col("__n_buckets") / F.lit(RANGE_GRANULARITY)
-    ).cast("int")
+    if bounds2 is None:
+        pos = F.aggregate(
+            F.col("__bnds"), F.lit(0),
+            lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+        )
+        bucket = F.floor(
+            pos * F.col("__n_buckets") / F.lit(RANGE_GRANULARITY)
+        ).cast("int")
+        bucket = F.least(bucket, F.col("__n_buckets") - 1)
+    else:
+        key2 = _order_surrogate(F.col(sort_keys[1]), types[sort_keys[1]])
+        out = out.withColumn("__coarse", _coarse_bucket_expr(key))
+        out = out.join(
+            F.broadcast(bounds2), on=[repo_col, "__coarse"], how="left"
+        )
+        pos2 = F.aggregate(
+            F.col("__bnds2"), F.lit(0),
+            lambda acc, b: acc + F.when(key2 >= b, 1).otherwise(0),
+        )
+        sub = F.least(
+            F.floor(pos2 * F.col("__w") / F.lit(RANGE_GRANULARITY2))
+            .cast("int"),
+            F.col("__w") - 1,
+        )
+        bucket = F.col("__coarse") * F.col("__w") + F.coalesce(sub, F.lit(0))
     return (
         out.withColumn("__repo", F.col(repo_col).cast("string"))
-        .withColumn(
-            "__bucket",
-            F.coalesce(
-                F.least(bucket, F.col("__n_buckets") - 1), F.lit(0)
-            ),
-        )
-        .drop("__n_buckets", "__bnds")
+        .withColumn("__bucket", F.coalesce(bucket.cast("int"), F.lit(0)))
+        .drop("__n_buckets", "__bnds", "__n1", "__w", "__coarse", "__bnds2")
     )
 
 
@@ -1035,14 +1110,29 @@ def encode_table(
 
     if layout == "range":
         bounds_path = os.path.join(out_path, "_bounds")
+        bounds2_path = os.path.join(out_path, "_bounds2")
+        range_keys = sort_cols[:2]  # compound split uses first two keys
         if not (resume and _table_exists(bounds_path)):
-            bounds = compute_range_bounds(
-                df, repo_col, sort_cols[0], _row_size_expr(df),
+            bounds, bounds2 = compute_range_bounds(
+                df, repo_col, range_keys, _row_size_expr(df),
                 target_chunk_bytes,
             )
             bounds.write.mode("overwrite").parquet(bounds_path)
+            if bounds2 is not None:
+                bounds2.write.mode("overwrite").parquet(bounds2_path)
+        b1 = spark.read.parquet(bounds_path)
+        if "__w" not in b1.columns:  # pre-compound sidecar compat
+            b1 = b1.withColumn("__n1", F.col("__n_buckets")).withColumn(
+                "__w", F.lit(1)
+            )
+        b2 = (
+            spark.read.parquet(bounds2_path)
+            if len(range_keys) > 1 and _table_exists(bounds2_path)
+            else None
+        )
         keyed = plan_chunks_range(
-            df, repo_col, sort_cols[0], spark.read.parquet(bounds_path)
+            df, repo_col, range_keys if b2 is not None else range_keys[0],
+            b1, b2,
         )
     else:
         keyed = plan_chunks(df, repo_col, salt_cols, target_chunk_bytes,

@@ -472,3 +472,74 @@ def test_compact_array_struct_empty_fill(spark, tmp_path):
     assert len(rows) == 400
     assert rows[5][0]["a"] == "5" and rows[5][0]["b"] == 5
     assert rows[300] == []
+
+
+def _kept(spark, out, column, lo, hi):
+    m = pipeline.manifest(spark, out).where(
+        (F.col("column") == column) & (F.col("stream") == "values")
+    )
+    mn, mx = F.col("min_val").cast("bigint"), F.col("max_val").cast("bigint")
+    return m.where((mx >= lo) & (mn <= hi)).select(
+        "chunk_id").distinct().count()
+
+
+def _compound_df(spark, n=24000):
+    return spark.range(n).select(
+        F.lit("r").alias("repo"),
+        F.element_at(
+            F.array(F.lit("go"), F.lit("py"), F.lit("rs"), F.lit("ts")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+
+
+def test_compound_range_layout(spark, tmp_path):
+    """sort_cols=(lang, k) with a LOW-cardinality primary: the compound
+    split (SortingColumns analog) must (a) keep parallelism — more
+    planned groups than primary-distinct values — and (b) make
+    secondary-key stats prune, since sub-buckets are k-disjoint within
+    each lang range."""
+    df = _compound_df(spark)
+    out_c = str(tmp_path / "compound")
+    out_s = str(tmp_path / "single")
+    kw = dict(repo_col="repo", salt_cols=["k"], layout="range",
+              target_chunk_bytes=64 << 10, resume=False)
+    pipeline.encode_table(spark, df, out_c, sort_cols=["lang", "k"], **kw)
+    pipeline.encode_table(spark, df, out_s, sort_cols=["lang"], **kw)
+
+    man_c = pipeline.manifest(spark, out_c)
+    # planned groups (bucket ids before kernel size-splits): the single-
+    # key layout collapses to ≤5 groups (4 langs + edge), the compound
+    # one fans out across secondary sub-buckets
+    groups_c = man_c.select("bucket").distinct().count()
+    groups_s = pipeline.manifest(spark, out_s).select(
+        "bucket").distinct().count()
+    assert groups_s <= 5 < groups_c
+
+    # secondary pruning: a narrow k probe keeps a strict subset of chunks
+    total_c = man_c.select("chunk_id").distinct().count()
+    kept = _kept(spark, out_c, "k", 5000, 5400)
+    assert kept < total_c
+
+    got = pipeline.pruned_decode(spark, out_c, "k", lo=5000, hi=5400)
+    assert got.count() == 401
+
+    # full round trip
+    dec = pipeline.decode_table(spark, out_c)
+    assert dec.count() == 24000
+    src = {r["k"]: (r["lang"], r["pad"]) for r in df.collect()}
+    gotall = {r["k"]: (r["lang"], r["pad"]) for r in dec.collect()}
+    assert gotall == src
+
+
+def test_compound_range_resume_reuses_both_sidecars(spark, tmp_path):
+    df = _compound_df(spark, n=6000)
+    out = str(tmp_path / "cres")
+    kw = dict(repo_col="repo", salt_cols=["k"], sort_cols=["lang", "k"],
+              layout="range", target_chunk_bytes=64 << 10)
+    pipeline.encode_table(spark, df, out, resume=False, **kw)
+    r2 = pipeline.encode_table(spark, df, out, resume=True, **kw)
+    assert r2["skipped_chunks"] > 0
+    assert pipeline.decode_table(spark, out).count() == 6000  # no dupes
