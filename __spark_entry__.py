@@ -309,6 +309,56 @@ def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-depth nesting round trip (round 3): struct-in-struct,
+    array under struct, and map<string,array<string>> — the recursive
+    shredding analog of the reference's schema walk (schema.go:341-430,
+    column_buffer_repeated.go). Output projected to scalars for a
+    portable oracle comparison."""
+    ok = F.col("o_orderkey")
+    m = (ok % 4 + 1).cast("bigint")
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (ok % 10).cast("string").alias("grp"),
+            F.struct(
+                F.struct(
+                    (ok % 100).cast("int").alias("x"),
+                    F.when(ok % 5 == 0, None)
+                    .otherwise(F.substring("o_orderpriority", 1, 8))
+                    .alias("y"),
+                ).alias("a"),
+                F.when(ok % 11 == 0, F.array().cast("array<bigint>"))
+                .otherwise(F.sequence(F.lit(1).cast("bigint"), m))
+                .alias("arr"),
+            ).alias("nested"),
+            F.create_map(
+                F.lit("p"),
+                F.array(F.col("o_orderpriority"), F.col("o_orderstatus")),
+                F.lit("e"), F.array().cast("array<string>"),
+            ).alias("attrs"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_nested_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    return d.select(
+        "o_orderkey",
+        F.col("nested.a.x").alias("ax"),
+        F.col("nested.a.y").alias("ay"),
+        F.size("nested.arr").alias("n_arr"),
+        F.aggregate(
+            "nested.arr", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("arr_sum"),
+        F.concat_ws(",", F.element_at("attrs", F.lit("p"))).alias("p_joined"),
+        F.size(F.element_at("attrs", F.lit("e"))).alias("e_n"),
+    )
+
+
 def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _encode_fresh(spark, sf_dir, "lineitem")
     m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
@@ -351,6 +401,30 @@ def _prune_decode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns_subset=["o_orderkey", "o_custkey", "o_totalprice"],
     )
     return d.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _range_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound range layout end-to-end (round 3): encode under
+    layout='range' with compound sort keys (o_orderstatus, o_orderkey) —
+    the SortingColumns analog (sorting.go:23-127, config.go:411) — then
+    prune-decode on the SECONDARY key. Hierarchical secondary quantiles
+    give disjoint o_orderkey sub-ranges within each status range, so the
+    manifest min/max prune skips chunks a hash layout must read."""
+    df = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("string").alias("grp"),
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_rangeprune_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderstatus", "o_orderkey"], layout="range",
+        target_chunk_bytes=256 << 10, resume=False,
+    )
+    d = pipeline.pruned_decode(
+        spark, out, "o_orderkey", lo=100, hi=5000,
+        columns_subset=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return d.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_struct": _rt_struct,
         "rt_pipeline_map": _rt_map,
         "rt_pipeline_uuid": _rt_uuid,
+        "rt_pipeline_nested": _rt_nested,
         # ---- forced-codec round trips (E1..E10) ----
         "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
         "rt_rle_dict_returnflag": _codec_rt(
@@ -510,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_minmax_lineitem": _stats_minmax_lineitem,
         "chunk_rowcounts_lineitem": _chunk_rowcounts_lineitem,
         "prune_decode_orders": _prune_decode_orders,
+        "range_prune_orders": _range_prune_orders,
         "bloom_point_orders": _bloom_point_orders,
         # ---- dedup ----
         "dedup_exact_documents": lambda spark, sf: dedup.exact_dedup(
@@ -732,6 +808,19 @@ def oracle_sql() -> dict[str, str]:
             "upper(md5('k' || CAST(o_orderkey AS VARCHAR))) AS uuid_hex "
             "FROM orders"
         ),
+        "rt_pipeline_nested": (
+            "SELECT o_orderkey, "
+            "CAST(o_orderkey % 100 AS INTEGER) AS ax, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "ELSE substring(o_orderpriority, 1, 8) END AS ay, "
+            "CAST(CASE WHEN o_orderkey % 11 = 0 THEN 0 "
+            "ELSE o_orderkey % 4 + 1 END AS INTEGER) AS n_arr, "
+            "CAST(CASE WHEN o_orderkey % 11 = 0 THEN 0 "
+            "ELSE ((o_orderkey % 4 + 1) * (o_orderkey % 4 + 2)) // 2 "
+            "END AS BIGINT) AS arr_sum, "
+            "o_orderpriority || ',' || o_orderstatus AS p_joined, "
+            "0 AS e_n FROM orders"
+        ),
         "rt_plain_part_name": "SELECT p_name FROM part",
         "rt_rle_dict_returnflag": "SELECT l_returnflag FROM lineitem",
         "rt_delta_bp_orderkey": "SELECT o_orderkey FROM orders",
@@ -757,6 +846,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "prune_decode_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey BETWEEN 100 AND 5000"
+        ),
+        "range_prune_orders": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
             "WHERE o_orderkey BETWEEN 100 AND 5000"
         ),
         "bloom_point_orders": (

@@ -113,12 +113,26 @@ _LIST_ELEM_KIND = {
 }
 
 
+def _list_elem(spark_type: str) -> str | None:
+    """Parse 'array<T>' → element type string T (arbitrary T), else
+    None — the generic LIST node (node.go:505-525)."""
+    if spark_type.startswith("array<") and spark_type.endswith(">"):
+        return spark_type[len("array<"):-1]
+    return None
+
+
+def _is_container(spark_type: str) -> bool:
+    return (spark_type.startswith("array<")
+            or spark_type.startswith("struct<")
+            or spark_type.startswith("map<"))
+
+
 def _struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
     """Parse 'struct<a:int,b:string,...>' → [(name, type), ...], else
     None. Splits on depth-0 commas only, so decimal(p,s) and other
-    parenthesized field types parse correctly. One level of nesting —
-    the reference shreds deeper nests the same way recursively
-    (schema.go:341-430); our input surface is flat-plus-one-level."""
+    parenthesized field types parse correctly. Field types may nest
+    arbitrarily — shredding recurses like the reference
+    (schema.go:341-430)."""
     if not spark_type.startswith("struct<") or not spark_type.endswith(">"):
         return None
     inner = spark_type[len("struct<"):-1]
@@ -138,20 +152,6 @@ def _struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
         fname, ftype = fld.split(":", 1)
         out.append((fname.strip(), ftype.strip()))
     return out
-
-
-def _list_struct_fields(spark_type: str) -> list[tuple[str, str]] | None:
-    """Parse 'array<struct<...>>' → [(field, type), ...], else None —
-    the repeated-group shape (a LIST node over a GROUP of scalar
-    leaves, the reference's column_buffer_repeated.go +
-    schema.go:341-430). Shreds as ONE shared lengths stream (every
-    leaf of a repeated group shares its repetition levels) plus one
-    flattened `f:<name>` stream per field, each with its own validity
-    bitmap (definition-level analog)."""
-    if not (spark_type.startswith("array<struct<")
-            and spark_type.endswith(">>")):
-        return None
-    return _struct_fields(spark_type[len("array<"):-1])
 
 
 def _map_kv(spark_type: str) -> tuple[str, str] | None:
@@ -196,39 +196,31 @@ def _decimal_kind(precision: int) -> int:
 
 
 def _col_kind(spark_type: str) -> int:
-    if spark_type in _LIST_ELEM_KIND:
-        return _LIST_ELEM_KIND[spark_type][0]
+    """Physical kind of a scalar type; containers validate recursively
+    (arbitrary nesting, like the reference's recursive schema shredding,
+    schema.go:341-430) and return a sentinel — per-leaf kinds are
+    resolved during shredding. Map keys must be scalar (the parquet MAP
+    key contract, node.go:528-540)."""
     dp = _decimal_info(spark_type)
     if dp is not None:
         return _decimal_kind(dp[0])
-    lsf = _list_struct_fields(spark_type)
-    if lsf is not None:
-        for _, ftype in lsf:  # repeated-group leaves must be scalar
-            if (_struct_fields(ftype) is not None
-                    or ftype in _LIST_ELEM_KIND
-                    or _map_kv(ftype) is not None):
-                raise ValueError(
-                    f"nested field under array<struct> unsupported: {ftype}"
-                )
-            _col_kind(ftype)
-        return Kind.BYTE_ARRAY  # sentinel; per-field kinds used in encode
+    el = _list_elem(spark_type)
+    if el is not None:
+        _col_kind(el)
+        return Kind.BYTE_ARRAY  # sentinel; per-leaf kinds used in encode
     sf = _struct_fields(spark_type)
     if sf is not None:
-        for _, ftype in sf:  # validate every leaf; no single kind
-            if _struct_fields(ftype) is not None or ftype in _LIST_ELEM_KIND:
-                raise ValueError(
-                    f"nested struct/list field unsupported: {ftype}"
-                )
+        for _, ftype in sf:
             _col_kind(ftype)
-        return Kind.BYTE_ARRAY  # sentinel; per-field kinds used in encode
+        return Kind.BYTE_ARRAY
     mk = _map_kv(spark_type)
     if mk is not None:
-        for t in mk:  # both leaves must be scalar
-            if (_struct_fields(t) is not None or t in _LIST_ELEM_KIND
-                    or _map_kv(t) is not None):
-                raise ValueError(f"nested map leaf unsupported: {t}")
-            _col_kind(t)
-        return Kind.BYTE_ARRAY  # sentinel; per-leaf kinds used in encode
+        ktype, vtype = mk
+        if _is_container(ktype):
+            raise ValueError(f"map keys must be scalar: {ktype}")
+        _col_kind(ktype)
+        _col_kind(vtype)
+        return Kind.BYTE_ARRAY
     if spark_type not in _KIND_BY_SPARK:
         raise ValueError(f"unsupported column type {spark_type}")
     return _KIND_BY_SPARK[spark_type]
@@ -481,19 +473,89 @@ def _encode_one(values, kind, spark_type, compression, base,
     return rec
 
 
-def _list_to_streams_arrow(arr, spark_type: str):
-    """Arrow list column → (lengths int32, flat element values)."""
-    _, np_dtype, _ = _LIST_ELEM_KIND[spark_type]
+def _join_stream(prefix: str, seg: str) -> str:
+    return seg if not prefix else f"{prefix}/{seg}"
+
+
+def _shred_column(arr, spark_type: str, prefix: str = ""):
+    """Recursively shred ONE Arrow column into flat streams — the
+    Deconstruct analog at arbitrary nesting depth (the reference walks
+    the schema tree the same way, schema.go:341-430 +
+    column_buffer_repeated.go). Yields
+    (stream_name, values, kind, leaf_spark_type, validity).
+
+    Stream naming reproduces the original one-level names exactly
+    (scalar → 'values', list → 'lengths'+element streams, struct field
+    → 'f:<name>', map → 'lengths'/'keys'/'values') and extends them
+    with '/'-joined path segments for deeper nests, e.g.
+    struct<a:struct<x:int>> → 'f:a/f:x';
+    array<array<int>>        → 'lengths', 'item/lengths', 'item';
+    map<string,array<string>>→ 'lengths', 'keys', 'values/lengths',
+                               'values'.
+    Every repeated level contributes one shared lengths stream (the
+    repetition-level analog); scalar leaves carry a validity bitmap
+    (the definition-level analog). Null contract, applied recursively:
+    container values are non-null at every level; scalar leaves may be
+    null anywhere (including list elements)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if arr.null_count:
-        raise ValueError("list columns must be non-null")
-    lengths = np.asarray(pa.compute.list_value_length(arr)).astype(np.int32)
-    if np_dtype is None:  # string elements → ByteArrays stream
-        flat = ByteArrays.from_arrow(arr.flatten())
+    el = _list_elem(spark_type)
+    mk = _map_kv(spark_type)
+    sf = _struct_fields(spark_type)
+    if el is not None:
+        if arr.null_count:
+            raise ValueError(
+                f"list values must be non-null ({prefix or 'column'})")
+        lengths = np.asarray(
+            pa.compute.list_value_length(arr)).astype(np.int32)
+        yield (_join_stream(prefix, "lengths"), lengths,
+               Kind.INT32, "int", None)
+        # list/map elements need a distinguishing 'item' segment (their
+        # own lengths stream would collide with ours); struct and scalar
+        # elements keep the parent prefix — which is what reproduces the
+        # legacy 'values' / 'f:<name>' names
+        child_prefix = (_join_stream(prefix, "item")
+                        if (_list_elem(el) is not None
+                            or _map_kv(el) is not None)
+                        else prefix)
+        yield from _shred_column(arr.flatten(), el, child_prefix)
+    elif mk is not None:
+        ktype, vtype = mk
+        if arr.null_count:
+            raise ValueError(
+                f"map values must be non-null ({prefix or 'column'})")
+        # cast map → list<struct<key,value>> (slice-safe; pyarrow's
+        # list kernels have no map variants), then shred
+        arr = arr.cast(pa.list_(pa.struct([
+            pa.field("key", arr.type.key_type, nullable=False),
+            pa.field("value", arr.type.item_type),
+        ])))
+        lengths = np.asarray(
+            pa.compute.list_value_length(arr)).astype(np.int32)
+        yield (_join_stream(prefix, "lengths"), lengths,
+               Kind.INT32, "int", None)
+        entries = arr.flatten()
+        keys = entries.field(0)
+        if keys.null_count:
+            raise ValueError("map keys must be non-null")
+        yield from _shred_column(keys, ktype, _join_stream(prefix, "keys"))
+        yield from _shred_column(
+            entries.field(1), vtype, _join_stream(prefix, "values"))
+    elif sf is not None:
+        if arr.null_count:
+            raise ValueError(
+                f"struct values must be non-null ({prefix or 'column'}; "
+                "fields may be null)")
+        for (fname, ftype), child in zip(sf, arr.flatten()):
+            yield from _shred_column(
+                child, ftype, _join_stream(prefix, f"f:{fname}"))
     else:
-        flat = np.asarray(arr.flatten(), dtype=np_dtype)
-    return lengths, flat
+        validity = None
+        if arr.null_count:
+            validity = np.asarray(arr.is_valid())
+            arr = arr.drop_null()
+        yield (prefix or "values", _arrow_to_values(arr, spark_type),
+               _col_kind(spark_type), spark_type, validity)
 
 
 _BLOB_ARROW_SCHEMA = pa.schema(
@@ -573,102 +635,11 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
     recs = []
     for name, spark_type in columns:
         b = dict(base, column=name)
-        col = tbl.column(name)
-        sf = _struct_fields(spark_type)
-        if spark_type in _LIST_ELEM_KIND:
-            elem_kind, _, _ = _LIST_ELEM_KIND[spark_type]
-            lengths, flat = _list_to_streams_arrow(col, spark_type)
-            recs.append(_encode_one(lengths, Kind.INT32, "int", compression,
-                                    b, stream="lengths"))
-            recs.append(_encode_one(flat, elem_kind,
-                                    spark_type[len("array<"):-1],
-                                    compression, b, fsst_cache=fsst_cache))
-        elif _list_struct_fields(spark_type) is not None:
-            # array<struct<...>> — a repeated group: one lengths stream
-            # shared by every leaf (their repetition levels are by
-            # construction identical, column_buffer_repeated.go) plus a
-            # flattened `f:` stream per field with its own validity
-            lsf = _list_struct_fields(spark_type)
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if arr.null_count:
-                raise ValueError("array<struct> columns must be non-null")
-            lengths = np.asarray(
-                pa.compute.list_value_length(arr)).astype(np.int32)
-            entries = arr.flatten()  # StructArray of the group fields
-            if entries.null_count:
-                raise ValueError("array<struct> elements must be non-null "
-                                 "(fields may be null)")
-            recs.append(_encode_one(lengths, Kind.INT32, "int", compression,
-                                    b, stream="lengths"))
-            for (fname, ftype), child in zip(lsf, entries.flatten()):
-                validity = None
-                if child.null_count:
-                    validity = np.asarray(child.is_valid())
-                    child = child.drop_null()
-                recs.append(_encode_one(
-                    _arrow_to_values(child, ftype), _col_kind(ftype),
-                    ftype, compression, b, stream=f"f:{fname}",
-                    validity=validity, fsst_cache=fsst_cache,
-                ))
-        elif _map_kv(spark_type) is not None:
-            ktype, vtype = _map_kv(spark_type)
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if arr.null_count:
-                raise ValueError("map columns must be non-null "
-                                 "(entry values may be null)")
-            # cast map → list<struct<key,value>> (slice-safe; pyarrow's
-            # list kernels have no map variants), then shred
-            arr = arr.cast(pa.list_(pa.struct([
-                pa.field("key", arr.type.key_type, nullable=False),
-                pa.field("value", arr.type.item_type),
-            ])))
-            lengths = np.asarray(
-                pa.compute.list_value_length(arr)).astype(np.int32)
-            entries = arr.flatten()  # StructArray of (key, value)
-            keys, items = entries.field(0), entries.field(1)
-            recs.append(_encode_one(lengths, Kind.INT32, "int", compression,
-                                    b, stream="lengths"))
-            recs.append(_encode_one(_arrow_to_values(keys, ktype),
-                                    _col_kind(ktype), ktype, compression,
-                                    b, stream="keys", fsst_cache=fsst_cache))
-            validity = None
-            if items.null_count:
-                validity = np.asarray(items.is_valid())
-                items = items.drop_null()
-            recs.append(_encode_one(_arrow_to_values(items, vtype),
-                                    _col_kind(vtype), vtype, compression,
-                                    b, validity=validity,
-                                    fsst_cache=fsst_cache))
-        elif sf is not None:
-            # struct → one stream per field (the Deconstruct shredding
-            # analog, schema.go:341-361): each leaf encodes on its own
-            # kernel path with its own validity bitmap
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if arr.null_count:
-                raise ValueError("struct columns must be non-null "
-                                 "(fields may be null)")
-            children = arr.flatten()
-            for (fname, ftype), child in zip(sf, children):
-                validity = None
-                if child.null_count:
-                    validity = np.asarray(child.is_valid())
-                    child = child.drop_null()
-                values = _arrow_to_values(child, ftype)
-                recs.append(_encode_one(
-                    values, _col_kind(ftype), ftype, compression, b,
-                    stream=f"f:{fname}", validity=validity,
-                    fsst_cache=fsst_cache,
-                ))
-        else:
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            validity = None
-            if arr.null_count:
-                validity = np.asarray(arr.is_valid())
-                arr = arr.drop_null()
-            values = _arrow_to_values(arr, spark_type)
-            recs.append(_encode_one(values, _col_kind(spark_type),
-                                    spark_type, compression, b,
-                                    validity=validity,
+        for stream, values, kind, leaf_type, validity in _shred_column(
+            tbl.column(name), spark_type
+        ):
+            recs.append(_encode_one(values, kind, leaf_type, compression,
+                                    b, stream=stream, validity=validity,
                                     fsst_cache=fsst_cache))
     return pa.RecordBatch.from_pylist(recs, schema=_BLOB_ARROW_SCHEMA)
 
@@ -766,6 +737,11 @@ def _row_size_expr(df: DataFrame):
         elif t in _LIST_ELEM_KIND:
             w = 8 if t in ("array<double>", "array<bigint>") else 4
             size_expr = size_expr + F.size(F.col(c)) * F.lit(w) + F.lit(4)
+        elif t.startswith("array<"):
+            # nested lists: rough per-element cost — planning only
+            # shapes bucket counts; the encode kernel's size-triggered
+            # flush bounds any underestimate
+            size_expr = size_expr + F.size(F.col(c)) * F.lit(24) + F.lit(4)
         elif dp is not None:
             size_expr = size_expr + F.lit(16 if dp[0] > 18 else 8)
         elif t.startswith("struct<"):
@@ -1216,45 +1192,32 @@ _SPARK_TYPE_NAMES = {
 }
 
 
-def _out_field(name: str, spark_type: str) -> StructField:
-    from pyspark.sql.types import ArrayType, DecimalType
+def _spark_dtype(spark_type: str):
+    """Type string → Spark DataType, recursing through arbitrary
+    nesting (the decode-output schema mirror of _shred_column)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
 
-    if spark_type in _LIST_ELEM_KIND:
-        elem = _SPARK_TYPE_NAMES[spark_type[len("array<"):-1]]
-        return StructField(name, ArrayType(elem), True)
+    if spark_type in _SPARK_TYPE_NAMES:
+        return _SPARK_TYPE_NAMES[spark_type]
     dp = _decimal_info(spark_type)
     if dp is not None:
-        return StructField(name, DecimalType(*dp), True)
-    lsf = _list_struct_fields(spark_type)
-    if lsf is not None:
-        return StructField(
-            name,
-            ArrayType(StructType([_out_field(fn, ft) for fn, ft in lsf])),
-            True,
-        )
+        return DecimalType(*dp)
+    el = _list_elem(spark_type)
+    if el is not None:
+        return ArrayType(_spark_dtype(el), True)
     sf = _struct_fields(spark_type)
     if sf is not None:
-        return StructField(
-            name, StructType([_out_field(fn, ft) for fn, ft in sf]), True
-        )
+        return StructType([
+            StructField(fn, _spark_dtype(ft), True) for fn, ft in sf
+        ])
     mk = _map_kv(spark_type)
     if mk is not None:
-        from pyspark.sql.types import MapType
-
-        return StructField(
-            name,
-            MapType(_SPARK_TYPE_NAMES[mk[0]], _SPARK_TYPE_NAMES[mk[1]], True),
-            True,
-        )
-    return StructField(name, _SPARK_TYPE_NAMES[spark_type], True)
+        return MapType(_spark_dtype(mk[0]), _spark_dtype(mk[1]), True)
+    raise ValueError(f"unsupported column type {spark_type}")
 
 
-def _flat_to_arrow(flat, pa_elem) -> pa.Array:
-    """Flattened list-element stream → Arrow array (numeric ndarray or a
-    ByteArrays container for string/binary elements)."""
-    if isinstance(flat, ByteArrays):
-        return flat.to_arrow(pa_elem)
-    return pa.array(flat, pa_elem)
+def _out_field(name: str, spark_type: str) -> StructField:
+    return StructField(name, _spark_dtype(spark_type), True)
 
 
 def _decode_stream_fn(cols: list[tuple[str, str]]):
@@ -1277,64 +1240,53 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
             arr = arr.take(index)
         return arr
 
+    def _unshred(st: dict, spark_type: str, prefix: str, n: int) -> pa.Array:
+        """Recursive Reconstruct — the inverse of _shred_column, walking
+        the same stream-name grammar. st maps stream name →
+        (values, validity) for one column of one chunk; n is the row
+        count of the current nesting domain."""
+        el = _list_elem(spark_type)
+        mk = _map_kv(spark_type)
+        sf = _struct_fields(spark_type)
+        if el is not None:
+            lengths, _ = st[_join_stream(prefix, "lengths")]
+            assert len(lengths) == n
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            child_prefix = (_join_stream(prefix, "item")
+                            if (_list_elem(el) is not None
+                                or _map_kv(el) is not None)
+                            else prefix)
+            child = _unshred(st, el, child_prefix, int(offsets[-1]))
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), child)
+        if mk is not None:
+            ktype, vtype = mk
+            lengths, _ = st[_join_stream(prefix, "lengths")]
+            assert len(lengths) == n
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            n_flat = int(offsets[-1])
+            karr = _unshred(st, ktype, _join_stream(prefix, "keys"), n_flat)
+            iarr = _unshred(st, vtype, _join_stream(prefix, "values"), n_flat)
+            return pa.MapArray.from_arrays(
+                pa.array(offsets, pa.int32()), karr, iarr)
+        if sf is not None:
+            children = [
+                _unshred(st, ftype, _join_stream(prefix, f"f:{fname}"), n)
+                for fname, ftype in sf
+            ]
+            return pa.StructArray.from_arrays(
+                children, names=[fname for fname, _ in sf])
+        arr = _rebuild(*st[prefix or "values"], spark_type)
+        assert len(arr) == n
+        return arr
+
     def _assemble(acc: dict, n_rows: int) -> pa.RecordBatch:
-        arrays = []
-        for name, spark_type in cols:
-            sf = _struct_fields(spark_type)
-            if spark_type in _LIST_ELEM_KIND:
-                st = acc[name]
-                lengths, _ = st["lengths"]
-                flat, _ = st["values"]
-                assert len(lengths) == n_rows and int(lengths.sum()) == len(flat)
-                _, _, pa_elem = _LIST_ELEM_KIND[spark_type]
-                offsets = np.zeros(n_rows + 1, dtype=np.int32)
-                np.cumsum(lengths, out=offsets[1:])
-                arrays.append(pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), _flat_to_arrow(flat, pa_elem)
-                ))
-            elif _list_struct_fields(spark_type) is not None:
-                lsf = _list_struct_fields(spark_type)
-                st = acc[name]
-                lengths, _ = st["lengths"]
-                assert len(lengths) == n_rows
-                offsets = np.zeros(n_rows + 1, dtype=np.int32)
-                np.cumsum(lengths, out=offsets[1:])
-                children = [
-                    _rebuild(*st[f"f:{fname}"], ftype)
-                    for fname, ftype in lsf
-                ]
-                assert all(len(c) == int(offsets[-1]) for c in children)
-                struct_arr = pa.StructArray.from_arrays(
-                    children, names=[fname for fname, _ in lsf]
-                )
-                arrays.append(pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), struct_arr
-                ))
-            elif _map_kv(spark_type) is not None:
-                ktype, vtype = _map_kv(spark_type)
-                st = acc[name]
-                lengths, _ = st["lengths"]
-                keys, _ = st["keys"]
-                items, item_validity = st["values"]
-                assert len(lengths) == n_rows
-                offsets = np.zeros(n_rows + 1, dtype=np.int32)
-                np.cumsum(lengths, out=offsets[1:])
-                karr = _values_to_arrow(keys, ktype)
-                iarr = _rebuild(items, item_validity, vtype)
-                assert int(offsets[-1]) == len(karr) == len(iarr)
-                arrays.append(pa.MapArray.from_arrays(
-                    pa.array(offsets, pa.int32()), karr, iarr
-                ))
-            elif sf is not None:
-                children = [
-                    _rebuild(*acc[name][f"f:{fname}"], ftype)
-                    for fname, ftype in sf
-                ]
-                arrays.append(pa.StructArray.from_arrays(
-                    children, names=[fname for fname, _ in sf]
-                ))
-            else:
-                arrays.append(_rebuild(*acc[name]["values"], spark_type))
+        arrays = [
+            _unshred(acc[name], spark_type, "", n_rows)
+            for name, spark_type in cols
+        ]
         return pa.RecordBatch.from_arrays(arrays, names=[c for c, _ in cols])
 
     def decode(batches):
@@ -1361,10 +1313,9 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
                     values, meta["validity"]
                 )
                 ctype = col_types.get(name)
-                if (ctype not in _LIST_ELEM_KIND
-                        and (ctype is None
-                             or (_map_kv(ctype) is None
-                                 and _list_struct_fields(ctype) is None))):
+                if ctype is None or not _is_container(ctype):
+                    # scalar columns: the values stream covers every row;
+                    # nested streams live on flattened domains
                     assert meta["n"] == cur_rows
         if cur_id is not None:
             yield _assemble(cur_acc, cur_rows)
@@ -1555,6 +1506,23 @@ def pruned_decode(
     return out
 
 
+def _fill_expr(typ: str):
+    """Fill expression for a column absent from a source table during
+    schema-unifying compaction (the convert.go null-fill rule), made
+    representable under the encode null contract at every nesting
+    level: scalars null-fill; list/map columns fill with EMPTY
+    containers; struct columns fill with a struct of per-field
+    recursive fills (a struct-typed field is itself non-null)."""
+    if _list_elem(typ) is not None:
+        return F.array().cast(typ)
+    if _map_kv(typ) is not None:
+        return F.create_map().cast(typ)
+    sf = _struct_fields(typ)
+    if sf is not None:
+        return F.struct(*[_fill_expr(ft).alias(fn) for fn, ft in sf])
+    return F.lit(None).cast(typ)
+
+
 def compact_tables(
     spark: SparkSession,
     in_paths: list[str],
@@ -1618,28 +1586,7 @@ def compact_tables(
             have = {c for c, _ in schemas[i]}
             for name, typ in union:
                 if name not in have:
-                    # scalar columns null-fill (the convert.go rule);
-                    # list/map columns fill with EMPTY containers — the
-                    # engine's nested input surface is non-null (null
-                    # entries live in the values-stream validity), so
-                    # the empty container is the representable analog
-                    sf = _struct_fields(typ)
-                    if (typ in _LIST_ELEM_KIND
-                            or _list_struct_fields(typ) is not None):
-                        fill = F.array().cast(typ)
-                    elif _map_kv(typ) is not None:
-                        fill = F.create_map().cast(typ)
-                    elif sf is not None:
-                        # struct columns are non-null in the encode
-                        # contract; fill with a struct of per-field
-                        # nulls (the representable convert.go analog)
-                        fill = F.struct(*[
-                            F.lit(None).cast(ft).alias(fn)
-                            for fn, ft in sf
-                        ])
-                    else:
-                        fill = F.lit(None).cast(typ)
-                    d = d.withColumn(name, fill)
+                    d = d.withColumn(name, _fill_expr(typ))
             convert_dfs.append(d.select([c for c, _ in union]))
 
     n_small = 0

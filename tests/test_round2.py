@@ -220,9 +220,12 @@ def test_map_kv_parser():
     assert pipeline._map_kv("map<string,decimal(10,2)>") == (
         "string", "decimal(10,2)")
     assert pipeline._map_kv("bigint") is None
+    # round 3: nested map VALUES are supported (recursive shredding);
+    # container KEYS remain rejected (the parquet MAP key contract)
+    pipeline._col_kind("map<string,map<string,int>>")
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="nested map leaf"):
-        pipeline._col_kind("map<string,map<string,int>>")
+    with _pytest.raises(ValueError, match="map keys must be scalar"):
+        pipeline._col_kind("map<struct<a:int>,int>")
 
 
 def test_struct_fields_parser():
