@@ -359,6 +359,54 @@ def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _level_hist_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition/repetition level histograms (A4, the
+    writer_statistics.go:20-44 analog): encode the repeated-group props
+    column, then element-wise-sum the per-chunk leaf histograms from
+    the manifest. The oracle recomputes the same Dremel entry counts
+    from the raw table in closed form."""
+    df = (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.transform(
+                F.slice(F.split(F.col("text"), " "), 1, 5),
+                lambda x: F.struct(
+                    x.alias("w"),
+                    F.when(F.length(x) % 3 == 0, None)
+                    .otherwise(F.length(x)).cast("int").alias("n"),
+                ),
+            ).alias("props"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_levhist_")
+    pipeline.encode_table(
+        spark, df, out, repo_col="source", salt_cols=["doc_id"],
+        sort_cols=["doc_id"], resume=False,
+    )
+    m = pipeline.manifest(spark, out).where(
+        (F.col("column") == "props") & F.col("def_hist").isNotNull()
+    )
+
+    def esum(c):
+        return (
+            m.select("stream", F.posexplode(c).alias("i", "v"))
+            .groupBy("stream", "i").agg(F.sum("v").alias("v"))
+            .groupBy("stream").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "v"))),
+                        lambda s: s["v"].cast("string"),
+                    ), ",",
+                ).alias(c)
+            )
+        )
+
+    return esum("def_hist").join(esum("rep_hist"), "stream").select(
+        "stream", "def_hist", "rep_hist"
+    )
+
+
 def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _encode_fresh(spark, sf_dir, "lineitem")
     m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
@@ -583,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
+        "level_hist_props": _level_hist_props,
         "chunk_rowcounts_lineitem": _chunk_rowcounts_lineitem,
         "prune_decode_orders": _prune_decode_orders,
         "range_prune_orders": _range_prune_orders,
@@ -836,6 +885,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(l_quantity) AS DOUBLE) AS max_qty, "
             "CAST(min(l_extendedprice) AS DOUBLE) AS min_price, "
             "CAST(max(l_extendedprice) AS DOUBLE) AS max_price FROM lineitem"
+        ),
+        "level_hist_props": (
+            "WITH s AS (SELECT least(len(string_split(text, ' ')), 5) AS L, "
+            "list_transform(list_slice(string_split(text, ' '), 1, 5), "
+            "x -> length(x)) AS lens FROM documents), "
+            "agg AS (SELECT count(*) AS n, CAST(sum(L) AS BIGINT) AS c1, "
+            "CAST(sum(CASE WHEN L > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne, "
+            "CAST(sum(CASE WHEN L = 0 THEN 1 ELSE 0 END) AS BIGINT) AS emp, "
+            "CAST(sum(len(list_filter(lens, x -> x % 3 = 0))) AS BIGINT) "
+            "AS nulls FROM s) "
+            "SELECT 'f:w' AS stream, "
+            "CAST(emp AS VARCHAR) || ',0,' || CAST(c1 AS VARCHAR) "
+            "AS def_hist, "
+            "CAST(n AS VARCHAR) || ',' || CAST(c1 - ne AS VARCHAR) "
+            "AS rep_hist FROM agg "
+            "UNION ALL SELECT 'f:n', "
+            "CAST(emp AS VARCHAR) || ',' || CAST(nulls AS VARCHAR) || ',' "
+            "|| CAST(c1 - nulls AS VARCHAR), "
+            "CAST(n AS VARCHAR) || ',' || CAST(c1 - ne AS VARCHAR) FROM agg"
         ),
         "chunk_rowcounts_lineitem": (
             "SELECT col_name, count(*) AS n_rows FROM lineitem CROSS JOIN "

@@ -37,9 +37,9 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, DateType, DoubleType, FloatType, IntegerType,
-    LongType, StringType, StructField, StructType, TimestampNTZType,
-    TimestampType,
+    ArrayType, BinaryType, BooleanType, DateType, DoubleType, FloatType,
+    IntegerType, LongType, StringType, StructField, StructType,
+    TimestampNTZType, TimestampType,
 )
 
 from parquet_go_spark.codecs import bloom as bloomlib
@@ -60,7 +60,8 @@ STAT_TRUNCATE = 16
 MANIFEST_COLUMNS = [
     "chunk_id", "repo", "bucket", "column", "stream", "n_rows", "kind",
     "codec", "dict", "zstd", "spark_type", "raw_bytes", "enc_bytes",
-    "sha256", "min_val", "max_val", "null_count", "bloom",
+    "sha256", "min_val", "max_val", "null_count", "def_hist", "rep_hist",
+    "bloom",
 ]
 
 BLOB_SCHEMA = StructType(
@@ -82,6 +83,8 @@ BLOB_SCHEMA = StructType(
         StructField("min_val", StringType(), True),
         StructField("max_val", StringType(), True),
         StructField("null_count", LongType(), False),
+        StructField("def_hist", ArrayType(LongType()), True),
+        StructField("rep_hist", ArrayType(LongType()), True),
         StructField("bloom", BinaryType(), True),
         StructField("blob", BinaryType(), False),
     ]
@@ -405,7 +408,8 @@ def _chunk_stats(values, spark_type: str) -> tuple[str | None, str | None]:
 
 
 def _encode_one(values, kind, spark_type, compression, base,
-                stream="values", validity=None, fsst_cache=None):
+                stream="values", validity=None, fsst_cache=None,
+                def_hist=None, rep_hist=None):
     # UUID-ish upgrade (type_uuid.go:14 analog): a binary chunk whose
     # values all share one width w ≤ 64 encodes as FLBA(w) — dropping
     # the per-value length framing and unlocking the BYTE_STREAM_SPLIT
@@ -468,7 +472,8 @@ def _encode_one(values, kind, spark_type, compression, base,
         zstd=compression is not None, spark_type=spark_type, raw_bytes=info["raw_bytes"],
         enc_bytes=len(blob),
         sha256=_column_sha256(values, spark_type, validity),
-        min_val=mn, max_val=mx, null_count=null_count, bloom=bf, blob=blob,
+        min_val=mn, max_val=mx, null_count=null_count,
+        def_hist=def_hist, rep_hist=rep_hist, bloom=bf, blob=blob,
     )
     return rec
 
@@ -477,12 +482,37 @@ def _join_stream(prefix: str, seg: str) -> str:
     return seg if not prefix else f"{prefix}/{seg}"
 
 
-def _shred_column(arr, spark_type: str, prefix: str = ""):
+def _level_hists(ancestors, n_slots: int, null_count: int):
+    """Definition/repetition level histograms for one leaf — the
+    writer_statistics.go:20-44 analog, computed vectorized from the
+    lengths chain instead of per-entry level streams.
+
+    With k repeated ancestors (lengths arrays, outermost first), the
+    Dremel entry counts are closed-form: rep histogram
+    [n_rows, c_1 − nonempty_1, …, c_k − nonempty_k] (an entry repeats
+    at level j iff it starts a non-first element of a level-j list);
+    def histogram [empty_1, …, empty_k, leaf_nulls, leaf_values]
+    (an entry stops at level j−1 iff the level-j list is empty; our
+    containers are non-null, so lists add exactly one def level each
+    and the nullable leaf adds the last)."""
+    k = len(ancestors)
+    n_rows = len(ancestors[0]) if k else n_slots
+    rep = [n_rows] + [
+        int(l.sum()) - int((l > 0).sum()) for l in ancestors
+    ]
+    de = [int((l == 0).sum()) for l in ancestors]
+    de += [null_count, n_slots - null_count]
+    return de, rep
+
+
+def _shred_column(arr, spark_type: str, prefix: str = "", ancestors=()):
     """Recursively shred ONE Arrow column into flat streams — the
     Deconstruct analog at arbitrary nesting depth (the reference walks
     the schema tree the same way, schema.go:341-430 +
     column_buffer_repeated.go). Yields
-    (stream_name, values, kind, leaf_spark_type, validity).
+    (stream_name, values, kind, leaf_spark_type, validity,
+    def_hist, rep_hist); level histograms are carried on leaf streams
+    only (lengths streams ARE the levels).
 
     Stream naming reproduces the original one-level names exactly
     (scalar → 'values', list → 'lengths'+element streams, struct field
@@ -509,7 +539,7 @@ def _shred_column(arr, spark_type: str, prefix: str = ""):
         lengths = np.asarray(
             pa.compute.list_value_length(arr)).astype(np.int32)
         yield (_join_stream(prefix, "lengths"), lengths,
-               Kind.INT32, "int", None)
+               Kind.INT32, "int", None, None, None)
         # list/map elements need a distinguishing 'item' segment (their
         # own lengths stream would collide with ours); struct and scalar
         # elements keep the parent prefix — which is what reproduces the
@@ -518,7 +548,8 @@ def _shred_column(arr, spark_type: str, prefix: str = ""):
                         if (_list_elem(el) is not None
                             or _map_kv(el) is not None)
                         else prefix)
-        yield from _shred_column(arr.flatten(), el, child_prefix)
+        yield from _shred_column(arr.flatten(), el, child_prefix,
+                                 ancestors + (lengths,))
     elif mk is not None:
         ktype, vtype = mk
         if arr.null_count:
@@ -533,14 +564,16 @@ def _shred_column(arr, spark_type: str, prefix: str = ""):
         lengths = np.asarray(
             pa.compute.list_value_length(arr)).astype(np.int32)
         yield (_join_stream(prefix, "lengths"), lengths,
-               Kind.INT32, "int", None)
+               Kind.INT32, "int", None, None, None)
         entries = arr.flatten()
         keys = entries.field(0)
         if keys.null_count:
             raise ValueError("map keys must be non-null")
-        yield from _shred_column(keys, ktype, _join_stream(prefix, "keys"))
+        yield from _shred_column(keys, ktype, _join_stream(prefix, "keys"),
+                                 ancestors + (lengths,))
         yield from _shred_column(
-            entries.field(1), vtype, _join_stream(prefix, "values"))
+            entries.field(1), vtype, _join_stream(prefix, "values"),
+            ancestors + (lengths,))
     elif sf is not None:
         if arr.null_count:
             raise ValueError(
@@ -548,14 +581,16 @@ def _shred_column(arr, spark_type: str, prefix: str = ""):
                 "fields may be null)")
         for (fname, ftype), child in zip(sf, arr.flatten()):
             yield from _shred_column(
-                child, ftype, _join_stream(prefix, f"f:{fname}"))
+                child, ftype, _join_stream(prefix, f"f:{fname}"), ancestors)
     else:
         validity = None
+        n_slots = len(arr)
         if arr.null_count:
             validity = np.asarray(arr.is_valid())
             arr = arr.drop_null()
+        de, rep = _level_hists(ancestors, n_slots, n_slots - len(arr))
         yield (prefix or "values", _arrow_to_values(arr, spark_type),
-               _col_kind(spark_type), spark_type, validity)
+               _col_kind(spark_type), spark_type, validity, de, rep)
 
 
 _BLOB_ARROW_SCHEMA = pa.schema(
@@ -568,8 +603,10 @@ _BLOB_ARROW_SCHEMA = pa.schema(
         ("spark_type", pa.string()), ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()), ("sha256", pa.string()),
         ("min_val", pa.string()), ("max_val", pa.string()),
-        ("null_count", pa.int64()), ("bloom", pa.binary()),
-        ("blob", pa.binary()),
+        ("null_count", pa.int64()),
+        ("def_hist", pa.list_(pa.int64())),
+        ("rep_hist", pa.list_(pa.int64())),
+        ("bloom", pa.binary()), ("blob", pa.binary()),
     ]
 )
 
@@ -635,12 +672,12 @@ def _encode_one_chunk(tbl: pa.Table, columns, repo: str, bucket: int,
     recs = []
     for name, spark_type in columns:
         b = dict(base, column=name)
-        for stream, values, kind, leaf_type, validity in _shred_column(
-            tbl.column(name), spark_type
-        ):
+        for (stream, values, kind, leaf_type, validity,
+             de, rep) in _shred_column(tbl.column(name), spark_type):
             recs.append(_encode_one(values, kind, leaf_type, compression,
                                     b, stream=stream, validity=validity,
-                                    fsst_cache=fsst_cache))
+                                    fsst_cache=fsst_cache,
+                                    def_hist=de, rep_hist=rep))
     return pa.RecordBatch.from_pylist(recs, schema=_BLOB_ARROW_SCHEMA)
 
 

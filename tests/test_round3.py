@@ -663,3 +663,203 @@ def test_deep_nested_fill_expr(spark):
     assert row.c.a is not None
     assert row.c.a.x is None and row.c.a.y == []
     assert row.c.m == {}
+
+
+# ---------------------------------------------------------------------------
+# Level histograms (A4, writer_statistics.go:20-44 analog): per-leaf
+# definition/repetition histograms derived vectorized from the lengths
+# chain, checked against a row-wise Dremel reference implementation.
+# ---------------------------------------------------------------------------
+
+def _leaf_streams(t, prefix=""):
+    """Leaf stream names of a type subtree (same grammar as the shredder)."""
+    el = pipeline._list_elem(t)
+    kv = pipeline._map_kv(t)
+    sf = pipeline._struct_fields(t)
+    if el is not None:
+        child_prefix = (pipeline._join_stream(prefix, "item")
+                        if (pipeline._list_elem(el) is not None
+                            or pipeline._map_kv(el) is not None)
+                        else prefix)
+        return _leaf_streams(el, child_prefix)
+    if kv is not None:
+        return (_leaf_streams(kv[0], pipeline._join_stream(prefix, "keys"))
+                + _leaf_streams(kv[1], pipeline._join_stream(prefix, "values")))
+    if sf is not None:
+        out = []
+        for fn, ft in sf:
+            out += _leaf_streams(ft, pipeline._join_stream(prefix, f"f:{fn}"))
+        return out
+    return [prefix or "values"]
+
+
+def _dremel_ref(rows, typ):
+    """Entry-wise Dremel level computation over Python values — the
+    slow, obviously-correct reference for the engine\'s level semantics
+    (containers non-null; each list/map level adds one def level; the
+    scalar leaf adds the last; rep level = the list depth at which an
+    entry continues an existing list)."""
+    from collections import defaultdict
+    ent = defaultdict(list)  # leaf stream -> [(def, rep)]
+
+    def walk(val, t, prefix, dl, rl, depth):
+        el = pipeline._list_elem(t)
+        kv = pipeline._map_kv(t)
+        sf = pipeline._struct_fields(t)
+        if el is not None:
+            child_prefix = (pipeline._join_stream(prefix, "item")
+                            if (pipeline._list_elem(el) is not None
+                                or pipeline._map_kv(el) is not None)
+                            else prefix)
+            if not val:
+                for leaf in _leaf_streams(el, child_prefix):
+                    ent[leaf].append((dl, rl))
+                return
+            for i, item in enumerate(val):
+                walk(item, el, child_prefix, dl + 1,
+                     rl if i == 0 else depth + 1, depth + 1)
+        elif kv is not None:
+            kp = pipeline._join_stream(prefix, "keys")
+            vp = pipeline._join_stream(prefix, "values")
+            if not val:
+                for leaf in _leaf_streams(kv[0], kp) + _leaf_streams(kv[1], vp):
+                    ent[leaf].append((dl, rl))
+                return
+            items = list(val.items()) if isinstance(val, dict) else list(val)
+            for i, (k, v) in enumerate(items):
+                r = rl if i == 0 else depth + 1
+                walk(k, kv[0], kp, dl + 1, r, depth + 1)
+                walk(v, kv[1], vp, dl + 1, r, depth + 1)
+        elif sf is not None:
+            for fn, ft in sf:
+                walk(val.get(fn), ft,
+                     pipeline._join_stream(prefix, f"f:{fn}"), dl, rl, depth)
+        else:
+            ent[prefix or "values"].append(
+                (dl + (1 if val is not None else 0), rl))
+
+    for row in rows:
+        walk(row, typ, "", 0, 0, 0)
+    out = {}
+    for leaf, pairs in ent.items():
+        max_d = max(d for d, _ in pairs)
+        max_r = max(r for _, r in pairs)
+        de = [0] * (max_d + 1)
+        rp = [0] * (max_r + 1)
+        for d, r in pairs:
+            de[d] += 1
+            rp[r] += 1
+        out[leaf] = (de, rp)
+    return out
+
+
+def _pa_type_of(t):
+    el = pipeline._list_elem(t)
+    if el is not None:
+        return pa.list_(_pa_type_of(el))
+    sf = pipeline._struct_fields(t)
+    if sf is not None:
+        return pa.struct([(f, _pa_type_of(ft)) for f, ft in sf])
+    kv = pipeline._map_kv(t)
+    if kv is not None:
+        return pa.map_(_pa_type_of(kv[0]), _pa_type_of(kv[1]))
+    return {"int": pa.int32(), "bigint": pa.int64(),
+            "double": pa.float64(), "string": pa.string()}[t]
+
+
+def _engine_hists(typ, rows):
+    arr = pa.array(rows, _pa_type_of(typ))
+    return {
+        name: (de, rep)
+        for name, _v, _k, _t, _val, de, rep
+        in pipeline._shred_column(arr, typ)
+        if de is not None
+    }
+
+
+LEVEL_CASES = [
+    ("array<int>", [[1, 2], [], [None]]),
+    ("array<array<int>>", [[[1], []], [], [[2, None], [3]]]),
+    ("struct<a:int,b:string>", [{"a": 1, "b": None}, {"a": None, "b": "x"}]),
+    ("map<string,int>", [[("a", 1), ("b", None)], []]),
+    ("array<struct<k:string,v:array<bigint>>>",
+     [[{"k": "a", "v": [1, 2]}, {"k": "b", "v": []}], [],
+      [{"k": "c", "v": [None]}]]),
+    ("map<string,array<string>>",
+     [[("k", ["a", "b"]), ("j", [])], [], [("m", [None])]]),
+    ("struct<a:array<int>>", [{"a": [1]}, {"a": []}]),
+]
+
+
+@pytest.mark.parametrize("typ,rows", LEVEL_CASES,
+                         ids=[t for t, _ in LEVEL_CASES])
+def test_level_histograms_vs_dremel_reference(typ, rows):
+    # dict rows for the reference walker
+    def to_ref(v, t):
+        el = pipeline._list_elem(t)
+        kv = pipeline._map_kv(t)
+        sf = pipeline._struct_fields(t)
+        if el is not None:
+            return None if v is None else [to_ref(x, el) for x in v]
+        if kv is not None:
+            return None if v is None else [
+                (k, to_ref(x, kv[1])) for k, x in v]
+        if sf is not None:
+            return None if v is None else {
+                fn: to_ref(v.get(fn), ft) for fn, ft in sf}
+        return v
+
+    ref = _dremel_ref([to_ref(r, typ) for r in rows], typ)
+    got = _engine_hists(typ, rows)
+    assert set(got) == set(ref)
+    for leaf in ref:
+        rd, rr = ref[leaf]
+        gd, gr = got[leaf]
+        # engine histograms are fixed-width (k lists + null + value for
+        # def; k+1 for rep); the reference trims trailing zeros — pad
+        gd2 = gd[:len(rd)] if len(gd) > len(rd) else gd + [0] * (len(rd) - len(gd))
+        assert all(x == 0 for x in gd[len(rd):])
+        gr2 = gr[:len(rr)] if len(gr) > len(rr) else gr + [0] * (len(rr) - len(gr))
+        assert all(x == 0 for x in gr[len(rr):])
+        assert gd2 == rd, (leaf, gd, rd)
+        assert gr2 == rr, (leaf, gr, rr)
+        assert sum(gd) == sum(gr)  # one def and one rep per entry
+
+
+def test_level_histograms_in_manifest(spark, tmp_path):
+    df = spark.range(400).select(
+        F.concat(F.lit("r"), F.col("id") % 2).alias("repo"),
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.array().cast("array<int>"))
+        .otherwise(F.array(
+            (F.col("id") % 5).cast("int"),
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise(F.col("id") % 9).cast("int"),
+        )).alias("vals"),
+    )
+    out = str(tmp_path / "hist")
+    pipeline.encode_table(spark, df, out, repo_col="repo",
+                          salt_cols=["k"], sort_cols=["k"], resume=False)
+    m = pipeline.manifest(spark, out)
+    r = (m.where((F.col("column") == "vals") & (F.col("stream") == "values"))
+         .select(F.posexplode("def_hist").alias("i", "v"))
+         .groupBy("i").agg(F.sum("v").alias("s"))
+         .orderBy("i").collect())
+    de = [row.s for row in r]
+    n_empty = 400 // 7 + 1  # ids 0,7,...,399
+    n_elems = (400 - n_empty) * 2
+    n_null = sum(1 for i in range(400) if i % 7 != 0 and i % 3 == 0)
+    assert de == [n_empty, n_null, n_elems - n_null]
+    r = (m.where((F.col("column") == "vals") & (F.col("stream") == "values"))
+         .select(F.posexplode("rep_hist").alias("i", "v"))
+         .groupBy("i").agg(F.sum("v").alias("s"))
+         .orderBy("i").collect())
+    assert [row.s for row in r] == [400, 400 - n_empty]
+    # scalar column: classic optional-leaf histogram, no rep levels
+    r = (m.where((F.col("column") == "k") & (F.col("stream") == "values"))
+         .select(F.posexplode("def_hist").alias("i", "v"))
+         .groupBy("i").agg(F.sum("v").alias("s")).orderBy("i").collect())
+    assert [row.s for row in r] == [0, 400]
+    # lengths streams carry no histograms
+    assert m.where((F.col("stream") == "lengths")
+                   & F.col("def_hist").isNotNull()).count() == 0
