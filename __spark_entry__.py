@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_go_spark.codecs.kinds import Codec
+from parquet_go_spark.interop import export as interop_export
 from parquet_go_spark.operators import dedup, multimodal, roundtrip, similarity, text
 from parquet_go_spark.plans import pipeline
 
@@ -407,6 +408,27 @@ def _level_hist_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_interop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-direction format interop (round 3): export orders as REAL
+    .parquet files — thrift compact metadata + our codec page payloads
+    (DELTA_BINARY_PACKED / RLE_DICTIONARY / BYTE_STREAM_SPLIT dict
+    pages, v1 def levels) — then read them back with Spark's parquet-mr
+    reader. The oracle reads the ORIGINAL table, so parquet-mr's decode
+    of our bytes must agree value-for-value (the mirror of the golden
+    decode suite; the reference is a full parquet writer, writer.go)."""
+    df = _load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="colcodec_interop_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="o_orderstatus",
+        salt_cols=["o_orderkey"], target_chunk_bytes=1 << 20,
+    )
+    back = spark.read.parquet(out + "/*.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    return _fmt_ts(back, "o_orderdate")
+
+
 def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _encode_fresh(spark, sf_dir, "lineitem")
     m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
@@ -629,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_rle_boolean": _codec_rt(
             "lineitem", "flag", Codec.RLE, derive=li_flag
         ),
+        "parquet_interop_orders": _parquet_interop_orders,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
         "level_hist_props": _level_hist_props,
@@ -886,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(l_extendedprice) AS DOUBLE) AS min_price, "
             "CAST(max(l_extendedprice) AS DOUBLE) AS max_price FROM lineitem"
         ),
+        "parquet_interop_orders": f"SELECT {o_cols} FROM orders",
         "level_hist_props": (
             "WITH s AS (SELECT least(len(string_split(text, ' ')), 5) AS L, "
             "list_transform(list_slice(string_split(text, ' '), 1, 5), "

@@ -1,0 +1,185 @@
+"""Distributed parquet export: encode a DataFrame into real .parquet
+files (one per planned chunk group) through our codec kernels, so the
+files are readable by ANY parquet implementation — Spark's parquet-mr,
+pyarrow, DuckDB. The write-direction interop path (writer.go is a full
+parquet writer in the reference; tests/test_golden_decode.py covers the
+read direction here).
+
+Same scale shape as pipeline.encode_table: one metadata-scale planning
+aggregation, one shuffle on the chunk key, Arrow-native kernels, no
+per-row Python. Oversized groups roll to additional files at
+2x target_chunk_bytes (files are independent, so splitting is free) —
+a task never buffers more than ~one file of Arrow slices.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from parquet_go_spark.codecs.kinds import Kind
+from parquet_go_spark.plans import pipeline
+from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+_SUMMARY_SCHEMA = StructType([
+    StructField("file", StringType(), False),
+    StructField("repo", StringType(), False),
+    StructField("bucket", LongType(), False),
+    StructField("part", LongType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("file_bytes", LongType(), False),
+])
+
+_SUMMARY_ARROW = pa.schema([
+    ("file", pa.string()), ("repo", pa.string()), ("bucket", pa.int64()),
+    ("part", pa.int64()), ("n_rows", pa.int64()), ("file_bytes", pa.int64()),
+])
+
+# spark type → SchemaElement logical annotation. timestamp_ntz maps to
+# the legacy TIMESTAMP_MICROS converted type too (it implies
+# adjusted-to-UTC, so readers surface LTZ micros — wall-time-identical
+# under the UTC session the engine standardizes on).
+_LOGICAL = {"string": "string", "date": "date",
+            "timestamp": "timestamp_micros",
+            "timestamp_ntz": "timestamp_micros"}
+
+
+def _supported(spark_type: str) -> bool:
+    return spark_type in pipeline._KIND_BY_SPARK
+
+
+def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
+    specs = []
+    for name, spark_type in columns:
+        arr = tbl.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        validity = None
+        if arr.null_count:
+            validity = np.asarray(arr.is_valid())
+            arr = arr.drop_null()
+        specs.append(ColumnSpec(
+            name,
+            pipeline._col_kind(spark_type),
+            pipeline._arrow_to_values(arr, spark_type),
+            validity=validity,
+            logical=_LOGICAL.get(spark_type),
+        ))
+    return specs
+
+
+def _file_name(repo: str, bucket: int, part: int) -> str:
+    # filesystem-safe, collision-free: readable prefix + short digest
+    safe = "".join(ch if ch.isalnum() or ch in "-_." else "_"
+                   for ch in repo)[:48]
+    dig = hashlib.sha256(repo.encode()).hexdigest()[:8]
+    suffix = f"-{part}" if part else ""
+    return f"{safe}-{dig}-b{bucket}{suffix}.parquet"
+
+
+def _export_fn(columns, out_dir: str, compression, target_bytes: int,
+               page_rows: int):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        groups: dict[tuple[str, int], list[pa.RecordBatch]] = {}
+        sizes: dict[tuple[str, int], int] = {}
+        parts: dict[tuple[str, int], int] = {}
+        rows = []
+
+        def flush(key):
+            repo, bucket = key
+            tbl = pa.Table.from_batches(groups.pop(key))
+            sizes.pop(key)
+            part = parts.get(key, 0)
+            parts[key] = part + 1
+            name = _file_name(repo, bucket, part)
+            info = write_table(
+                os.path.join(out_dir, name),
+                _to_specs(tbl, columns),
+                compression=compression, page_rows=page_rows,
+            )
+            rows.append({
+                "file": name, "repo": repo, "bucket": bucket, "part": part,
+                "n_rows": info["n_rows"], "file_bytes": info["file_bytes"],
+            })
+
+        # vectorized grouping, same pattern as pipeline._encode_stream_fn:
+        # dictionary-encode repo, combine with bucket into one int64 key,
+        # argsort + boundary detection — no per-row Python
+        import pyarrow.compute as pc
+        data_cols = [c for c, _ in columns]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            dictized = pc.dictionary_encode(batch.column("__repo"))
+            rcodes = np.asarray(dictized.indices).astype(np.int64)
+            rdict = dictized.dictionary
+            buckets = np.asarray(batch.column("__bucket")).astype(np.int64)
+            key_code = (rcodes << 32) | buckets
+            order = np.argsort(key_code, kind="stable")
+            sorted_keys = key_code[order]
+            change = np.ones(n, dtype=bool)
+            change[1:] = sorted_keys[1:] != sorted_keys[:-1]
+            starts = np.flatnonzero(change)
+            data = batch.select(data_cols).take(pa.array(order))
+            for i, s in enumerate(starts):
+                e = starts[i + 1] if i + 1 < len(starts) else n
+                code = sorted_keys[s]
+                k = (rdict[int(code >> 32)].as_py(), int(code & 0xFFFFFFFF))
+                sl = data.slice(s, e - s)
+                groups.setdefault(k, []).append(sl)
+                sizes[k] = sizes.get(k, 0) + sl.nbytes
+                # size-triggered roll: a task never buffers more than
+                # ~2x target per group (same bound as the encode kernel)
+                if sizes[k] >= 2 * target_bytes:
+                    flush(k)
+        for key in list(groups):
+            flush(key)
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=_SUMMARY_ARROW)
+
+    return fn
+
+
+def export_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    repo_col: str = "repo",
+    salt_cols: list[str] | None = None,
+    compression: str | None = None,
+    target_chunk_bytes: int = pipeline.TARGET_CHUNK_BYTES,
+    page_rows: int = 65536,
+    size_mode: str | None = None,
+) -> DataFrame:
+    """Write df as a directory of self-contained .parquet files encoded
+    by our kernels; returns the per-file summary DataFrame (collected
+    eagerly so the write is done when this returns)."""
+    columns = df.dtypes
+    for name, t in columns:
+        if not _supported(t):
+            raise ValueError(
+                f"export_parquet: column {name}: unsupported type {t} "
+                "(flat scalar columns only)")
+    os.makedirs(out_dir, exist_ok=True)
+    salt_cols = salt_cols or [c for c, _ in columns if c != repo_col][:2]
+    keyed = pipeline.plan_chunks(df, repo_col, salt_cols,
+                                 target_chunk_bytes, size_mode=size_mode)
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    parts = keyed.repartition(n_parts, "__repo", "__bucket")
+    fn = _export_fn(columns, out_dir, compression, target_chunk_bytes,
+                    page_rows)
+    summary = parts.mapInArrow(fn, _SUMMARY_SCHEMA)
+    out = summary.cache()
+    out.count()  # materialize the write
+    return out

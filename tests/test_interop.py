@@ -1,0 +1,270 @@
+"""Write-direction format interop: .parquet files produced by our
+encoders + thrift compact metadata writer must be readable bit-exact by
+third-party readers (pyarrow, DuckDB, and Spark's parquet-mr in the
+Spark tests). The mirror of test_golden_decode.py, which proves the
+read direction against reference-written pages (the reference is a
+full parquet writer, writer.go)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_spark.codecs.bytearrays import ByteArrays
+from parquet_go_spark.codecs.kinds import Codec, Kind
+from parquet_go_spark.interop import thriftc as tc
+from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+from tests.parquet_rawpages import read_struct
+
+
+# ---------------------------------------------------------------------------
+# thrift compact writer vs our independent reader
+# ---------------------------------------------------------------------------
+
+def test_thrift_struct_roundtrip():
+    inner = tc.struct([(1, tc.I32, 42), (2, tc.BINARY, "hi")])
+    buf = tc.struct([
+        (1, tc.I32, -7),
+        (2, tc.I64, 1 << 40),
+        (3, tc.BINARY, b"\x00\xff"),
+        (4, tc.LIST, [1, 2, 300], tc.I32),
+        (5, tc.STRUCT, inner),
+        (7, tc.BOOL, True),
+        (8, tc.BOOL, False),
+        (30, tc.I32, 9),          # id delta > 15 → long-form header
+        (9, tc.LIST, list(range(20)), tc.I32),  # list size ≥ 15
+    ])
+    out, _ = read_struct(buf, 0)
+    assert out[1] == -7
+    assert out[2] == 1 << 40
+    assert out[3] == b"\x00\xff"
+    assert out[4] == [1, 2, 300]
+    assert out[5] == {1: 42, 2: b"hi"}
+    assert out[7] is True and out[8] is False
+    assert out[30] == 9
+    assert out[9] == list(range(20))
+
+
+def test_thrift_none_fields_skipped():
+    buf = tc.struct([(1, tc.I32, 1), (2, tc.I32, None), (3, tc.I32, 3)])
+    out, _ = read_struct(buf, 0)
+    assert out == {1: 1, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# codec × kind matrix through pyarrow
+# ---------------------------------------------------------------------------
+
+def _rng():
+    return np.random.default_rng(11)
+
+
+MATRIX = [
+    ("i64_plain", Kind.INT64, Codec.PLAIN),
+    ("i64_delta", Kind.INT64, Codec.DELTA_BINARY_PACKED),
+    ("i64_dict", Kind.INT64, Codec.RLE_DICTIONARY),
+    ("i32_plain", Kind.INT32, Codec.PLAIN),
+    ("i32_delta", Kind.INT32, Codec.DELTA_BINARY_PACKED),
+    ("f64_plain", Kind.DOUBLE, Codec.PLAIN),
+    ("f64_bss", Kind.DOUBLE, Codec.BYTE_STREAM_SPLIT),
+    ("f32_bss", Kind.FLOAT, Codec.BYTE_STREAM_SPLIT),
+    ("bool_plain", Kind.BOOLEAN, Codec.PLAIN),
+    ("bool_rle", Kind.BOOLEAN, Codec.RLE),
+    ("ba_plain", Kind.BYTE_ARRAY, Codec.PLAIN),
+    ("ba_dlba", Kind.BYTE_ARRAY, Codec.DELTA_LENGTH_BYTE_ARRAY),
+    ("ba_dba", Kind.BYTE_ARRAY, Codec.DELTA_BYTE_ARRAY),
+    ("ba_dict", Kind.BYTE_ARRAY, Codec.RLE_DICTIONARY),
+]
+
+
+def _values(kind: int, n: int = 4000):
+    r = _rng()
+    if kind == Kind.INT64:
+        return r.integers(-(10**12), 10**12, n).astype(np.int64)
+    if kind == Kind.INT32:
+        return r.integers(-(10**6), 10**6, n).astype(np.int32)
+    if kind == Kind.DOUBLE:
+        return r.random(n)
+    if kind == Kind.FLOAT:
+        return r.random(n).astype(np.float32)
+    if kind == Kind.BOOLEAN:
+        return r.random(n) > 0.4
+    return ByteArrays.from_pylist(
+        [f"src/mod_{i % 97}/file_{i % 13}.go".encode() for i in range(n)])
+
+
+def _expected(vals, kind):
+    if kind == Kind.BYTE_ARRAY:
+        return vals.to_pylist()
+    return list(vals)
+
+
+@pytest.mark.parametrize("name,kind,codec", MATRIX,
+                         ids=[m[0] for m in MATRIX])
+def test_pyarrow_reads_each_encoding(tmp_path, name, kind, codec):
+    vals = _values(kind)
+    p = str(tmp_path / f"{name}.parquet")
+    write_table(p, [ColumnSpec("c", kind, vals, encoding=codec)],
+                page_rows=1500)  # force multi-page
+    t = pq.read_table(p)
+    got = t.column("c").to_pylist()
+    assert got == _expected(vals, kind)
+    # footer records the declared encoding
+    md = pq.ParquetFile(p).metadata.row_group(0).column(0)
+    assert md.num_values == len(got)
+
+
+@pytest.mark.parametrize("comp", [None, "snappy", "gzip", "zstd"])
+def test_pyarrow_reads_compressions(tmp_path, comp):
+    vals = _values(Kind.BYTE_ARRAY)
+    p = str(tmp_path / f"c_{comp}.parquet")
+    write_table(p, [ColumnSpec("s", Kind.BYTE_ARRAY, vals,
+                               logical="string")],
+                compression=comp, page_rows=1000)
+    t = pq.read_table(p)
+    assert t.column("s").to_pylist() == [
+        v.decode() for v in vals.to_pylist()]
+
+
+def test_optional_columns_def_levels(tmp_path):
+    r = _rng()
+    n = 3000
+    validity = r.random(n) > 0.3
+    vals = r.integers(0, 100, int(validity.sum())).astype(np.int64)
+    strs = ByteArrays.from_pylist(
+        [f"v{i}".encode() for i in range(int(validity.sum()))])
+    p = str(tmp_path / "opt.parquet")
+    write_table(p, [
+        ColumnSpec("num", Kind.INT64, vals, validity=validity,
+                   encoding=Codec.RLE_DICTIONARY),
+        ColumnSpec("txt", Kind.BYTE_ARRAY, strs, validity=validity,
+                   logical="string"),
+    ], page_rows=700)
+    t = pq.read_table(p)
+    exp_num, exp_txt, j = [], [], 0
+    for v in validity:
+        if v:
+            exp_num.append(int(vals[j]))
+            exp_txt.append(f"v{j}")
+            j += 1
+        else:
+            exp_num.append(None)
+            exp_txt.append(None)
+    assert t.column("num").to_pylist() == exp_num
+    assert t.column("txt").to_pylist() == exp_txt
+
+
+def test_all_null_and_empty_values(tmp_path):
+    p = str(tmp_path / "edge.parquet")
+    write_table(p, [
+        ColumnSpec("a", Kind.INT64, np.array([], dtype=np.int64),
+                   validity=np.zeros(3, dtype=bool)),
+        ColumnSpec("e", Kind.BYTE_ARRAY,
+                   ByteArrays.from_pylist([b"", b"x", b""]),
+                   logical="string"),
+    ])
+    t = pq.read_table(p)
+    assert t.column("a").to_pylist() == [None, None, None]
+    assert t.column("e").to_pylist() == ["", "x", ""]
+
+
+def test_flba_roundtrip(tmp_path):
+    r = _rng()
+    flba = r.integers(0, 256, (500, 16)).astype(np.uint8)
+    p = str(tmp_path / "flba.parquet")
+    write_table(p, [ColumnSpec("u", Kind.FIXED_LEN_BYTE_ARRAY, flba,
+                               flba_size=16, encoding=Codec.PLAIN)])
+    t = pq.read_table(p)
+    assert t.column("u").to_pylist() == [bytes(row) for row in flba]
+
+
+def test_duckdb_reads_mixed_file(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    r = _rng()
+    n = 2000
+    ints = np.sort(r.integers(0, 10**9, n)).astype(np.int64)
+    strs = ByteArrays.from_pylist([f"w{i % 7}".encode() for i in range(n)])
+    p = str(tmp_path / "mix.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("s", Kind.BYTE_ARRAY, strs, logical="string"),
+    ], page_rows=600)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(k), count(DISTINCT s) "
+        f"FROM read_parquet('{p}')").fetchall()[0]
+    assert got == (n, int(ints.sum()), 7)
+
+
+# ---------------------------------------------------------------------------
+# Spark (parquet-mr) reads our files; distributed export
+# ---------------------------------------------------------------------------
+
+def test_spark_reads_our_file(spark, tmp_path):
+    r = _rng()
+    n = 5000
+    ints = r.integers(0, 10**9, n).astype(np.int64)
+    validity = r.random(n) > 0.25
+    opt = r.integers(0, 9, int(validity.sum())).astype(np.int32)
+    strs = ByteArrays.from_pylist(
+        [f"lang_{i % 5}".encode() for i in range(n)])
+    flags = r.random(n) > 0.6
+    p = str(tmp_path / "spark_read.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("lang", Kind.BYTE_ARRAY, strs, logical="string"),
+        ColumnSpec("opt", Kind.INT32, opt, validity=validity),
+        ColumnSpec("flag", Kind.BOOLEAN, flags, encoding=Codec.RLE),
+    ], page_rows=1024)
+    df = spark.read.parquet(p)
+    rows = df.orderBy("k").collect()
+    assert len(rows) == n
+    assert df.selectExpr("sum(k)").head()[0] == int(ints.sum())
+    assert df.where("opt IS NULL").count() == int((~validity).sum())
+    assert df.select("lang").distinct().count() == 5
+    assert df.where("flag").count() == int(flags.sum())
+
+
+def test_export_parquet_spark_roundtrip(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.sources import repogen
+    from pyspark.sql import functions as F
+
+    df = repogen.repos_table(spark, n_rows=20000, seed=5).select(
+        "repo", "path", "commit", "lang", "content")
+    out = str(tmp_path / "exported")
+    summary = export_parquet(spark, df, out, target_chunk_bytes=1 << 20)
+    files = summary.collect()
+    assert len(files) > 1  # multiple repos → multiple files
+    assert sum(r.n_rows for r in files) == 20000
+
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == 20000
+    a = df.select(F.sha2("content", 256).alias("h"))
+    b = back.select(F.sha2("content", 256).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # pyarrow agrees too
+    t = pq.read_table(out)
+    assert t.num_rows == 20000
+
+
+def test_export_rolls_oversized_groups(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from pyspark.sql import functions as F
+
+    # one giant repo forced into one bucket → kernel must roll files
+    df = (spark.range(4000)
+          .select(F.lit("mono").alias("repo"),
+                  F.col("id").alias("k"),
+                  F.concat(F.lit("x" * 2000),
+                           F.col("id").cast("string")).alias("body")))
+    out = str(tmp_path / "roll")
+    summary = export_parquet(spark, df, out, salt_cols=["k"],
+                             target_chunk_bytes=1 << 20,
+                             size_mode="exact")
+    files = summary.collect()
+    assert sum(r.n_rows for r in files) == 4000
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == 4000
+    assert back.selectExpr("sum(k)").head()[0] == sum(range(4000))
