@@ -8,14 +8,18 @@ parquet-format spec — so pyarrow, DuckDB, and Spark's own parquet-mr
 reader validate our encoded bytes end-to-end. Mirrors the reference
 being a full parquet writer (writer.go) rather than a private format.
 
-Scope: flat schemas, required/optional leaves, one row group per file,
-data page v1, encodings PLAIN / RLE(boolean) / DELTA_BINARY_PACKED /
-DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT /
-RLE_DICTIONARY, page compression none/snappy/gzip/zstd.
+Scope: flat schemas, required/optional leaves, data pages v1 AND v2
+(the reference's default is v2, config.go:27-31), multiple row groups,
+row-group Statistics with the reference's truncate-with-carry bound
+rule (column_index.go:684-700), encodings PLAIN / RLE(boolean) /
+DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+BYTE_STREAM_SPLIT / RLE_DICTIONARY, page compression
+none/snappy/gzip/zstd.
 """
 
 from __future__ import annotations
 
+import struct as _struct
 from dataclasses import dataclass
 
 import numpy as np
@@ -35,10 +39,12 @@ from parquet_go_spark.interop import thriftc as tc
 # parquet-format PageType / CompressionCodec / ConvertedType enums
 _DATA_PAGE = 0
 _DICTIONARY_PAGE = 2
+_DATA_PAGE_V2 = 3
 _COMPRESSION = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6}
 _CONVERTED = {"string": 0, "date": 6, "timestamp_micros": 10}
 
 _MAGIC = b"PAR1"
+STAT_TRUNCATE = 16  # same bound as the manifest stats (config.go:29)
 
 
 @dataclass
@@ -53,7 +59,7 @@ class ColumnSpec:
     validity: np.ndarray | None = None
     flba_size: int | None = None
     encoding: int | None = None
-    logical: str | None = None  # "string" | "date"
+    logical: str | None = None  # "string" | "date" | "timestamp_micros"
 
 
 def _default_encoding(spec: ColumnSpec) -> int:
@@ -69,10 +75,11 @@ def _default_encoding(spec: ColumnSpec) -> int:
         return Codec.RLE
     n = len(spec.values)
     if n:
-        uniq = len(set(spec.values.to_pylist())) if isinstance(
-            spec.values, ByteArrays
-        ) else len(np.unique(np.asarray(spec.values)))
-        if uniq * 2 <= n:
+        if isinstance(spec.values, ByteArrays):
+            sample = spec.values.to_pylist()[:4096]
+        else:
+            sample = list(np.asarray(spec.values)[:4096])
+        if len(set(sample)) * 2 <= len(sample):
             return Codec.RLE_DICTIONARY
     return (Codec.DELTA_LENGTH_BYTE_ARRAY
             if k == Kind.BYTE_ARRAY else Codec.PLAIN)
@@ -108,51 +115,131 @@ def _slice_values(vals, lo: int, hi: int):
     return vals[lo:hi]
 
 
-def _def_levels_section(validity: np.ndarray) -> bytes:
+# ---------------------------------------------------------------------------
+# statistics (ColumnMetaData field 12) — raw plain-encoded bounds with
+# the reference's truncate-then-carry upper-bound rule for byte arrays
+# ---------------------------------------------------------------------------
+
+def _truncate_max_bytes(b: bytes) -> bytes | None:
+    if len(b) <= STAT_TRUNCATE:
+        return b
+    t = bytearray(b[:STAT_TRUNCATE])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return bytes(t[: i + 1])
+    return None  # all 0xFF — no representable upper bound
+
+
+_STAT_FMT = {Kind.INT32: "<i", Kind.INT64: "<q",
+             Kind.FLOAT: "<f", Kind.DOUBLE: "<d"}
+
+
+def _stat_bounds(vals, kind: int) -> tuple[bytes | None, bytes | None]:
+    """(min_value, max_value) plain-encoded, or (None, None)."""
+    if len(vals) == 0:
+        return None, None
+    if kind == Kind.BOOLEAN:
+        a = np.asarray(vals, dtype=bool)
+        return bytes([int(a.min())]), bytes([int(a.max())])
+    if kind in _STAT_FMT:
+        a = np.asarray(vals)
+        if kind in (Kind.FLOAT, Kind.DOUBLE):
+            a = a[~np.isnan(a)]
+            if a.size == 0:
+                return None, None
+        lo, hi = a.min(), a.max()
+        if kind in (Kind.FLOAT, Kind.DOUBLE):
+            # spec-recommended zero normalization: min -0.0, max +0.0
+            if lo == 0:
+                lo = -0.0
+            if hi == 0:
+                hi = 0.0
+        f = _STAT_FMT[kind]
+        return _struct.pack(f, lo), _struct.pack(f, hi)
+    if kind == Kind.FIXED_LEN_BYTE_ARRAY:
+        a = np.ascontiguousarray(vals, dtype=np.uint8)
+        idx = np.lexsort(a.T[::-1])
+        return a[idx[0]].tobytes(), a[idx[-1]].tobytes()
+    # BYTE_ARRAY: unsigned lexicographic, truncated with carry
+    import pyarrow as pa
+    mm = pa.compute.min_max(vals.to_arrow() if isinstance(vals, ByteArrays)
+                            else pa.array(list(vals), pa.binary()))
+    lo = mm["min"].as_py() or b""
+    hi = mm["max"].as_py() or b""
+    return lo[:STAT_TRUNCATE], _truncate_max_bytes(hi)
+
+
+def _statistics_struct(vals, kind: int, null_count: int) -> bytes:
+    lo, hi = _stat_bounds(vals, kind)
+    return tc.struct([
+        (3, tc.I64, null_count),
+        (5, tc.BINARY, hi),
+        (6, tc.BINARY, lo),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# pages
+# ---------------------------------------------------------------------------
+
+def _def_levels_v1(validity: np.ndarray) -> bytes:
     """V1 def-level section: 4-byte LE length + RLE hybrid, bit width 1."""
     payload = rle.encode_hybrid(validity.astype(np.uint64), 1)
     return len(payload).to_bytes(4, "little") + payload
 
 
 def _page(page_type: int, payload: bytes, header_field: tuple,
-          compression: str | None) -> tuple[bytes, int, int]:
-    """→ (header+payload bytes, uncompressed size, compressed size),
-    sizes counted the parquet way (header + payload)."""
-    raw_len = len(payload)
+          compression: str | None,
+          uncompressed_extra: int = 0,
+          precompressed: bytes = b"") -> tuple[bytes, int, int]:
+    """→ (page bytes, uncompressed size, stored size). `precompressed`
+    bytes (v2 level streams) are excluded from compression but counted
+    in both sizes; page sizes are payload-only per the spec."""
+    raw_len = len(precompressed) + len(payload)
     if compression:
         payload = _outer(compression).compress(payload, asbytes=True)
+    stored = len(precompressed) + len(payload)
     head = tc.struct([
         (1, tc.I32, page_type),
         (2, tc.I32, raw_len),
-        (3, tc.I32, len(payload)),
+        (3, tc.I32, stored),
         header_field,
     ])
-    return (head + payload,
+    return (head + precompressed + payload,
             len(head) + raw_len,
-            len(head) + len(payload))
+            len(head) + stored)
 
 
-def _write_column(out: bytearray, spec: ColumnSpec, n_rows: int,
-                  compression: str | None, page_rows: int) -> bytes:
-    """Append the column chunk's pages to `out`; return the ColumnChunk
-    thrift struct."""
+def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
+                 compression: str | None, page_rows: int,
+                 page_version: int, statistics: bool,
+                 nn_cum: np.ndarray | None) -> bytes:
+    """Append one column CHUNK (pages for rows [row_lo, row_hi)) to
+    `out`; return its ColumnChunk thrift struct."""
     codec = spec.encoding
     vals = spec.values
-    if spec.kind == Kind.BYTE_ARRAY and not isinstance(vals, ByteArrays):
-        vals = ByteArrays.from_pylist(list(vals))
+    n_rows = row_hi - row_lo
+    if spec.validity is not None:
+        vlo_all, vhi_all = int(nn_cum[row_lo]), int(nn_cum[row_hi])
+    else:
+        vlo_all, vhi_all = row_lo, row_hi
+    chunk_vals = _slice_values(vals, vlo_all, vhi_all)
+    null_count = n_rows - (vhi_all - vlo_all)
 
     dict_offset = None
-    encodings = {Codec.PLAIN, Codec.RLE}
-    total_raw = total_comp = 0
+    encodings = {Codec.PLAIN, Codec.RLE, codec}
+    total_raw = total_stored = 0
 
     indexes = None
     if codec == Codec.RLE_DICTIONARY:
         if spec.kind == Kind.BYTE_ARRAY:
-            uniques, indexes = dictionary.factorize_byte_array(vals)
+            uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
         else:
-            uniques, indexes = dictionary.factorize_numeric(np.asarray(vals))
+            uniques, indexes = dictionary.factorize_numeric(
+                np.asarray(chunk_vals))
         dict_offset = len(out)
-        pg, raw, comp = _page(
+        pg, raw, stored = _page(
             _DICTIONARY_PAGE,
             _encode_values(uniques, spec.kind, Codec.PLAIN, spec.flba_size),
             (7, tc.STRUCT, tc.struct([
@@ -162,41 +249,53 @@ def _write_column(out: bytearray, spec: ColumnSpec, n_rows: int,
         )
         out += pg
         total_raw += raw
-        total_comp += comp
-    encodings.add(codec)
-
-    # optional columns: map page row ranges → non-null value ranges
-    nn_cum = None
-    if spec.validity is not None:
-        nn_cum = np.concatenate(
-            [[0], np.cumsum(spec.validity.astype(np.int64))])
+        total_stored += stored
 
     data_offset = len(out)
-    for lo in range(0, n_rows, page_rows):
-        hi = min(lo + page_rows, n_rows)
+    for lo in range(row_lo, row_hi, page_rows):
+        hi = min(lo + page_rows, row_hi)
         if spec.validity is not None:
             vlo, vhi = int(nn_cum[lo]), int(nn_cum[hi])
         else:
             vlo, vhi = lo, hi
         if indexes is not None:
-            body = rle.encode_dictionary_indexes(indexes[vlo:vhi])
+            body = rle.encode_dictionary_indexes(
+                indexes[vlo - vlo_all:vhi - vlo_all])
         else:
             body = _encode_values(_slice_values(vals, vlo, vhi),
                                   spec.kind, codec, spec.flba_size)
-        payload = body
-        if spec.validity is not None:
-            payload = _def_levels_section(spec.validity[lo:hi]) + body
-        pg, raw, comp = _page(
-            _DATA_PAGE, payload,
-            (5, tc.STRUCT, tc.struct([
-                (1, tc.I32, hi - lo), (2, tc.I32, codec),
-                (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
-            ])),
-            compression,
-        )
+        if page_version == 2:
+            dl = (rle.encode_levels(
+                spec.validity[lo:hi].astype(np.uint8), 1)
+                if spec.validity is not None else b"")
+            pg, raw, stored = _page(
+                _DATA_PAGE_V2, body,
+                (8, tc.STRUCT, tc.struct([
+                    (1, tc.I32, hi - lo),
+                    (2, tc.I32, (hi - lo) - (vhi - vlo)),
+                    (3, tc.I32, hi - lo),
+                    (4, tc.I32, codec),
+                    (5, tc.I32, len(dl)),
+                    (6, tc.I32, 0),
+                    (7, tc.BOOL, bool(compression)),
+                ])),
+                compression, precompressed=dl,
+            )
+        else:
+            payload = body
+            if spec.validity is not None:
+                payload = _def_levels_v1(spec.validity[lo:hi]) + body
+            pg, raw, stored = _page(
+                _DATA_PAGE, payload,
+                (5, tc.STRUCT, tc.struct([
+                    (1, tc.I32, hi - lo), (2, tc.I32, codec),
+                    (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
+                ])),
+                compression,
+            )
         out += pg
         total_raw += raw
-        total_comp += comp
+        total_stored += stored
 
     meta = tc.struct([
         (1, tc.I32, spec.kind),
@@ -205,9 +304,12 @@ def _write_column(out: bytearray, spec: ColumnSpec, n_rows: int,
         (4, tc.I32, _COMPRESSION[compression]),
         (5, tc.I64, n_rows),
         (6, tc.I64, total_raw),
-        (7, tc.I64, total_comp),
+        (7, tc.I64, total_stored),
         (9, tc.I64, data_offset),
         (11, tc.I64, dict_offset),
+        (12, tc.STRUCT,
+         _statistics_struct(chunk_vals, spec.kind, null_count)
+         if statistics else None),
     ])
     return tc.struct([
         (2, tc.I64, dict_offset if dict_offset is not None else data_offset),
@@ -217,11 +319,16 @@ def _write_column(out: bytearray, spec: ColumnSpec, n_rows: int,
 
 def write_table(path: str, columns: list[ColumnSpec], *,
                 compression: str | None = None,
-                page_rows: int = 65536) -> dict:
-    """Write one parquet file (single row group). Returns a summary
-    {n_rows, file_bytes, encodings: {col: codec id}}."""
+                page_rows: int = 65536,
+                row_group_rows: int | None = None,
+                page_version: int = 1,
+                statistics: bool = True) -> dict:
+    """Write one parquet file. Returns a summary
+    {n_rows, file_bytes, row_groups, encodings: {col: codec id}}."""
     if not columns:
         raise ValueError("no columns")
+    if page_version not in (1, 2):
+        raise ValueError("page_version must be 1 or 2")
     n_rows = None
     for c in columns:
         rows = len(c.validity) if c.validity is not None else len(c.values)
@@ -232,15 +339,38 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         if c.validity is not None and len(c.values) != int(c.validity.sum()):
             raise ValueError(f"column {c.name}: values must be null-stripped")
 
-    out = bytearray(_MAGIC)
-    chunks = []
+    specs = []
     used = {}
+    cums = []
     for c in columns:
         enc = c.encoding if c.encoding is not None else _default_encoding(c)
         used[c.name] = enc
-        c2 = ColumnSpec(c.name, c.kind, c.values, c.validity, c.flba_size,
-                        enc, c.logical)
-        chunks.append(_write_column(out, c2, n_rows, compression, page_rows))
+        specs.append(ColumnSpec(c.name, c.kind, c.values, c.validity,
+                                c.flba_size, enc, c.logical))
+        cums.append(
+            np.concatenate([[0], np.cumsum(c.validity.astype(np.int64))])
+            if c.validity is not None else None)
+
+    out = bytearray(_MAGIC)
+    rg_rows = row_group_rows or max(n_rows, 1)
+    row_groups = []
+    for g_lo in range(0, max(n_rows, 1), rg_rows):
+        g_hi = min(g_lo + rg_rows, n_rows)
+        if g_hi <= g_lo and n_rows > 0:
+            break
+        start = len(out)
+        chunks = [
+            _write_chunk(out, s, g_lo, g_hi, compression, page_rows,
+                         page_version, statistics, cum)
+            for s, cum in zip(specs, cums)
+        ]
+        row_groups.append(tc.struct([
+            (1, tc.LIST, chunks, tc.STRUCT),
+            (2, tc.I64, len(out) - start),
+            (3, tc.I64, g_hi - g_lo),
+        ]))
+        if n_rows == 0:
+            break
 
     schema = [tc.struct([
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),
@@ -255,21 +385,21 @@ def write_table(path: str, columns: list[ColumnSpec], *,
             (6, tc.I32, _CONVERTED.get(c.logical)),
         ]))
 
-    row_group = tc.struct([
-        (1, tc.LIST, chunks, tc.STRUCT),
-        (2, tc.I64, len(out) - 4),
-        (3, tc.I64, n_rows),
-    ])
+    # ColumnOrder = union{1: TypeDefinedOrder{}} per leaf — readers only
+    # trust min_value/max_value statistics when column_orders is declared
+    type_order = tc.struct([(1, tc.STRUCT, tc.struct([]))])
     footer = tc.struct([
         (1, tc.I32, 1),
         (2, tc.LIST, schema, tc.STRUCT),
         (3, tc.I64, n_rows),
-        (4, tc.LIST, [row_group], tc.STRUCT),
+        (4, tc.LIST, row_groups, tc.STRUCT),
         (6, tc.BINARY, "parquet_go_spark interop writer"),
+        (7, tc.LIST, [type_order] * len(columns), tc.STRUCT),
     ])
     out += footer
     out += len(footer).to_bytes(4, "little")
     out += _MAGIC
     with open(path, "wb") as f:
         f.write(out)
-    return {"n_rows": n_rows, "file_bytes": len(out), "encodings": used}
+    return {"n_rows": n_rows, "file_bytes": len(out),
+            "row_groups": len(row_groups), "encodings": used}

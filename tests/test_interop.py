@@ -268,3 +268,108 @@ def test_export_rolls_oversized_groups(spark, tmp_path):
     back = spark.read.parquet(out + "/*.parquet")
     assert back.count() == 4000
     assert back.selectExpr("sum(k)").head()[0] == sum(range(4000))
+
+
+# ---------------------------------------------------------------------------
+# round-3b: row groups, statistics, data page v2
+# ---------------------------------------------------------------------------
+
+def test_row_groups_and_statistics(tmp_path):
+    r = _rng()
+    n = 20000
+    ints = np.sort(r.integers(0, 10**9, n)).astype(np.int64)
+    valid = r.random(n) > 0.25
+    opt = r.integers(0, 30, int(valid.sum())).astype(np.int64)
+    strs = ByteArrays.from_pylist(
+        [f"key_{i % 400:04d}".encode() for i in range(n)])
+    p = str(tmp_path / "rg.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("opt", Kind.INT64, opt, validity=valid),
+        ColumnSpec("s", Kind.BYTE_ARRAY, strs, logical="string"),
+    ], row_group_rows=6000, page_rows=2500)
+    t = pq.read_table(p)
+    assert np.array_equal(t.column("k").to_numpy(), ints)
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 4
+    st = md.row_group(0).column(0).statistics
+    assert st.min == int(ints[0]) and st.max == int(ints[5999])
+    assert (md.row_group(0).column(1).statistics.null_count
+            == int((~valid[:6000]).sum()))
+    sts = md.row_group(0).column(2).statistics
+    assert sts.min == "key_0000" and sts.max == "key_0399"
+
+
+def test_statistics_truncation_carry(tmp_path):
+    longs = ByteArrays.from_pylist(
+        [b"prefix-shared-" + bytes([65 + i % 26]) * 20 for i in range(100)])
+    p = str(tmp_path / "trunc.parquet")
+    write_table(p, [ColumnSpec("s", Kind.BYTE_ARRAY, longs)])
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    # 16-byte bound with carry: still a valid lower/upper bound pair
+    assert len(st.min) <= 16 and len(st.max) <= 16
+    assert st.min <= min(longs.to_pylist())
+    assert st.max >= max(longs.to_pylist())
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_data_page_v2(tmp_path, comp):
+    r = _rng()
+    n = 8000
+    ints = r.integers(-(10**6), 10**6, n).astype(np.int64)
+    valid = r.random(n) > 0.3
+    opt = r.integers(0, 9, int(valid.sum())).astype(np.int32)
+    dbl = r.random(n)
+    bl = r.random(n) > 0.5
+    p = str(tmp_path / f"v2_{comp}.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("opt", Kind.INT32, opt, validity=valid),
+        # BSS is v2-legal for every reader tested here
+        ColumnSpec("d", Kind.DOUBLE, dbl, encoding=Codec.BYTE_STREAM_SPLIT),
+        ColumnSpec("b", Kind.BOOLEAN, bl, encoding=Codec.RLE),
+    ], page_version=2, page_rows=1500, compression=comp)
+    t = pq.read_table(p)
+    assert np.array_equal(t.column("k").to_numpy(), ints)
+    assert np.array_equal(t.column("d").to_numpy(), dbl)
+    assert np.array_equal(t.column("b").to_numpy(), bl)
+    exp, j = [], 0
+    for v in valid:
+        exp.append(int(opt[j]) if v else None)
+        j += v
+    assert t.column("opt").to_pylist() == exp
+
+
+def test_duckdb_filters_with_our_statistics(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    r = _rng()
+    n = 20000
+    ints = np.sort(r.integers(0, 10**9, n)).astype(np.int64)
+    p = str(tmp_path / "prune.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, ints)],
+                row_group_rows=5000)
+    cut = int(ints[4999])
+    got = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{p}') WHERE k < {cut}"
+    ).fetchone()[0]
+    assert got == int((ints < cut).sum())
+
+
+def test_spark_reads_v2_pages_and_row_groups(spark, tmp_path):
+    r = _rng()
+    n = 10000
+    ints = np.sort(r.integers(0, 10**9, n)).astype(np.int64)
+    valid = r.random(n) > 0.4
+    opt = r.integers(0, 7, int(valid.sum())).astype(np.int64)
+    p = str(tmp_path / "v2_spark.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("opt", Kind.INT64, opt, validity=valid),
+    ], page_version=2, page_rows=1300, row_group_rows=2600)
+    df = spark.read.parquet(p)
+    assert df.count() == n
+    assert df.selectExpr("sum(k)").head()[0] == int(ints.sum())
+    assert df.where("opt IS NULL").count() == int((~valid).sum())
+    # row-group pruning path: predicate below first group's max
+    cut = int(ints[2599])
+    assert df.where(f"k < {cut}").count() == int((ints < cut).sum())
