@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "rt_bss_price",
     "stats_minmax_lineitem",
     "prune_decode_orders",
+    "parquet_interop_orders",
     "dedup_exact_documents",
     "minhash_pairs_documents",
     "simhash_documents",

@@ -101,11 +101,17 @@ def _export_fn(columns, out_dir: str, compression, target_bytes: int,
             part = parts.get(key, 0)
             parts[key] = part + 1
             name = _file_name(repo, bucket, part)
+            # write-tmp-then-rename: readers globbing *.parquet never see
+            # a partial file, and re-runs overwrite deterministically (the
+            # name is a pure function of (repo, bucket, part)) — export is
+            # idempotent under replay even without the resume manifest
+            final = os.path.join(out_dir, name)
+            tmp = final + ".tmp"
             info = write_table(
-                os.path.join(out_dir, name),
-                _to_specs(tbl, columns),
+                tmp, _to_specs(tbl, columns),
                 compression=compression, page_rows=page_rows,
             )
+            os.replace(tmp, final)
             rows.append({
                 "file": name, "repo": repo, "bucket": bucket, "part": part,
                 "n_rows": info["n_rows"], "file_bytes": info["file_bytes"],
@@ -161,10 +167,17 @@ def export_parquet(
     target_chunk_bytes: int = pipeline.TARGET_CHUNK_BYTES,
     page_rows: int = 65536,
     size_mode: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Write df as a directory of self-contained .parquet files encoded
     by our kernels; returns the per-file summary DataFrame (collected
-    eagerly so the write is done when this returns)."""
+    eagerly so the write is done when this returns).
+
+    resume=True skips (repo, bucket) groups already recorded in the
+    `_export_manifest` sidecar (the encode_table checkpoint analog;
+    underscore-prefixed so parquet readers treat it as hidden). Crashes
+    between file write and manifest append are safe regardless: file
+    names are deterministic, so the re-run overwrites the same file."""
     columns = df.dtypes
     for name, t in columns:
         if not _supported(t):
@@ -175,6 +188,12 @@ def export_parquet(
     salt_cols = salt_cols or [c for c, _ in columns if c != repo_col][:2]
     keyed = pipeline.plan_chunks(df, repo_col, salt_cols,
                                  target_chunk_bytes, size_mode=size_mode)
+    mpath = os.path.join(out_dir, "_export_manifest")
+    if resume and pipeline._table_exists(mpath):
+        done = spark.read.parquet(mpath).select("repo", "bucket").distinct()
+        cond = ((keyed["__repo"] == done["repo"])
+                & (keyed["__bucket"] == done["bucket"]))
+        keyed = keyed.join(F.broadcast(done), on=cond, how="left_anti")
     n_parts = spark.sparkContext.defaultParallelism * 4
     parts = keyed.repartition(n_parts, "__repo", "__bucket")
     fn = _export_fn(columns, out_dir, compression, target_chunk_bytes,
@@ -182,4 +201,5 @@ def export_parquet(
     summary = parts.mapInArrow(fn, _SUMMARY_SCHEMA)
     out = summary.cache()
     out.count()  # materialize the write
+    out.write.mode("append").parquet(mpath)
     return out

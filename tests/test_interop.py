@@ -373,3 +373,24 @@ def test_spark_reads_v2_pages_and_row_groups(spark, tmp_path):
     # row-group pruning path: predicate below first group's max
     cut = int(ints[2599])
     assert df.where(f"k < {cut}").count() == int((ints < cut).sum())
+
+
+def test_export_resume_skips_done_groups(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.sources import repogen
+
+    df = repogen.repos_table(spark, n_rows=6000, seed=8).select(
+        "repo", "path", "lang", "content")
+    out = str(tmp_path / "resume")
+    first = export_parquet(spark, df, out, target_chunk_bytes=1 << 20)
+    n_files = len(first.collect())
+    assert n_files > 0
+    # second run with resume: nothing left to export
+    second = export_parquet(spark, df, out, target_chunk_bytes=1 << 20,
+                            resume=True)
+    assert second.count() == 0
+    # data still complete and not duplicated; the _export_manifest
+    # sidecar is invisible to parquet directory readers
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == 6000
+    assert pq.read_table(out).num_rows == 6000
