@@ -191,19 +191,26 @@ def _def_levels_v1(validity: np.ndarray) -> bytes:
 
 def _page(page_type: int, payload: bytes, header_field: tuple,
           compression: str | None,
-          uncompressed_extra: int = 0,
           precompressed: bytes = b"") -> tuple[bytes, int, int]:
     """→ (page bytes, uncompressed size, stored size). `precompressed`
     bytes (v2 level streams) are excluded from compression but counted
     in both sizes; page sizes are payload-only per the spec."""
+    import zlib
+
     raw_len = len(precompressed) + len(payload)
     if compression:
         payload = _outer(compression).compress(payload, asbytes=True)
     stored = len(precompressed) + len(payload)
+    # page checksum: CRC32 of the page bytes as stored (everything after
+    # the header), reinterpreted signed for the thrift i32 field; readers
+    # with checksum verification on re-compute it
+    c = zlib.crc32(precompressed + payload)
+    crc = c - (1 << 32) if c >= (1 << 31) else c
     head = tc.struct([
         (1, tc.I32, page_type),
         (2, tc.I32, raw_len),
         (3, tc.I32, stored),
+        (4, tc.I32, crc),
         header_field,
     ])
     return (head + precompressed + payload,
@@ -214,9 +221,11 @@ def _page(page_type: int, payload: bytes, header_field: tuple,
 def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
                  compression: str | None, page_rows: int,
                  page_version: int, statistics: bool,
-                 nn_cum: np.ndarray | None) -> bytes:
+                 nn_cum: np.ndarray | None) -> dict:
     """Append one column CHUNK (pages for rows [row_lo, row_hi)) to
-    `out`; return its ColumnChunk thrift struct."""
+    `out`; return a dict with everything the footer needs (the
+    ColumnChunk struct is built later, once the page-index offsets are
+    known)."""
     codec = spec.encoding
     vals = spec.values
     n_rows = row_hi - row_lo
@@ -252,18 +261,20 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         total_stored += stored
 
     data_offset = len(out)
+    pages = []  # per data page, for the ColumnIndex/OffsetIndex
     for lo in range(row_lo, row_hi, page_rows):
         hi = min(lo + page_rows, row_hi)
         if spec.validity is not None:
             vlo, vhi = int(nn_cum[lo]), int(nn_cum[hi])
         else:
             vlo, vhi = lo, hi
+        page_vals = _slice_values(vals, vlo, vhi)
         if indexes is not None:
             body = rle.encode_dictionary_indexes(
                 indexes[vlo - vlo_all:vhi - vlo_all])
         else:
-            body = _encode_values(_slice_values(vals, vlo, vhi),
-                                  spec.kind, codec, spec.flba_size)
+            body = _encode_values(page_vals, spec.kind, codec,
+                                  spec.flba_size)
         if page_version == 2:
             dl = (rle.encode_levels(
                 spec.validity[lo:hi].astype(np.uint8), 1)
@@ -293,11 +304,21 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
                 ])),
                 compression,
             )
+        page_off = len(out)
         out += pg
         total_raw += raw
         total_stored += stored
+        lo_b, hi_b = _stat_bounds(page_vals, spec.kind)
+        pages.append({
+            "offset": page_off,
+            "size": len(pg),
+            "first_row": lo - row_lo,
+            "null_count": (hi - lo) - (vhi - vlo),
+            "null_page": vhi == vlo,
+            "min": lo_b, "max": hi_b,
+        })
 
-    meta = tc.struct([
+    meta_fields = [
         (1, tc.I32, spec.kind),
         (2, tc.LIST, sorted(encodings), tc.I32),
         (3, tc.LIST, [spec.name], tc.BINARY),
@@ -310,11 +331,63 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         (12, tc.STRUCT,
          _statistics_struct(chunk_vals, spec.kind, null_count)
          if statistics else None),
+    ]
+    return {
+        "meta_fields": meta_fields,
+        "file_offset": dict_offset if dict_offset is not None else data_offset,
+        "pages": pages,
+    }
+
+
+def _boundary_order(pages: list[dict], kind: int) -> int:
+    """BoundaryOrder over non-null pages: 1 ASC, 0 UNORDERED (always a
+    safe claim per the spec). Numeric bounds must be compared as VALUES
+    — their little-endian stat bytes do not sort like the numbers —
+    while BYTE_ARRAY/FLBA bounds compare in byte space (the column's
+    unsigned-lexicographic sort order)."""
+    mins = [p["min"] for p in pages if not p["null_page"]]
+    maxs = [p["max"] for p in pages if not p["null_page"]]
+    if not mins or any(m is None for m in mins + maxs):
+        return 0
+    if kind in _STAT_FMT:
+        f = _STAT_FMT[kind]
+        mins = [_struct.unpack(f, m)[0] for m in mins]
+        maxs = [_struct.unpack(f, m)[0] for m in maxs]
+    elif kind == Kind.BOOLEAN:
+        mins, maxs = [m[0] for m in mins], [m[0] for m in maxs]
+    if all(a <= b for a, b in zip(mins, mins[1:])) and \
+       all(a <= b for a, b in zip(maxs, maxs[1:])):
+        return 1
+    return 0
+
+
+def _page_index_structs(chunk: dict, kind: int) -> tuple[bytes | None, bytes]:
+    """(ColumnIndex or None, OffsetIndex) thrift structs for one column
+    chunk. ColumnIndex is omitted when any non-null page lacks a
+    representable bound (all-0xFF max truncation)."""
+    pages = chunk["pages"]
+    column_index = None
+    if all(p["null_page"] or (p["min"] is not None and p["max"] is not None)
+           for p in pages):
+        column_index = tc.struct([
+            (1, tc.LIST, [p["null_page"] for p in pages], tc.BOOL),
+            (2, tc.LIST,
+             [b"" if p["null_page"] else p["min"] for p in pages], tc.BINARY),
+            (3, tc.LIST,
+             [b"" if p["null_page"] else p["max"] for p in pages], tc.BINARY),
+            (4, tc.I32, _boundary_order(pages, kind)),
+            (5, tc.LIST, [p["null_count"] for p in pages], tc.I64),
+        ])
+    offset_index = tc.struct([
+        (1, tc.LIST, [
+            tc.struct([
+                (1, tc.I64, p["offset"]),
+                (2, tc.I32, p["size"]),
+                (3, tc.I64, p["first_row"]),
+            ]) for p in pages
+        ], tc.STRUCT),
     ])
-    return tc.struct([
-        (2, tc.I64, dict_offset if dict_offset is not None else data_offset),
-        (3, tc.STRUCT, meta),
-    ])
+    return column_index, offset_index
 
 
 def write_table(path: str, columns: list[ColumnSpec], *,
@@ -322,7 +395,8 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 page_rows: int = 65536,
                 row_group_rows: int | None = None,
                 page_version: int = 1,
-                statistics: bool = True) -> dict:
+                statistics: bool = True,
+                page_index: bool = True) -> dict:
     """Write one parquet file. Returns a summary
     {n_rows, file_bytes, row_groups, encodings: {col: codec id}}."""
     if not columns:
@@ -353,7 +427,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
 
     out = bytearray(_MAGIC)
     rg_rows = row_group_rows or max(n_rows, 1)
-    row_groups = []
+    groups = []  # [(rows, byte_size, [chunk dict, ...])]
     for g_lo in range(0, max(n_rows, 1), rg_rows):
         g_hi = min(g_lo + rg_rows, n_rows)
         if g_hi <= g_lo and n_rows > 0:
@@ -364,13 +438,40 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                          page_version, statistics, cum)
             for s, cum in zip(specs, cums)
         ]
-        row_groups.append(tc.struct([
-            (1, tc.LIST, chunks, tc.STRUCT),
-            (2, tc.I64, len(out) - start),
-            (3, tc.I64, g_hi - g_lo),
-        ]))
+        groups.append((g_hi - g_lo, len(out) - start, chunks))
         if n_rows == 0:
             break
+
+    # page indexes live between the pages and the footer; their offsets
+    # are recorded per ColumnChunk (fields 6/7 column index, 4/5 offset
+    # index), which is why ColumnChunk structs are only built now
+    if page_index:
+        for _, _, chunks in groups:
+            for ch, s in zip(chunks, specs):
+                ci, oi = _page_index_structs(ch, s.kind)
+                if ci is not None:
+                    ch["ci_off"], ch["ci_len"] = len(out), len(ci)
+                    out += ci
+                ch["oi_off"], ch["oi_len"] = len(out), len(oi)
+                out += oi
+
+    row_groups = []
+    for g_rows, g_bytes, chunks in groups:
+        chunk_structs = [
+            tc.struct([
+                (2, tc.I64, ch["file_offset"]),
+                (3, tc.STRUCT, tc.struct(ch["meta_fields"])),
+                (4, tc.I64, ch.get("oi_off")),
+                (5, tc.I32, ch.get("oi_len")),
+                (6, tc.I64, ch.get("ci_off")),
+                (7, tc.I32, ch.get("ci_len")),
+            ]) for ch in chunks
+        ]
+        row_groups.append(tc.struct([
+            (1, tc.LIST, chunk_structs, tc.STRUCT),
+            (2, tc.I64, g_bytes),
+            (3, tc.I64, g_rows),
+        ]))
 
     schema = [tc.struct([
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),

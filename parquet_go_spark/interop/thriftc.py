@@ -33,7 +33,10 @@ def _zigzag(v: int) -> int:
 
 
 def _write_value(out: bytearray, t: int, v, elem: int | None) -> None:
-    if t in (I32, I64):
+    if t == BOOL:
+        # bool as a LIST element: one byte, 1=true 2=false (compact spec)
+        out.append(1 if v else 2)
+    elif t in (I32, I64):
         _uvarint(out, _zigzag(int(v)))
     elif t == BINARY:
         b = v.encode() if isinstance(v, str) else bytes(v)

@@ -61,8 +61,12 @@ def _read_value(t: int, buf, pos):
             size, pos = _uvarint(buf, pos)
         out = []
         for _ in range(size):
-            v, pos = _read_value(et, buf, pos)
-            out.append(v)
+            if et in (1, 2):  # bool ELEMENTS are one byte: 1=true 2=false
+                out.append(buf[pos] == 1)
+                pos += 1
+            else:
+                v, pos = _read_value(et, buf, pos)
+                out.append(v)
         return out, pos
     if t == 11:
         size, pos = _uvarint(buf, pos)

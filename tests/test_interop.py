@@ -394,3 +394,106 @@ def test_export_resume_skips_done_groups(spark, tmp_path):
     back = spark.read.parquet(out + "/*.parquet")
     assert back.count() == 6000
     assert pq.read_table(out).num_rows == 6000
+
+
+@pytest.mark.parametrize("pv,comp", [(1, None), (1, "zstd"),
+                                     (2, None), (2, "zstd")])
+def test_page_crc_checksums(tmp_path, pv, comp):
+    r = _rng()
+    n = 9000
+    ints = r.integers(0, 10**9, n).astype(np.int64)
+    valid = r.random(n) > 0.3
+    opt = r.integers(0, 5, int(valid.sum())).astype(np.int64)
+    p = str(tmp_path / f"crc_{pv}_{comp}.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("o", Kind.INT64, opt, validity=valid),
+    ], page_version=pv, compression=comp, page_rows=2000)
+    # pyarrow re-computes and verifies our CRC32 per page
+    t = pq.ParquetFile(p, page_checksum_verification=True).read()
+    assert np.array_equal(t.column("k").to_numpy(), ints)
+    # negative control: flip one payload byte → verification must fail
+    bad = str(tmp_path / "bad.parquet")
+    data = bytearray(open(p, "rb").read())
+    data[5000] ^= 0xFF
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        pq.ParquetFile(bad, page_checksum_verification=True).read()
+
+
+def _read_page_indexes(path):
+    """Parse ColumnIndex/OffsetIndex structs back out of a file using
+    the independent thrift reader (parquet_rawpages)."""
+    buf = open(path, "rb").read()
+    flen = int.from_bytes(buf[-8:-4], "little")
+    footer, _ = read_struct(memoryview(buf)[len(buf) - 8 - flen:], 0)
+    out = []
+    for rg in footer[4]:
+        for cc in rg[1]:
+            ci = oi = None
+            if 6 in cc:
+                ci, _ = read_struct(memoryview(buf)[cc[6]:cc[6] + cc[7]], 0)
+            if 4 in cc:
+                oi, _ = read_struct(memoryview(buf)[cc[4]:cc[4] + cc[5]], 0)
+            out.append((ci, oi, cc))
+    return out
+
+
+def test_page_index_contents(tmp_path):
+    r = _rng()
+    n = 12000
+    ints = np.sort(r.integers(0, 10**9, n)).astype(np.int64)
+    valid = r.random(n) > 0.5
+    opt = r.integers(0, 99, int(valid.sum())).astype(np.int64)
+    p = str(tmp_path / "pidx.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, ints),
+        ColumnSpec("o", Kind.INT64, opt, validity=valid),
+    ], page_rows=3000, row_group_rows=6000)
+
+    idx = _read_page_indexes(p)
+    assert len(idx) == 4  # 2 row groups × 2 columns
+    import struct as _s
+    # column "k", row group 0: sorted → boundary_order ASC, correct bounds
+    ci, oi, cc = idx[0]
+    assert ci[4] == 1  # ASC
+    assert ci[1] == [False, False]  # no null pages
+    mins = [_s.unpack("<q", m)[0] for m in ci[2]]
+    maxs = [_s.unpack("<q", m)[0] for m in ci[3]]
+    assert mins == [int(ints[0]), int(ints[3000])]
+    assert maxs == [int(ints[2999]), int(ints[5999])]
+    assert ci[5] == [0, 0]  # null_counts
+    # offset index page locations: offsets point at real page starts
+    # whose sizes tile the chunk contiguously, first_row_index correct
+    locs = oi[1]
+    assert [loc[3] for loc in locs] == [0, 3000]
+    assert locs[0][1] + locs[0][2] == locs[1][1]
+    # optional column: per-page null_counts sum to the chunk total
+    ci_o, oi_o, cc_o = idx[1]
+    assert sum(ci_o[5]) == int((~valid[:6000]).sum())
+
+    # pyarrow agrees the indexes exist; data round-trips
+    md = pq.ParquetFile(p).metadata
+    assert md.row_group(0).column(0).has_column_index
+    assert md.row_group(0).column(0).has_offset_index
+    t = pq.read_table(p)
+    assert np.array_equal(t.column("k").to_numpy(), ints)
+
+
+def test_spark_filters_with_page_indexes(spark, tmp_path):
+    r = _rng()
+    n = 40000
+    ints = np.sort(r.integers(0, 10**9, n)).astype(np.int64)
+    p = str(tmp_path / "pidx_spark.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, ints)],
+                page_rows=2000, row_group_rows=20000)
+    df = spark.read.parquet(p)
+    # predicates that cross page boundaries — parquet-mr consults the
+    # ColumnIndex/OffsetIndex for v1 files when filtering
+    for cut_i in (1999, 2000, 19999, 20000, 35000):
+        cut = int(ints[cut_i])
+        got = df.where(f"k < {cut}").count()
+        assert got == int((ints < cut).sum()), cut_i
+    lo, hi = int(ints[5000]), int(ints[30000])
+    got = df.where(f"k >= {lo} AND k < {hi}").count()
+    assert got == int(((ints >= lo) & (ints < hi)).sum())
