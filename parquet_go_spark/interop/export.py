@@ -87,7 +87,11 @@ def _file_name(repo: str, bucket: int, part: int) -> str:
 
 
 def _export_fn(columns, out_dir: str, compression, target_bytes: int,
-               page_rows: int):
+               page_rows: int, sort_cols=None):
+    col_names = [c for c, _ in columns]
+    sorting = ([col_names.index(c) for c in sort_cols]
+               if sort_cols else None)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         groups: dict[tuple[str, int], list[pa.RecordBatch]] = {}
         sizes: dict[tuple[str, int], int] = {}
@@ -101,6 +105,13 @@ def _export_fn(columns, out_dir: str, compression, target_bytes: int,
             part = parts.get(key, 0)
             parts[key] = part + 1
             name = _file_name(repo, bucket, part)
+            if sort_cols:
+                # per-file Arrow sort (the SortingWriter analog): page
+                # stats become disjoint ranges, boundary_order goes ASC,
+                # and the footer declares sorting_columns
+                idx = pa.compute.sort_indices(
+                    tbl, sort_keys=[(c, "ascending") for c in sort_cols])
+                tbl = tbl.take(idx)
             # write-tmp-then-rename: readers globbing *.parquet never see
             # a partial file, and re-runs overwrite deterministically (the
             # name is a pure function of (repo, bucket, part)) — export is
@@ -110,6 +121,7 @@ def _export_fn(columns, out_dir: str, compression, target_bytes: int,
             info = write_table(
                 tmp, _to_specs(tbl, columns),
                 compression=compression, page_rows=page_rows,
+                sorting_columns=sorting,
             )
             os.replace(tmp, final)
             rows.append({
@@ -168,6 +180,7 @@ def export_parquet(
     page_rows: int = 65536,
     size_mode: str | None = None,
     resume: bool = False,
+    sort_cols: list[str] | None = None,
 ) -> DataFrame:
     """Write df as a directory of self-contained .parquet files encoded
     by our kernels; returns the per-file summary DataFrame (collected
@@ -197,7 +210,7 @@ def export_parquet(
     n_parts = spark.sparkContext.defaultParallelism * 4
     parts = keyed.repartition(n_parts, "__repo", "__bucket")
     fn = _export_fn(columns, out_dir, compression, target_chunk_bytes,
-                    page_rows)
+                    page_rows, sort_cols)
     summary = parts.mapInArrow(fn, _SUMMARY_SCHEMA)
     out = summary.cache()
     out.count()  # materialize the write

@@ -396,7 +396,8 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 row_group_rows: int | None = None,
                 page_version: int = 1,
                 statistics: bool = True,
-                page_index: bool = True) -> dict:
+                page_index: bool = True,
+                sorting_columns: list[int] | None = None) -> dict:
     """Write one parquet file. Returns a summary
     {n_rows, file_bytes, row_groups, encodings: {col: codec id}}."""
     if not columns:
@@ -467,11 +468,19 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 (7, tc.I32, ch.get("ci_len")),
             ]) for ch in chunks
         ]
-        row_groups.append(tc.struct([
+        rg_fields = [
             (1, tc.LIST, chunk_structs, tc.STRUCT),
             (2, tc.I64, g_bytes),
             (3, tc.I64, g_rows),
-        ]))
+        ]
+        if sorting_columns:
+            # SortingColumn{column_idx, descending=false, nulls_first=false}
+            rg_fields.append((4, tc.LIST, [
+                tc.struct([(1, tc.I32, i), (2, tc.BOOL, False),
+                           (3, tc.BOOL, False)])
+                for i in sorting_columns
+            ], tc.STRUCT))
+        row_groups.append(tc.struct(rg_fields))
 
     schema = [tc.struct([
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),

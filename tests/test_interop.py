@@ -497,3 +497,32 @@ def test_spark_filters_with_page_indexes(spark, tmp_path):
     lo, hi = int(ints[5000]), int(ints[30000])
     got = df.where(f"k >= {lo} AND k < {hi}").count()
     assert got == int(((ints >= lo) & (ints < hi)).sum())
+
+
+def test_sorted_export_declares_sorting_columns(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from pyspark.sql import functions as F
+
+    df = (spark.range(12000)
+          .select((F.col("id") % 3).cast("string").alias("repo"),
+                  F.xxhash64("id").alias("k"),
+                  F.col("id").alias("row")))
+    out = str(tmp_path / "sorted")
+    export_parquet(spark, df, out, salt_cols=["row"], sort_cols=["k"],
+                   target_chunk_bytes=1 << 20, size_mode="exact")
+    import glob
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        sc = md.row_group(0).sorting_columns
+        assert sc and sc[0].column_index == 1  # "k"
+        # sorted file → per-page bounds ordered → boundary_order ASC
+        ci, oi, cc = _read_page_indexes(f)[1]
+        assert ci[4] == 1
+        t = pq.read_table(f)
+        k = t.column("k").to_numpy()
+        assert np.all(k[1:] >= k[:-1])
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == 12000
+    assert back.agg({"row": "sum"}).head()[0] == sum(range(12000))
