@@ -163,8 +163,9 @@ def _stat_bounds(vals, kind: int) -> tuple[bytes | None, bytes | None]:
         return a[idx[0]].tobytes(), a[idx[-1]].tobytes()
     # BYTE_ARRAY: unsigned lexicographic, truncated with carry
     import pyarrow as pa
-    mm = pa.compute.min_max(vals.to_arrow() if isinstance(vals, ByteArrays)
-                            else pa.array(list(vals), pa.binary()))
+    import pyarrow.compute as pc
+    mm = pc.min_max(vals.to_arrow() if isinstance(vals, ByteArrays)
+                    else pa.array(list(vals), pa.binary()))
     lo = mm["min"].as_py() or b""
     hi = mm["max"].as_py() or b""
     return lo[:STAT_TRUNCATE], _truncate_max_bytes(hi)
