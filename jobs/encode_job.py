@@ -56,6 +56,10 @@ def parse_args(argv):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode everything back and check per-row sha256")
+    p.add_argument("--export-parquet", action="store_true",
+                   help="write interop .parquet files (readable by any "
+                        "parquet implementation) instead of the blob "
+                        "format; flat scalar columns only")
     return p.parse_args(argv)
 
 
@@ -80,6 +84,43 @@ def main(argv=None) -> int:
     else:
         print("need --input or --generate-rows", file=sys.stderr)
         return 2
+
+    if args.export_parquet:
+        from pyspark.sql import functions as F
+
+        from parquet_go_spark.interop.export import export_parquet
+
+        t0 = time.time()
+        summary = export_parquet(
+            spark, df, args.output,
+            repo_col=args.repo_col,
+            salt_cols=args.salt_cols.split(","),
+            sort_cols=args.sort_cols.split(",") if args.sort_cols else None,
+            compression=args.compression or ("zstd" if args.zstd else None),
+            target_chunk_bytes=args.target_chunk_mb << 20,
+            resume=not args.no_resume,
+        )
+        agg = summary.agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("file_bytes").alias("bytes"),
+        ).collect()[0]
+        stats = {"files": agg["files"], "rows": agg["rows"],
+                 "bytes": agg["bytes"],
+                 "export_sec": round(time.time() - t0, 2)}
+        if args.verify:
+            back = spark.read.parquet(args.output + "/*.parquet")
+            a = df.select(F.sha2(F.col("content").cast("binary"), 256)
+                          .alias("h")) if "content" in df.columns else df
+            b = (back.select(F.sha2(F.col("content").cast("binary"), 256)
+                             .alias("h"))
+                 if "content" in back.columns else back)
+            diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+            stats["ok"] = diff == 0
+            print(json.dumps(stats))
+            return 0 if diff == 0 else 1
+        print(json.dumps(stats))
+        return 0
 
     t0 = time.time()
     stats = pipeline.encode_table(
