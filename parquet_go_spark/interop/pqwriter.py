@@ -75,10 +75,11 @@ def _default_encoding(spec: ColumnSpec) -> int:
         return Codec.RLE
     n = len(spec.values)
     if n:
+        k = min(n, 4096)
         if isinstance(spec.values, ByteArrays):
-            sample = spec.values.to_pylist()[:4096]
+            sample = _slice_values(spec.values, 0, k).to_pylist()
         else:
-            sample = list(np.asarray(spec.values)[:4096])
+            sample = list(np.asarray(spec.values)[:k])
         if len(set(sample)) * 2 <= len(sample):
             return Codec.RLE_DICTIONARY
     return (Codec.DELTA_LENGTH_BYTE_ARRAY
