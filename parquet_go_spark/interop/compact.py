@@ -1,0 +1,176 @@
+"""Small-file compaction for exported parquet directories — the
+MergeRowGroups/compaction analog (merge.go:25, writer_copy.go) for the
+interop path. A long-running export (streaming appends, many tiny
+repos) accumulates small files; at cluster scale the file count itself
+becomes the bottleneck (listing, task scheduling, footer reads), so
+compaction folds files below a size threshold into consolidated ones.
+
+Distribution shape: the driver reads ONLY the export summary manifest
+(metadata-scale), bin-packs small files into merge jobs, and ships each
+job to an executor that reads its files with pyarrow and rewrites one
+merged file through our writer. Big files are never touched or read —
+the verbatim-copy fast path.
+
+Manifest bookkeeping: merged-away files' rows become TOMBSTONES
+(file_bytes = -1, file → the compacted file) so every (repo, bucket)
+key stays recorded — export resume keys survive any number of
+compaction rounds. Compacted file names take their part number above
+the live manifest maximum, so repeated compactions never collide."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_go_spark.interop.export import (
+    _SUMMARY_ARROW, _SUMMARY_SCHEMA, _file_name, _to_specs,
+)
+from parquet_go_spark.interop.pqwriter import write_table
+
+_ARROW_TO_SPARK = {
+    "string": "string", "large_string": "string", "binary": "binary",
+    "int64": "bigint", "int32": "int", "double": "double",
+    "float": "float", "bool": "boolean",
+    "timestamp[us, tz=UTC]": "timestamp", "timestamp[us]": "timestamp",
+    "date32[day]": "date",
+}
+
+
+def _merge_fn(out_dir: str, columns, compression, page_rows: int):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for batch in batches:
+            for job in batch.to_pylist():
+                files = job["files"].split("\n")
+                tbl = pa.concat_tables(
+                    [pq.read_table(os.path.join(out_dir, f))
+                     for f in files])
+                name = _file_name(job["repo"], job["bucket"], job["part"])
+                final = os.path.join(out_dir, name)
+                tmp = final + ".tmp"
+                info = write_table(tmp, _to_specs(tbl, columns),
+                                   compression=compression,
+                                   page_rows=page_rows)
+                os.replace(tmp, final)
+                for f in files:
+                    os.remove(os.path.join(out_dir, f))
+                rows.append({
+                    "file": name, "repo": job["repo"],
+                    "bucket": job["bucket"], "part": job["part"],
+                    "n_rows": info["n_rows"],
+                    "file_bytes": info["file_bytes"],
+                })
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=_SUMMARY_ARROW)
+
+    return fn
+
+
+def compact_export(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    small_bytes: int = 4 << 20,
+    target_bytes: int = 64 << 20,
+    compression: str | None = None,
+    page_rows: int = 65536,
+) -> DataFrame:
+    """Fold exported files smaller than `small_bytes` into merged files
+    of ~`target_bytes`, grouped per repo (an export dir has one
+    schema). Returns the summary of compacted files written."""
+    mpath = os.path.join(out_dir, "_export_manifest")
+    manifest = spark.read.parquet(mpath)
+    rows = [r.asDict() for r in manifest.collect()]
+    # tombstones (file_bytes <= 0) are resume keys, never merge inputs
+    small = [r for r in rows if 0 < r["file_bytes"] < small_bytes]
+    if len(small) < 2:
+        return spark.createDataFrame([], _SUMMARY_SCHEMA)
+
+    # metadata-scale bin-packing on the driver, ACROSS repo boundaries:
+    # at tiny-repo scale (10^8 one-file repos) per-repo compaction would
+    # fold nothing — the row-level repo column keeps per-row lineage, a
+    # merged file is just a container. Repo-sorted packing keeps each
+    # repo's rows in as few files as possible. Resume keys survive in
+    # the merged-away rows' tombstones, so the merged file's own
+    # (repo, bucket, part) only needs to be unique: parts number above
+    # the manifest maximum so repeated rounds never reuse a name.
+    next_part = {}
+    for r in rows:
+        next_part[r["repo"]] = max(next_part.get(r["repo"], 0),
+                                   int(r["part"]) + 1)
+    small.sort(key=lambda r: (r["repo"], r["bucket"], r["part"]))
+    jobs = []
+    cur, cur_bytes = [], 0
+
+    def close():
+        nonlocal cur, cur_bytes
+        if len(cur) >= 2:
+            repo = cur[0]["repo"]
+            part = next_part[repo]
+            next_part[repo] = part + 1
+            jobs.append({
+                "repo": repo,
+                "bucket": int(cur[0]["bucket"]),
+                "part": part,
+                "files": "\n".join(r["file"] for r in cur),
+            })
+        cur, cur_bytes = [], 0
+
+    for r in small:
+        if cur and cur_bytes >= target_bytes:
+            close()
+        cur.append(r)
+        cur_bytes += r["file_bytes"]
+    close()
+    if not jobs:
+        return spark.createDataFrame([], _SUMMARY_SCHEMA)
+
+    import pyarrow.parquet as pq
+
+    sample = pq.read_schema(os.path.join(out_dir, small[0]["file"]))
+    columns = [(f.name, _ARROW_TO_SPARK[str(f.type)]) for f in sample]
+
+    jobs_df = spark.createDataFrame(
+        [(j["repo"], j["bucket"], j["part"], j["files"]) for j in jobs],
+        "repo string, bucket long, part long, files string",
+    ).repartition(min(len(jobs), spark.sparkContext.defaultParallelism))
+    fn = _merge_fn(out_dir, columns, compression, page_rows)
+    summary = jobs_df.mapInArrow(fn, _SUMMARY_SCHEMA).cache()
+    summary.count()
+
+    # manifest rewrite: merged rows → tombstones pointing at their
+    # compacted file (resume keys preserved), plus the new file rows
+    merged_to = {}
+    for j in jobs:
+        name = _file_name(j["repo"], j["bucket"], j["part"])
+        for f in j["files"].split("\n"):
+            merged_to[f] = name
+    mapping = spark.createDataFrame(
+        list(merged_to.items()), "file string, new_file string")
+    rewritten = (
+        manifest.join(F.broadcast(mapping), on="file", how="left")
+        .withColumn("file", F.coalesce("new_file", "file"))
+        .withColumn(
+            "file_bytes",
+            F.when(F.col("new_file").isNotNull(), F.lit(-1))
+            .otherwise(F.col("file_bytes")))
+        .withColumn(
+            "n_rows",
+            F.when(F.col("new_file").isNotNull(), F.lit(0))
+            .otherwise(F.col("n_rows")))
+        .drop("new_file")
+        .unionByName(summary)
+    )
+    tmp_m = mpath + "_new"
+    rewritten.write.mode("overwrite").parquet(tmp_m)
+    spark.read.parquet(tmp_m).write.mode("overwrite").parquet(mpath)
+    import shutil
+
+    shutil.rmtree(tmp_m, ignore_errors=True)
+    return summary

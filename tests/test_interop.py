@@ -526,3 +526,42 @@ def test_sorted_export_declares_sorting_columns(spark, tmp_path):
     back = spark.read.parquet(out + "/*.parquet")
     assert back.count() == 12000
     assert back.agg({"row": "sum"}).head()[0] == sum(range(12000))
+
+
+def test_compact_export_folds_small_files(spark, tmp_path):
+    from parquet_go_spark.interop.compact import compact_export
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.sources import repogen
+    from pyspark.sql import functions as F
+    import glob
+
+    df = repogen.repos_table(spark, n_rows=8000, seed=9).select(
+        "repo", "path", "lang", "content")
+    out = str(tmp_path / "cmp")
+    export_parquet(spark, df, out, target_chunk_bytes=1 << 20)
+    before = sorted(glob.glob(out + "/*.parquet"))
+    assert len(before) > 20  # many tiny per-repo files
+
+    done = compact_export(spark, out, small_bytes=4 << 20,
+                          target_bytes=2 << 20)
+    n_new = done.count()
+    after = sorted(glob.glob(out + "/*.parquet"))
+    assert n_new > 0 and len(after) < len(before)
+
+    # data identical through all readers
+    back = spark.read.parquet(out + "/*.parquet")
+    a = df.select(F.sha2(F.col("content").cast("binary"), 256).alias("h"))
+    b = back.select(F.sha2(F.col("content").cast("binary"), 256).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert pq.read_table(out).num_rows == 8000
+
+    # resume keys survive: re-export with resume finds nothing to do
+    again = export_parquet(spark, df, out, target_chunk_bytes=1 << 20,
+                           resume=True)
+    assert again.count() == 0
+    assert spark.read.parquet(out + "/*.parquet").count() == 8000
+
+    # a second compaction round is safe (names never collide)
+    compact_export(spark, out, small_bytes=4 << 20, target_bytes=2 << 20)
+    assert spark.read.parquet(out + "/*.parquet").count() == 8000
+    assert pq.read_table(out).num_rows == 8000
