@@ -429,6 +429,27 @@ def _parquet_interop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_ts(back, "o_orderdate")
 
 
+def _compact_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop-path compaction (round 3): export documents as many tiny
+    parquet files (64 KB target), fold them with compact_export (the
+    MergeRowGroups/writer_copy.go analog for real parquet files —
+    cross-repo bin-packing, tombstoned resume keys), and read the
+    compacted directory back through Spark's parquet reader. The oracle
+    reads the original table, so compaction must be lossless."""
+    from parquet_go_spark.interop.compact import compact_export
+
+    df = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="colcodec_compactexp_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="source", salt_cols=["doc_id"],
+        target_chunk_bytes=64 << 10,
+    )
+    compact_export(spark, out, small_bytes=1 << 20,
+                   target_bytes=2 << 20)
+    return spark.read.parquet(out + "/*.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
 def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _encode_fresh(spark, sf_dir, "lineitem")
     m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
@@ -652,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem", "flag", Codec.RLE, derive=li_flag
         ),
         "parquet_interop_orders": _parquet_interop_orders,
+        "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
         "level_hist_props": _level_hist_props,
@@ -910,6 +932,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(l_extendedprice) AS DOUBLE) AS max_price FROM lineitem"
         ),
         "parquet_interop_orders": f"SELECT {o_cols} FROM orders",
+        "compact_export_documents": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "level_hist_props": (
             "WITH s AS (SELECT least(len(string_split(text, ' ')), 5) AS L, "
             "list_transform(list_slice(string_split(text, ' '), 1, 5), "
