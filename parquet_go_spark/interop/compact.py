@@ -9,7 +9,22 @@ Distribution shape: the driver reads ONLY the export summary manifest
 (metadata-scale), bin-packs small files into merge jobs, and ships each
 job to an executor that reads its files with pyarrow and rewrites one
 merged file through our writer. Big files are never touched or read —
-the verbatim-copy fast path.
+the verbatim-copy fast path. Merged files inherit the sources'
+compression codec and declared sort order (re-sorting the concatenated
+rows) unless overridden.
+
+Crash safety (commit protocol):
+  1. executors write merged output to `<name>.pending` — invisible to
+     `*.parquet` globs — and never delete anything;
+  2. the driver swaps in the rewritten manifest (old manifest retained
+     as `_export_manifest_old` until the swap lands);
+  3. the driver renames every pending file to its final name;
+  4. a reconcile sweep deletes .parquet files the manifest no longer
+     lists (the merged-away sources — and any orphans).
+A crash before (2) leaves the directory untouched (pendings are
+garbage-collected on the next run); a crash between (2) and (4) leaves
+sources visible and merged files pending — readers still see exactly
+one copy of every row — and the next run finishes the commit.
 
 Manifest bookkeeping: merged-away files' rows become TOMBSTONES
 (file_bytes = -1, file → the compacted file) so every (repo, bucket)
@@ -20,6 +35,7 @@ the live manifest maximum, so repeated compactions never collide."""
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Iterator
 
 import pyarrow as pa
@@ -27,7 +43,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_go_spark.interop.export import (
-    _SUMMARY_ARROW, _SUMMARY_SCHEMA, _file_name, _to_specs,
+    _SUMMARY_ARROW, _SUMMARY_SCHEMA, _file_name, _reconcile_dir, _to_specs,
 )
 from parquet_go_spark.interop.pqwriter import write_table
 
@@ -39,27 +55,40 @@ _ARROW_TO_SPARK = {
     "date32[day]": "date",
 }
 
+_PQ_CODEC = {"UNCOMPRESSED": None, "SNAPPY": "snappy", "GZIP": "gzip",
+             "ZSTD": "zstd", "BROTLI": "brotli"}
+
+INHERIT = "__inherit__"
+
 
 def _merge_fn(out_dir: str, columns, compression, page_rows: int):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         rows = []
         for batch in batches:
             for job in batch.to_pylist():
                 files = job["files"].split("\n")
-                tbl = pa.concat_tables(
-                    [pq.read_table(os.path.join(out_dir, f))
-                     for f in files])
+                paths = [os.path.join(out_dir, f) for f in files]
+                # inherit the sources' codec + declared sort order
+                md = pq.ParquetFile(paths[0]).metadata
+                comp = compression
+                if comp == INHERIT:
+                    comp = _PQ_CODEC.get(
+                        md.row_group(0).column(0).compression)
+                sorting = [s.column_index
+                           for s in (md.row_group(0).sorting_columns or [])]
+                tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+                if sorting:
+                    names = [tbl.schema.names[i] for i in sorting]
+                    tbl = tbl.take(pc.sort_indices(
+                        tbl, sort_keys=[(n, "ascending") for n in names]))
                 name = _file_name(job["repo"], job["bucket"], job["part"])
-                final = os.path.join(out_dir, name)
-                tmp = final + ".tmp"
-                info = write_table(tmp, _to_specs(tbl, columns),
-                                   compression=compression,
-                                   page_rows=page_rows)
-                os.replace(tmp, final)
-                for f in files:
-                    os.remove(os.path.join(out_dir, f))
+                pending = os.path.join(out_dir, name) + ".pending"
+                info = write_table(pending, _to_specs(tbl, columns),
+                                   compression=comp, page_rows=page_rows,
+                                   sorting_columns=sorting or None)
                 rows.append({
                     "file": name, "repo": job["repo"],
                     "bucket": job["bucket"], "part": job["part"],
@@ -72,19 +101,46 @@ def _merge_fn(out_dir: str, columns, compression, page_rows: int):
     return fn
 
 
+def _recover(spark: SparkSession, out_dir: str, mpath: str) -> None:
+    """Finish or garbage-collect a previous run's interrupted commit."""
+    old = mpath + "_old"
+    if not os.path.isdir(mpath) and os.path.isdir(old):
+        os.rename(old, mpath)  # manifest swap died mid-way — roll back
+    elif os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    pendings = [f for f in os.listdir(out_dir) if f.endswith(".pending")]
+    if not pendings:
+        return
+    listed = {
+        r.file for r in
+        spark.read.parquet(mpath).where(F.col("file_bytes") > 0)
+        .select("file").collect()
+    }
+    for p in pendings:
+        final = p[: -len(".pending")]
+        path = os.path.join(out_dir, p)
+        if final in listed:  # manifest swap landed: finish the commit
+            os.replace(path, os.path.join(out_dir, final))
+        else:  # swap never landed: the pending file is garbage
+            os.remove(path)
+    _reconcile_dir(spark, out_dir, mpath)
+
+
 def compact_export(
     spark: SparkSession,
     out_dir: str,
     *,
     small_bytes: int = 4 << 20,
     target_bytes: int = 64 << 20,
-    compression: str | None = None,
+    compression: str | None = INHERIT,
     page_rows: int = 65536,
 ) -> DataFrame:
     """Fold exported files smaller than `small_bytes` into merged files
-    of ~`target_bytes`, grouped per repo (an export dir has one
-    schema). Returns the summary of compacted files written."""
+    of ~`target_bytes` (an export dir has one schema). Returns the
+    summary of compacted files written. compression defaults to
+    inheriting each job's source codec."""
     mpath = os.path.join(out_dir, "_export_manifest")
+    _recover(spark, out_dir, mpath)
     manifest = spark.read.parquet(mpath)
     rows = [r.asDict() for r in manifest.collect()]
     # tombstones (file_bytes <= 0) are resume keys, never merge inputs
@@ -142,7 +198,7 @@ def compact_export(
     ).repartition(min(len(jobs), spark.sparkContext.defaultParallelism))
     fn = _merge_fn(out_dir, columns, compression, page_rows)
     summary = jobs_df.mapInArrow(fn, _SUMMARY_SCHEMA).cache()
-    summary.count()
+    summary.count()  # all pending files written; nothing deleted yet
 
     # manifest rewrite: merged rows → tombstones pointing at their
     # compacted file (resume keys preserved), plus the new file rows
@@ -167,10 +223,18 @@ def compact_export(
         .drop("new_file")
         .unionByName(summary)
     )
-    tmp_m = mpath + "_new"
+    tmp_m = mpath + "_tmp"
     rewritten.write.mode("overwrite").parquet(tmp_m)
-    spark.read.parquet(tmp_m).write.mode("overwrite").parquet(mpath)
-    import shutil
+    old_m = mpath + "_old"
+    os.rename(mpath, old_m)
+    os.rename(tmp_m, mpath)
+    shutil.rmtree(old_m, ignore_errors=True)
 
-    shutil.rmtree(tmp_m, ignore_errors=True)
+    # commit: make merged files visible, then sweep the merged-away
+    # sources (any file the new manifest doesn't list)
+    for j in jobs:
+        name = _file_name(j["repo"], j["bucket"], j["part"])
+        path = os.path.join(out_dir, name)
+        os.replace(path + ".pending", path)
+    _reconcile_dir(spark, out_dir, mpath)
     return summary

@@ -188,9 +188,17 @@ def export_parquet(
 
     resume=True skips (repo, bucket) groups already recorded in the
     `_export_manifest` sidecar (the encode_table checkpoint analog;
-    underscore-prefixed so parquet readers treat it as hidden). Crashes
-    between file write and manifest append are safe regardless: file
-    names are deterministic, so the re-run overwrites the same file."""
+    underscore-prefixed so parquet readers treat it as hidden).
+
+    The manifest is AUTHORITATIVE over the directory: after every run a
+    reconcile pass removes .parquet files the manifest does not list.
+    That is what makes crashed runs and task retries safe — rolling
+    part numbers depend on shuffle arrival order, so a retried task may
+    produce fewer parts than a dead attempt wrote; the orphaned higher
+    parts (rows now duplicated into lower parts) are swept instead of
+    being seen by directory-globbing readers. Consequence: out_dir is
+    OWNED by the export — foreign .parquet files placed there are
+    removed."""
     columns = df.dtypes
     for name, t in columns:
         if not _supported(t):
@@ -215,4 +223,21 @@ def export_parquet(
     out = summary.cache()
     out.count()  # materialize the write
     out.write.mode("append").parquet(mpath)
+    _reconcile_dir(spark, out_dir, mpath)
     return out
+
+
+def _reconcile_dir(spark: SparkSession, out_dir: str, mpath: str) -> None:
+    """Remove .parquet files the manifest does not list (orphans from
+    crashed runs / task retries). One listdir + one metadata-scale
+    manifest read — driver-side, O(files) names in memory."""
+    listed = {
+        r.file for r in
+        spark.read.parquet(mpath).select("file").distinct().collect()
+    }
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in listed:
+            try:
+                os.remove(os.path.join(out_dir, f))
+            except OSError:
+                pass

@@ -75,11 +75,15 @@ def _default_encoding(spec: ColumnSpec) -> int:
         return Codec.RLE
     n = len(spec.values)
     if n:
-        k = min(n, 4096)
+        cap = min(n, 4096)
         if isinstance(spec.values, ByteArrays):
-            sample = _slice_values(spec.values, 0, k).to_pylist()
+            sample = _slice_values(spec.values, 0, cap).to_pylist()
+        elif k == Kind.FIXED_LEN_BYTE_ARRAY:
+            # 2-D (n, width) rows are unhashable; hash their bytes
+            sample = [row.tobytes()
+                      for row in np.asarray(spec.values)[:cap]]
         else:
-            sample = list(np.asarray(spec.values)[:k])
+            sample = list(np.asarray(spec.values)[:cap])
         if len(set(sample)) * 2 <= len(sample):
             return Codec.RLE_DICTIONARY
     return (Codec.DELTA_LENGTH_BYTE_ARRAY
@@ -338,6 +342,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         "meta_fields": meta_fields,
         "file_offset": dict_offset if dict_offset is not None else data_offset,
         "pages": pages,
+        "total_raw": total_raw,
     }
 
 
@@ -435,13 +440,15 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         g_hi = min(g_lo + rg_rows, n_rows)
         if g_hi <= g_lo and n_rows > 0:
             break
-        start = len(out)
         chunks = [
             _write_chunk(out, s, g_lo, g_hi, compression, page_rows,
                          page_version, statistics, cum)
             for s, cum in zip(specs, cums)
         ]
-        groups.append((g_hi - g_lo, len(out) - start, chunks))
+        # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
+        # spec, not the stored bytes
+        groups.append((g_hi - g_lo,
+                       sum(ch["total_raw"] for ch in chunks), chunks))
         if n_rows == 0:
             break
 

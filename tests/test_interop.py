@@ -7,6 +7,8 @@ full parquet writer, writer.go)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -565,3 +567,108 @@ def test_compact_export_folds_small_files(spark, tmp_path):
     compact_export(spark, out, small_bytes=4 << 20, target_bytes=2 << 20)
     assert spark.read.parquet(out + "/*.parquet").count() == 8000
     assert pq.read_table(out).num_rows == 8000
+
+
+def test_rowgroup_total_byte_size_is_uncompressed(tmp_path):
+    r = _rng()
+    strs = ByteArrays.from_pylist(
+        [(b"line-" + bytes([65 + i % 3]) * 40) for i in range(5000)])
+    p = str(tmp_path / "rgsize.parquet")
+    write_table(p, [ColumnSpec("s", Kind.BYTE_ARRAY, strs)],
+                compression="zstd")
+    md = pq.ParquetFile(p).metadata
+    rg = md.row_group(0)
+    assert rg.total_byte_size == sum(
+        rg.column(i).total_uncompressed_size
+        for i in range(rg.num_columns))
+    assert rg.total_byte_size > rg.column(0).total_compressed_size
+
+
+def test_default_encoding_flba_no_crash(tmp_path):
+    r = _rng()
+    flba = r.integers(0, 3, (200, 8)).astype(np.uint8)  # low NDV
+    p = str(tmp_path / "flba_auto.parquet")
+    info = write_table(p, [ColumnSpec(
+        "u", Kind.FIXED_LEN_BYTE_ARRAY, flba, flba_size=8)])
+    t = pq.read_table(p)
+    assert t.column("u").to_pylist() == [bytes(row) for row in flba]
+
+
+def test_default_encoding_byte_array_dict_vs_delta(tmp_path):
+    # high-NDV strings → DELTA_LENGTH; low-NDV → dictionary (guards the
+    # kind-vs-sample-size shadowing regression)
+    uniq = ByteArrays.from_pylist(
+        [f"unique-{i}".encode() for i in range(1000)])
+    rep = ByteArrays.from_pylist(
+        [f"w{i % 5}".encode() for i in range(1000)])
+    info = write_table(str(tmp_path / "a.parquet"), [
+        ColumnSpec("u", Kind.BYTE_ARRAY, uniq),
+        ColumnSpec("r", Kind.BYTE_ARRAY, rep),
+    ])
+    assert info["encodings"]["u"] == Codec.DELTA_LENGTH_BYTE_ARRAY
+    assert info["encodings"]["r"] == Codec.RLE_DICTIONARY
+
+
+def test_export_reconciles_orphans(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.sources import repogen
+    import glob
+
+    df = repogen.repos_table(spark, n_rows=2000, seed=13).select(
+        "repo", "path", "lang", "content")
+    out = str(tmp_path / "orph")
+    export_parquet(spark, df, out, target_chunk_bytes=1 << 20)
+    # plant an orphan (e.g. left by a crashed attempt's extra part)
+    orphan = os.path.join(out, "deadbeef-b0-9.parquet")
+    open(orphan, "wb").write(b"PAR1garbagePAR1")
+    export_parquet(spark, df, out, target_chunk_bytes=1 << 20,
+                   resume=True)
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(out + "/*.parquet").count() == 2000
+
+
+def test_compact_inherits_compression_and_sort(spark, tmp_path):
+    from parquet_go_spark.interop.compact import compact_export
+    from parquet_go_spark.interop.export import export_parquet
+    from pyspark.sql import functions as F
+    import glob
+
+    df = (spark.range(6000)
+          .select((F.col("id") % 40).cast("string").alias("repo"),
+                  F.xxhash64("id").alias("k"),
+                  F.col("id").alias("row")))
+    out = str(tmp_path / "inherit")
+    export_parquet(spark, df, out, salt_cols=["row"], sort_cols=["k"],
+                   compression="zstd", target_chunk_bytes=1 << 20,
+                   size_mode="exact")
+    done = compact_export(spark, out, small_bytes=4 << 20,
+                          target_bytes=1 << 20)
+    assert done.count() > 0
+    for r in done.collect():
+        md = pq.ParquetFile(os.path.join(out, r.file)).metadata
+        assert md.row_group(0).column(0).compression == "ZSTD"
+        sc = md.row_group(0).sorting_columns
+        assert sc and sc[0].column_index == 1
+        t = pq.read_table(os.path.join(out, r.file))
+        k = t.column("k").to_numpy()
+        assert np.all(k[1:] >= k[:-1])
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == 6000
+    assert back.agg({"row": "sum"}).head()[0] == sum(range(6000))
+
+
+def test_compact_recovery_cleans_stale_pending(spark, tmp_path):
+    from parquet_go_spark.interop.compact import compact_export
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.sources import repogen
+
+    df = repogen.repos_table(spark, n_rows=3000, seed=14).select(
+        "repo", "path", "lang", "content")
+    out = str(tmp_path / "rec")
+    export_parquet(spark, df, out, target_chunk_bytes=1 << 20)
+    # a pending file from a run that died before its manifest swap
+    stale = os.path.join(out, "ghost-b0-5.parquet.pending")
+    open(stale, "wb").write(b"junk")
+    compact_export(spark, out, small_bytes=4 << 20, target_bytes=2 << 20)
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(out + "/*.parquet").count() == 3000
