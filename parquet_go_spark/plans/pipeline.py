@@ -103,16 +103,15 @@ _KIND_BY_SPARK = {
     "date": Kind.INT32,  # days since epoch
 }
 
-# List columns are encoded as two streams — lengths (the repetition-level
-# analog, SURVEY.md §1.1) + flattened element values. String lists reuse
-# the same two-stream design with a flattened ByteArrays value stream
-# (the reference's LIST node over BYTE_ARRAY leaves, node.go:505-525).
-_LIST_ELEM_KIND = {
-    "array<float>": (Kind.FLOAT, np.float32, pa.float32()),
-    "array<double>": (Kind.DOUBLE, np.float64, pa.float64()),
-    "array<int>": (Kind.INT32, np.int32, pa.int32()),
-    "array<bigint>": (Kind.INT64, np.int64, pa.int64()),
-    "array<string>": (Kind.BYTE_ARRAY, None, pa.string()),
+# Per-element width of scalar list columns, used only by the planning
+# size estimate (_row_size_expr). Lists shred as lengths + flattened
+# element streams via the recursive _shred_column walk (the reference's
+# LIST node, node.go:505-525).
+_LIST_ELEM_WIDTH = {
+    "array<float>": 4,
+    "array<int>": 4,
+    "array<double>": 8,
+    "array<bigint>": 8,
 }
 
 
@@ -304,12 +303,9 @@ def _arrow_to_values(arr: pa.Array, spark_type: str):
 
 
 def _flba_to_byte_values(values: np.ndarray) -> ByteArrays:
-    """(n, w) FLBA rows → variable-length ByteArrays container."""
-    n, w = values.shape
-    return ByteArrays(
-        np.ascontiguousarray(values, np.uint8).reshape(-1),
-        np.arange(n + 1, dtype=np.int64) * w,
-    )
+    """(n, w) FLBA rows → variable-length ByteArrays container
+    (delegates to the codec layer's offset construction)."""
+    return chunklib._flba_to_byte_arrays(values, values.shape[1])
 
 
 def _values_to_arrow(values, spark_type: str) -> pa.Array:
@@ -441,7 +437,10 @@ def _encode_one(values, kind, spark_type, compression, base,
     if fsst_cache is not None and kind == Kind.BYTE_ARRAY:
         ck = (base.get("repo"), base.get("column"), stream)
         if ck not in fsst_cache and len(fsst_cache) >= 512:
-            fsst_cache.clear()
+            # evict the OLDEST entry (insertion order), not the whole
+            # cache: a clear() would force every still-active column to
+            # retrain, the exact cost amortization exists to avoid
+            fsst_cache.pop(next(iter(fsst_cache)))
         fsst_state = fsst_cache.setdefault(ck, {})
     blob, info = selector.select_and_encode(
         enc_values, kind, flba_size=flba_size, compression=compression,
@@ -771,9 +770,10 @@ def _row_size_expr(df: DataFrame):
             size_expr = size_expr + F.aggregate(
                 F.col(c), F.lit(0), lambda acc, x: acc + F.octet_length(x)
             ) + F.size(F.col(c)) * F.lit(4) + F.lit(4)
-        elif t in _LIST_ELEM_KIND:
-            w = 8 if t in ("array<double>", "array<bigint>") else 4
-            size_expr = size_expr + F.size(F.col(c)) * F.lit(w) + F.lit(4)
+        elif t in _LIST_ELEM_WIDTH:
+            size_expr = (size_expr
+                         + F.size(F.col(c)) * F.lit(_LIST_ELEM_WIDTH[t])
+                         + F.lit(4))
         elif t.startswith("array<"):
             # nested lists: rough per-element cost — planning only
             # shapes bucket counts; the encode kernel's size-triggered
@@ -1156,8 +1156,15 @@ def encode_table(
         m = manifest(spark, out_path)
         if chunk_suffix:
             # streaming replays: only chunks of THIS micro-batch count as
-            # done — other batches legitimately reuse (repo, bucket)
-            m = m.where(F.col("chunk_id").endswith(chunk_suffix))
+            # done — other batches legitimately reuse (repo, bucket).
+            # Match both id layouts: current runs put the split tag
+            # BEFORE the suffix ('s0@b7'), tables written by older runs
+            # put it after ('@b7s0') — a replay must recognize both as
+            # done or it re-appends duplicate blobs
+            import re as _re
+
+            m = m.where(F.col("chunk_id").rlike(
+                _re.escape(chunk_suffix) + r"(s\d+)?$"))
         done = m.select("repo", "bucket").distinct()
         cond = (keyed["__repo"] == done["repo"]) & (keyed["__bucket"] == done["bucket"])
         keyed = keyed.join(F.broadcast(done), on=cond, how="left_anti")
@@ -1217,8 +1224,13 @@ def _read_schema_sidecar(out_path: str) -> list[tuple[str, str]]:
 
 
 def manifest(spark: SparkSession, out_path: str) -> DataFrame:
-    """Manifest view — columnar pruning means the blob column is never read."""
-    return spark.read.parquet(out_path).select(*MANIFEST_COLUMNS)
+    """Manifest view — columnar pruning means the blob column is never
+    read. The read uses the EXPLICIT blob schema so tables written
+    before a manifest-schema extension (def_hist/rep_hist are round-3
+    additions) still resolve: files lacking a column yield nulls, which
+    is exactly the no-statistics-recorded meaning."""
+    return (spark.read.schema(BLOB_SCHEMA).parquet(out_path)
+            .select(*MANIFEST_COLUMNS))
 
 
 _SPARK_TYPE_NAMES = {
@@ -1401,7 +1413,15 @@ def bloom_point_decode(
     README.md:395-465). The probe runs over manifest rows only —
     metadata scale, never the data."""
     columns = dict(_read_schema_sidecar(out_path))
-    spark_type = columns[column]
+    col_type = columns[column]
+    # array<scalar> columns: the bloom lives on the flattened element
+    # stream, so the probe is an ELEMENT value and the exact filter is
+    # membership, not equality
+    elem = _list_elem(col_type)
+    spark_type = elem if elem is not None else col_type
+    if elem is not None and _is_container(elem):
+        raise ValueError(
+            f"bloom_point_decode: no scalar bloom stream for {col_type}")
     kind = _col_kind(spark_type)
     dp = _decimal_info(spark_type)
     if spark_type in ("string", "binary"):
@@ -1455,6 +1475,8 @@ def bloom_point_decode(
         cols = [(c, t) for c, t in cols if c in keep]
         blobs = blobs.where(F.col("column").isin([c for c, _ in cols]))
     out = _decode_blobs(blobs, cols)
+    if elem is not None:
+        return out.where(F.array_contains(F.col(column), F.lit(value)))
     return out.where(F.col(column) == F.lit(value))
 
 

@@ -863,3 +863,96 @@ def test_level_histograms_in_manifest(spark, tmp_path):
     # lengths streams carry no histograms
     assert m.where((F.col("stream") == "lengths")
                    & F.col("def_hist").isNotNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review fixes: manifest back-compat, old split-id resume,
+# bloom probe on list columns, FSST cache eviction
+# ---------------------------------------------------------------------------
+
+def test_manifest_reads_pre_round3_tables(spark, tmp_path):
+    """A table written before def_hist/rep_hist existed must still
+    resolve through manifest() (nulls for the missing stats)."""
+    import glob
+    import pyarrow.parquet as pq_
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("repo"),
+        F.col("id").alias("k"))
+    out = str(tmp_path / "old")
+    pipeline.encode_table(spark, df, out, repo_col="repo",
+                          salt_cols=["k"], sort_cols=["k"], resume=False)
+    # strip the round-3 columns from every blob file (simulate old table)
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq_.read_table(f)
+        t = t.drop_columns(["def_hist", "rep_hist"])
+        pq_.write_table(t, f)
+    for crc in glob.glob(out + "/.*.crc"):
+        os.remove(crc)  # hadoop checksum sidecars of the rewritten files
+    m = pipeline.manifest(spark, out)
+    assert m.where(F.col("def_hist").isNotNull()).count() == 0
+    assert m.count() > 0
+    # resume over the old table: nothing re-encoded
+    before = m.count()
+    pipeline.encode_table(spark, df, out, repo_col="repo",
+                          salt_cols=["k"], sort_cols=["k"], resume=True)
+    assert pipeline.manifest(spark, out).count() == before
+    # decode still round-trips
+    assert pipeline.decode_table(spark, out).count() == 300
+
+
+def test_streaming_resume_recognizes_old_split_id_layout(spark, tmp_path):
+    """Tables written when split tags followed the batch suffix
+    ('@b7s0') must still count as done on replay."""
+    import glob
+    import pyarrow.parquet as pq_
+    df = spark.range(200).select(
+        F.lit("r1").cast("string").alias("repo"),
+        F.col("id").alias("k"))
+    out = str(tmp_path / "ids")
+    pipeline.encode_table(spark, df, out, repo_col="repo",
+                          salt_cols=["k"], sort_cols=["k"],
+                          chunk_suffix="@b7", resume=False)
+    # rewrite ids to the OLD layout: tag after suffix
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq_.read_table(f)
+        ids = [i.replace("@b7", "") + "@b7s0"
+               for i in t.column("chunk_id").to_pylist()]
+        t = t.set_column(t.schema.get_field_index("chunk_id"),
+                         "chunk_id", pa.array(ids))
+        pq_.write_table(t, f)
+    for crc in glob.glob(out + "/.*.crc"):
+        os.remove(crc)  # hadoop checksum sidecars of the rewritten files
+    before = pipeline.manifest(spark, out).count()
+    stats = pipeline.encode_table(spark, df, out, repo_col="repo",
+                                  salt_cols=["k"], sort_cols=["k"],
+                                  chunk_suffix="@b7", resume=True)
+    assert stats["skipped_chunks"] > 0
+    assert pipeline.manifest(spark, out).count() == before
+
+
+def test_bloom_point_decode_on_list_column(spark, tmp_path):
+    df = spark.range(500).select(
+        (F.col("id") % 4).cast("string").alias("repo"),
+        F.col("id").alias("k"),
+        F.array(F.col("id"), F.col("id") + 1000).alias("vals"),
+    )
+    out = str(tmp_path / "lb")
+    pipeline.encode_table(spark, df, out, repo_col="repo",
+                          salt_cols=["k"], sort_cols=["k"], resume=False)
+    got = pipeline.bloom_point_decode(spark, out, "vals", 1123).collect()
+    assert [r.k for r in got] == [123]
+
+
+def test_fsst_cache_evicts_one_not_all():
+    from parquet_go_spark.codecs.bytearrays import ByteArrays
+    from parquet_go_spark.codecs.kinds import Kind
+    cache = {("r", f"c{i}", "values"): {"keep": i} for i in range(512)}
+    vals = ByteArrays.from_pylist([b"abcabcabc"] * 50)
+    pipeline._encode_one(vals, Kind.BYTE_ARRAY, "string", None,
+                         {"repo": "r", "column": "new", "chunk_id": "x",
+                          "bucket": 0, "n_rows": 50},
+                         fsst_cache=cache)
+    assert len(cache) == 512  # one evicted, one added — not a clear()
+    assert ("r", "new", "values") in cache
+    assert ("r", "c0", "values") not in cache  # oldest went
+    assert ("r", "c1", "values") in cache
