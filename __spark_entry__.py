@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_go_spark.codecs.kinds import Codec
+from parquet_go_spark.interop import compact as interop_compact
 from parquet_go_spark.interop import export as interop_export
 from parquet_go_spark.operators import dedup, multimodal, roundtrip, similarity, text
 from parquet_go_spark.plans import pipeline
@@ -179,14 +180,12 @@ def _rt_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array<struct<w:string,n:int>> round trip — the repeated-group
-    shredding (one shared lengths stream + per-field flattened `f:`
-    streams with validity, column_buffer_repeated.go +
-    schema.go:341-430 analog), incl. a nullable int field. Output
-    projected to scalars (size / field-concat / null-aware sum) for a
-    portable oracle comparison."""
-    df = (
+def _props_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → a derived array<struct<w:string,n:int>> column; the
+    ONE definition shared by the round-trip query, the level-histogram
+    query, and (in spirit) their oracles — the length%3 null rule must
+    stay in lockstep across all three."""
+    return (
         _load(spark, sf_dir, "documents")
         .select(
             "doc_id", "source",
@@ -200,6 +199,16 @@ def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("props"),
         )
     )
+
+
+def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<struct<w:string,n:int>> round trip — the repeated-group
+    shredding (one shared lengths stream + per-field flattened `f:`
+    streams with validity, column_buffer_repeated.go +
+    schema.go:341-430 analog), incl. a nullable int field. Output
+    projected to scalars (size / field-concat / null-aware sum) for a
+    portable oracle comparison."""
+    df = _props_df(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="colcodec_props_")
     pipeline.encode_table(
         spark, df, out, repo_col="source", salt_cols=["doc_id"],
@@ -366,20 +375,7 @@ def _level_hist_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, then element-wise-sum the per-chunk leaf histograms from
     the manifest. The oracle recomputes the same Dremel entry counts
     from the raw table in closed form."""
-    df = (
-        _load(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "source",
-            F.transform(
-                F.slice(F.split(F.col("text"), " "), 1, 5),
-                lambda x: F.struct(
-                    x.alias("w"),
-                    F.when(F.length(x) % 3 == 0, None)
-                    .otherwise(F.length(x)).cast("int").alias("n"),
-                ),
-            ).alias("props"),
-        )
-    )
+    df = _props_df(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="colcodec_levhist_")
     pipeline.encode_table(
         spark, df, out, repo_col="source", salt_cols=["doc_id"],
@@ -436,16 +432,14 @@ def _compact_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-repo bin-packing, tombstoned resume keys), and read the
     compacted directory back through Spark's parquet reader. The oracle
     reads the original table, so compaction must be lossless."""
-    from parquet_go_spark.interop.compact import compact_export
-
     df = _load(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="colcodec_compactexp_")
     interop_export.export_parquet(
         spark, df, out, repo_col="source", salt_cols=["doc_id"],
         target_chunk_bytes=64 << 10,
     )
-    compact_export(spark, out, small_bytes=1 << 20,
-                   target_bytes=2 << 20)
+    interop_compact.compact_export(spark, out, small_bytes=1 << 20,
+                                   target_bytes=2 << 20)
     return spark.read.parquet(out + "/*.parquet").select(
         "doc_id", "text", "lang", "source", "n_chars")
 

@@ -165,7 +165,14 @@ def minhash_dedup_pairs(
     resident, and it is released when the caller drops the result).
     Pass False to keep the plan lazy/inspectable; the persisted
     intermediates are then exposed as result._colcodec_persisted for
-    caller-side unpersist."""
+    caller-side unpersist.
+
+    Reliability trade-off: localCheckpoint blocks live ONLY in executor
+    block managers (lineage is truncated, not recomputable). On
+    clusters with dynamic allocation / preemptible executors, an
+    executor lost after this returns makes the checkpointed pair set
+    unrecoverable — prefer eager_cleanup=False there and unpersist the
+    exposed intermediates once the result is consumed."""
     # persist the signature matrix: it feeds three plan branches (band
     # explode + both sides of the agreement join) and would otherwise be
     # recomputed — 64 xxhash64 per gram each time. Signatures are
@@ -233,9 +240,14 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     if eager_cleanup:
-        res = out.localCheckpoint(eager=True)
-        sigs.unpersist()
-        cands.unpersist()
+        # finally-block: a failed checkpoint job must still release the
+        # caches, or every caller retry accumulates orphaned storage —
+        # the exact leak eager_cleanup exists to prevent
+        try:
+            res = out.localCheckpoint(eager=True)
+        finally:
+            sigs.unpersist()
+            cands.unpersist()
         return res
     out._colcodec_persisted = (sigs, cands)
     return out
