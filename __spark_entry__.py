@@ -425,6 +425,29 @@ def _parquet_interop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_ts(back, "o_orderdate")
 
 
+def _parquet_interop_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST-column interop (round 3): export embeddings (array<float>)
+    as real parquet — the 3-level LIST group with true Dremel rep/def
+    level streams — and read it back through Spark's parquet-mr reader.
+    Projected to (dim, checksum) scalars like rt_pipeline_embeddings so
+    the oracle is portable."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="colcodec_interop_emb_")
+    interop_export.export_parquet(
+        spark, emb, out, repo_col="label", salt_cols=["vec_id"],
+        target_chunk_bytes=256 << 10,
+    )
+    back = spark.read.parquet(out + "/*.parquet")
+    return back.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        (F.floor(
+            F.aggregate("embedding", F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double")) * 1e3 + 0.5
+        ) / 1e3).alias("checksum"),
+    )
+
+
 def _compact_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interop-path compaction (round 3): export documents as many tiny
     parquet files (64 KB target), fold them with compact_export (the
@@ -667,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem", "flag", Codec.RLE, derive=li_flag
         ),
         "parquet_interop_orders": _parquet_interop_orders,
+        "parquet_interop_embeddings": _parquet_interop_embeddings,
         "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
@@ -926,6 +950,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(l_extendedprice) AS DOUBLE) AS max_price FROM lineitem"
         ),
         "parquet_interop_orders": f"SELECT {o_cols} FROM orders",
+        "parquet_interop_embeddings": (
+            "SELECT vec_id, label, len(embedding) AS dim, "
+            "floor(list_sum(CAST(embedding AS DOUBLE[])) * 1e3 + 0.5) / 1e3 AS checksum "
+            "FROM embeddings"
+        ),
         "compact_export_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),

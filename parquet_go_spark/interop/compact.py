@@ -190,7 +190,13 @@ def compact_export(
     import pyarrow.parquet as pq
 
     sample = pq.read_schema(os.path.join(out_dir, small[0]["file"]))
-    columns = [(f.name, _ARROW_TO_SPARK[str(f.type)]) for f in sample]
+
+    def to_spark(t):
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{to_spark(t.value_type)}>"
+        return _ARROW_TO_SPARK[str(t)]
+
+    columns = [(f.name, to_spark(f.type)) for f in sample]
 
     jobs_df = spark.createDataFrame(
         [(j["repo"], j["bucket"], j["part"], j["files"]) for j in jobs],

@@ -54,15 +54,40 @@ _LOGICAL = {"string": "string", "date": "date",
 
 
 def _supported(spark_type: str) -> bool:
-    return spark_type in pipeline._KIND_BY_SPARK
+    if spark_type in pipeline._KIND_BY_SPARK:
+        return True
+    elem = pipeline._list_elem(spark_type)
+    return elem is not None and elem in pipeline._KIND_BY_SPARK
 
 
 def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
+    import pyarrow.compute as pc
+
     specs = []
     for name, spark_type in columns:
         arr = tbl.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        elem = pipeline._list_elem(spark_type)
+        if elem is not None:
+            # array<scalar> → flattened elements + lengths (+ null-list
+            # validity); the writer emits the 3-level LIST group with
+            # real rep/def levels
+            validity = None
+            if arr.null_count:
+                validity = np.asarray(arr.is_valid())
+            lengths = np.asarray(
+                pc.fill_null(pc.list_value_length(arr), 0)
+            ).astype(np.int64)
+            specs.append(ColumnSpec(
+                name,
+                pipeline._col_kind(elem),
+                pipeline._arrow_to_values(arr.flatten(), elem),
+                validity=validity,
+                logical=_LOGICAL.get(elem),
+                lengths=lengths,
+            ))
+            continue
         validity = None
         if arr.null_count:
             validity = np.asarray(arr.is_valid())
@@ -204,7 +229,7 @@ def export_parquet(
         if not _supported(t):
             raise ValueError(
                 f"export_parquet: column {name}: unsupported type {t} "
-                "(flat scalar columns only)")
+                "(scalar and array<scalar> columns only)")
     os.makedirs(out_dir, exist_ok=True)
     salt_cols = salt_cols or [c for c, _ in columns if c != repo_col][:2]
     keyed = pipeline.plan_chunks(df, repo_col, salt_cols,

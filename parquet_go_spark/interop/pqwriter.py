@@ -51,7 +51,14 @@ STAT_TRUNCATE = 16  # same bound as the manifest stats (config.go:29)
 class ColumnSpec:
     """One leaf column. `values` holds only non-null values (ndarray /
     ByteArrays / bool ndarray); `validity` (bool ndarray over all rows)
-    marks an optional column. encoding=None picks a default per kind."""
+    marks an optional column. encoding=None picks a default per kind.
+
+    LIST columns (`array<scalar>`): pass the FLATTENED element values
+    in `values` plus per-row element counts in `lengths`; `validity`
+    then marks null LISTS (elements themselves are required). The
+    column is written as the spec's 3-level LIST group with true
+    Dremel repetition/definition levels (rep 0/1; def 0=null list,
+    1=empty list, 2=element)."""
 
     name: str
     kind: int
@@ -60,6 +67,7 @@ class ColumnSpec:
     flba_size: int | None = None
     encoding: int | None = None
     logical: str | None = None  # "string" | "date" | "timestamp_micros"
+    lengths: np.ndarray | None = None  # list columns: elements per row
 
 
 def _default_encoding(spec: ColumnSpec) -> int:
@@ -193,6 +201,27 @@ def _def_levels_v1(validity: np.ndarray) -> bytes:
     """V1 def-level section: 4-byte LE length + RLE hybrid, bit width 1."""
     payload = rle.encode_hybrid(validity.astype(np.uint64), 1)
     return len(payload).to_bytes(4, "little") + payload
+
+
+def _list_levels(lens: np.ndarray, valid: np.ndarray | None):
+    """Dremel entry streams for one page of a LIST column →
+    (rep uint8[E], def uint8[E]): each row contributes its elements
+    (def 2; rep 0 for the first, 1 after) or ONE placeholder entry
+    (def 1 empty list / def 0 null list, rep 0)."""
+    lens = np.where(valid, lens, 0) if valid is not None else lens
+    epr = np.maximum(lens, 1)
+    E = int(epr.sum())
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(epr[:-1], out=starts[1:])
+    rep = np.ones(E, dtype=np.uint8)
+    rep[starts] = 0
+    de = np.full(E, 2, dtype=np.uint8)
+    ph = starts[lens == 0]  # placeholder entries
+    if valid is None:
+        de[ph] = 1
+    else:
+        de[ph] = np.where(valid[lens == 0], 1, 0).astype(np.uint8)
+    return rep, de
 
 
 def _page(page_type: int, payload: bytes, header_field: tuple,
@@ -346,6 +375,127 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
     }
 
 
+def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
+                      row_hi: int, compression: str | None, page_rows: int,
+                      page_version: int, statistics: bool,
+                      elem_cum: np.ndarray) -> dict:
+    """Append one LIST column chunk: flattened element pages with true
+    rep/def level streams (3-level LIST group). Pages break on ROW
+    boundaries, so a list never splits across pages. `elem_cum` maps
+    row index → flattened element index (null rows contribute 0)."""
+    codec = spec.encoding
+    vals = spec.values
+    n_rows = row_hi - row_lo
+    vlo_all, vhi_all = int(elem_cum[row_lo]), int(elem_cum[row_hi])
+    chunk_vals = _slice_values(vals, vlo_all, vhi_all)
+
+    dict_offset = None
+    encodings = {Codec.PLAIN, Codec.RLE, codec}
+    total_raw = total_stored = 0
+    indexes = None
+    if codec == Codec.RLE_DICTIONARY:
+        if spec.kind == Kind.BYTE_ARRAY:
+            uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
+        else:
+            uniques, indexes = dictionary.factorize_numeric(
+                np.asarray(chunk_vals))
+        dict_offset = len(out)
+        pg, raw, stored = _page(
+            _DICTIONARY_PAGE,
+            _encode_values(uniques, spec.kind, Codec.PLAIN, spec.flba_size),
+            (7, tc.STRUCT, tc.struct([
+                (1, tc.I32, len(uniques)), (2, tc.I32, Codec.PLAIN),
+            ])),
+            compression,
+        )
+        out += pg
+        total_raw += raw
+        total_stored += stored
+
+    data_offset = len(out)
+    pages = []
+    total_entries = 0
+    for lo in range(row_lo, row_hi, page_rows):
+        hi = min(lo + page_rows, row_hi)
+        vlo, vhi = int(elem_cum[lo]), int(elem_cum[hi])
+        page_vals = _slice_values(vals, vlo, vhi)
+        if indexes is not None:
+            body = rle.encode_dictionary_indexes(
+                indexes[vlo - vlo_all:vhi - vlo_all])
+        else:
+            body = _encode_values(page_vals, spec.kind, codec,
+                                  spec.flba_size)
+        rep, de = _list_levels(
+            np.asarray(spec.lengths[lo:hi]),
+            spec.validity[lo:hi] if spec.validity is not None else None)
+        n_ent = len(rep)
+        total_entries += n_ent
+        if page_version == 2:
+            rl = rle.encode_levels(rep, 1)
+            dl = rle.encode_levels(de, 2)
+            pg, raw, stored = _page(
+                _DATA_PAGE_V2, body,
+                (8, tc.STRUCT, tc.struct([
+                    (1, tc.I32, n_ent),
+                    (2, tc.I32, int((de < 2).sum())),
+                    (3, tc.I32, hi - lo),
+                    (4, tc.I32, codec),
+                    (5, tc.I32, len(dl)),
+                    (6, tc.I32, len(rl)),
+                    (7, tc.BOOL, bool(compression)),
+                ])),
+                compression, precompressed=rl + dl,
+            )
+        else:
+            rpay = rle.encode_hybrid(rep.astype(np.uint64), 1)
+            dpay = rle.encode_hybrid(de.astype(np.uint64), 2)
+            payload = (len(rpay).to_bytes(4, "little") + rpay
+                       + len(dpay).to_bytes(4, "little") + dpay + body)
+            pg, raw, stored = _page(
+                _DATA_PAGE, payload,
+                (5, tc.STRUCT, tc.struct([
+                    (1, tc.I32, n_ent), (2, tc.I32, codec),
+                    (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
+                ])),
+                compression,
+            )
+        page_off = len(out)
+        out += pg
+        total_raw += raw
+        total_stored += stored
+        lo_b, hi_b = _stat_bounds(page_vals, spec.kind)
+        pages.append({
+            "offset": page_off,
+            "size": len(pg),
+            "first_row": lo - row_lo,
+            "null_count": n_ent - (vhi - vlo),
+            "null_page": vhi == vlo,
+            "min": lo_b, "max": hi_b,
+        })
+
+    meta_fields = [
+        (1, tc.I32, spec.kind),
+        (2, tc.LIST, sorted(encodings), tc.I32),
+        (3, tc.LIST, [spec.name, "list", "element"], tc.BINARY),
+        (4, tc.I32, _COMPRESSION[compression]),
+        (5, tc.I64, total_entries),
+        (6, tc.I64, total_raw),
+        (7, tc.I64, total_stored),
+        (9, tc.I64, data_offset),
+        (11, tc.I64, dict_offset),
+        (12, tc.STRUCT,
+         _statistics_struct(chunk_vals, spec.kind,
+                            total_entries - (vhi_all - vlo_all))
+         if statistics else None),
+    ]
+    return {
+        "meta_fields": meta_fields,
+        "file_offset": dict_offset if dict_offset is not None else data_offset,
+        "pages": pages,
+        "total_raw": total_raw,
+    }
+
+
 def _boundary_order(pages: list[dict], kind: int) -> int:
     """BoundaryOrder over non-null pages: 1 ASC, 0 UNORDERED (always a
     safe claim per the spec). Numeric bounds must be compared as VALUES
@@ -413,12 +563,18 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         raise ValueError("page_version must be 1 or 2")
     n_rows = None
     for c in columns:
-        rows = len(c.validity) if c.validity is not None else len(c.values)
+        if c.lengths is not None:
+            rows = len(c.lengths)
+        elif c.validity is not None:
+            rows = len(c.validity)
+        else:
+            rows = len(c.values)
         if n_rows is None:
             n_rows = rows
         elif rows != n_rows:
             raise ValueError(f"column {c.name}: {rows} rows, expected {n_rows}")
-        if c.validity is not None and len(c.values) != int(c.validity.sum()):
+        if c.lengths is None and c.validity is not None and \
+                len(c.values) != int(c.validity.sum()):
             raise ValueError(f"column {c.name}: values must be null-stripped")
 
     specs = []
@@ -428,10 +584,17 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         enc = c.encoding if c.encoding is not None else _default_encoding(c)
         used[c.name] = enc
         specs.append(ColumnSpec(c.name, c.kind, c.values, c.validity,
-                                c.flba_size, enc, c.logical))
-        cums.append(
-            np.concatenate([[0], np.cumsum(c.validity.astype(np.int64))])
-            if c.validity is not None else None)
+                                c.flba_size, enc, c.logical, c.lengths))
+        if c.lengths is not None:
+            lens = np.asarray(c.lengths, dtype=np.int64)
+            if c.validity is not None:
+                lens = np.where(c.validity, lens, 0)
+            cums.append(np.concatenate([[0], np.cumsum(lens)]))
+        elif c.validity is not None:
+            cums.append(np.concatenate(
+                [[0], np.cumsum(c.validity.astype(np.int64))]))
+        else:
+            cums.append(None)
 
     out = bytearray(_MAGIC)
     rg_rows = row_group_rows or max(n_rows, 1)
@@ -441,8 +604,9 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         if g_hi <= g_lo and n_rows > 0:
             break
         chunks = [
-            _write_chunk(out, s, g_lo, g_hi, compression, page_rows,
-                         page_version, statistics, cum)
+            (_write_list_chunk if s.lengths is not None else _write_chunk)(
+                out, s, g_lo, g_hi, compression, page_rows,
+                page_version, statistics, cum)
             for s, cum in zip(specs, cums)
         ]
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
@@ -495,14 +659,35 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),
     ])]
     for c in columns:
-        schema.append(tc.struct([
-            (1, tc.I32, c.kind),
-            (2, tc.I32, c.flba_size
-             if c.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
-            (3, tc.I32, 1 if c.validity is not None else 0),
-            (4, tc.BINARY, c.name),
-            (6, tc.I32, _CONVERTED.get(c.logical)),
-        ]))
+        if c.lengths is not None:
+            # 3-level LIST group (always optional so the def scheme is
+            # the constant 0=null/1=empty/2=element):
+            # optional group <name> (LIST) { repeated group list {
+            #   required <type> element } }
+            schema.append(tc.struct([
+                (3, tc.I32, 1), (4, tc.BINARY, c.name),
+                (5, tc.I32, 1), (6, tc.I32, 3),  # ConvertedType LIST
+            ]))
+            schema.append(tc.struct([
+                (3, tc.I32, 2), (4, tc.BINARY, "list"), (5, tc.I32, 1),
+            ]))
+            schema.append(tc.struct([
+                (1, tc.I32, c.kind),
+                (2, tc.I32, c.flba_size
+                 if c.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
+                (3, tc.I32, 0),
+                (4, tc.BINARY, "element"),
+                (6, tc.I32, _CONVERTED.get(c.logical)),
+            ]))
+        else:
+            schema.append(tc.struct([
+                (1, tc.I32, c.kind),
+                (2, tc.I32, c.flba_size
+                 if c.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
+                (3, tc.I32, 1 if c.validity is not None else 0),
+                (4, tc.BINARY, c.name),
+                (6, tc.I32, _CONVERTED.get(c.logical)),
+            ]))
 
     # ColumnOrder = union{1: TypeDefinedOrder{}} per leaf — readers only
     # trust min_value/max_value statistics when column_orders is declared

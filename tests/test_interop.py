@@ -672,3 +672,82 @@ def test_compact_recovery_cleans_stale_pending(spark, tmp_path):
     compact_export(spark, out, small_bytes=4 << 20, target_bytes=2 << 20)
     assert not os.path.exists(stale)
     assert spark.read.parquet(out + "/*.parquet").count() == 3000
+
+
+# ---------------------------------------------------------------------------
+# LIST columns: 3-level group, true Dremel rep/def levels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pv,comp", [(1, None), (2, "zstd")])
+def test_list_column_roundtrip(tmp_path, pv, comp):
+    r = _rng()
+    n = 2000
+    lens = r.integers(0, 6, n)
+    valid = r.random(n) > 0.15  # null lists
+    eff = np.where(valid, lens, 0)
+    elems = r.random(int(eff.sum()))
+    lens2 = r.integers(0, 4, n)
+    strs = ByteArrays.from_pylist(
+        [f"s{i % 9}".encode() for i in range(int(lens2.sum()))])
+    p = str(tmp_path / f"list_{pv}_{comp}.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, np.arange(n, dtype=np.int64)),
+        ColumnSpec("v", Kind.DOUBLE, elems, lengths=lens, validity=valid),
+        ColumnSpec("s", Kind.BYTE_ARRAY, strs, lengths=lens2,
+                   logical="string"),
+    ], page_version=pv, compression=comp, page_rows=700,
+        row_group_rows=1000)
+    t = pq.ParquetFile(p, page_checksum_verification=True).read()
+    exp_v, j = [], 0
+    for i in range(n):
+        if not valid[i]:
+            exp_v.append(None)
+        else:
+            exp_v.append([float(elems[j + x]) for x in range(lens[i])])
+            j += lens[i]
+    assert t.column("v").to_pylist() == exp_v
+    exp_s, j = [], 0
+    sl = [v.decode() for v in strs.to_pylist()]
+    for i in range(n):
+        exp_s.append(sl[j:j + lens2[i]])
+        j += lens2[i]
+    assert t.column("s").to_pylist() == exp_s
+    # num_values counts Dremel entries (elements + empty/null markers)
+    md = pq.ParquetFile(p).metadata
+    ent = sum(md.row_group(g).column(1).num_values
+              for g in range(md.num_row_groups))
+    assert ent == int(eff.sum()) + int((eff == 0).sum())
+
+
+def test_list_column_duckdb(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    r = _rng()
+    n = 1500
+    lens = r.integers(0, 5, n)
+    elems = r.integers(0, 100, int(lens.sum())).astype(np.int64)
+    p = str(tmp_path / "ld.parquet")
+    write_table(p, [ColumnSpec("v", Kind.INT64, elems, lengths=lens)])
+    got = duckdb.sql(
+        f"SELECT count(*), sum(len(v)), CAST(sum(list_sum(v)) AS BIGINT) "
+        f"FROM read_parquet('{p}')").fetchone()
+    assert got == (n, int(lens.sum()), int(elems.sum()))
+
+
+def test_export_array_column_spark_roundtrip(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "emb")
+    export_parquet(spark, emb, out, repo_col="label",
+                   salt_cols=["vec_id"], target_chunk_bytes=256 << 10)
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == emb.count()
+
+    def chk(df):
+        return df.select(F.sum(F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda a, x: a + x.cast("double")))).head()[0]
+
+    assert abs(chk(back) - chk(emb)) < 1e-9
+    assert pq.read_table(out).num_rows == emb.count()
