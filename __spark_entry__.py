@@ -448,6 +448,40 @@ def _parquet_interop_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_interop_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-column interop (round 3): export a map<string,string> column
+    (with null values) as real parquet — the MAP group's two leaf
+    chunks share entry lengths; the optional value leaf carries def
+    levels 0..3 — and read it back through Spark's parquet-mr reader.
+    Projected to scalars via element_at like rt_pipeline_map so the
+    oracle is portable."""
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.create_map(
+                F.lit("status"), F.col("o_orderstatus"),
+                F.lit("prio"),
+                F.when(F.col("o_orderkey") % 3 == 0, None)
+                .otherwise(F.col("o_orderpriority")),
+            ).alias("attrs"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_interop_map_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        target_chunk_bytes=256 << 10,
+    )
+    back = spark.read.parquet(out + "/*.parquet")
+    return back.select(
+        "o_orderkey", "grp",
+        F.element_at("attrs", "status").alias("status"),
+        F.element_at("attrs", "prio").alias("prio"),
+        F.size("attrs").alias("n_entries"),
+    )
+
+
 def _compact_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interop-path compaction (round 3): export documents as many tiny
     parquet files (64 KB target), fold them with compact_export (the
@@ -691,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "parquet_interop_orders": _parquet_interop_orders,
         "parquet_interop_embeddings": _parquet_interop_embeddings,
+        "parquet_interop_map": _parquet_interop_map,
         "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
@@ -954,6 +989,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, label, len(embedding) AS dim, "
             "floor(list_sum(CAST(embedding AS DOUBLE[])) * 1e3 + 0.5) / 1e3 AS checksum "
             "FROM embeddings"
+        ),
+        "parquet_interop_map": (
+            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
+            "o_orderstatus AS status, "
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority "
+            "END AS prio, 2 AS n_entries FROM orders"
         ),
         "compact_export_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

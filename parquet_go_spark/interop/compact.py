@@ -62,6 +62,13 @@ INHERIT = "__inherit__"
 
 
 def _merge_fn(out_dir: str, columns, compression, page_rows: int):
+    # file-footer SortingColumn indexes address LEAF chunks; a MAP
+    # column contributes two leaves, so map them back to top-level
+    # column positions for Arrow sorting and for write_table
+    leaf_to_top = []
+    for j, (_, t) in enumerate(columns):
+        leaf_to_top += [j, j] if t.startswith("map<") else [j]
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -77,11 +84,15 @@ def _merge_fn(out_dir: str, columns, compression, page_rows: int):
                 if comp == INHERIT:
                     comp = _PQ_CODEC.get(
                         md.row_group(0).column(0).compression)
-                sorting = [s.column_index
+                sorting = [leaf_to_top[s.column_index]
                            for s in (md.row_group(0).sorting_columns or [])]
-                tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+                # promote: source files may disagree on nullability (a
+                # file whose slice had no nulls declares the column —
+                # or a MAP's value leaf — required)
+                tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                                       promote_options="default")
                 if sorting:
-                    names = [tbl.schema.names[i] for i in sorting]
+                    names = [columns[i][0] for i in sorting]
                     tbl = tbl.take(pc.sort_indices(
                         tbl, sort_keys=[(n, "ascending") for n in names]))
                 name = _file_name(job["repo"], job["bucket"], job["part"])
@@ -194,6 +205,8 @@ def compact_export(
     def to_spark(t):
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             return f"array<{to_spark(t.value_type)}>"
+        if pa.types.is_map(t):
+            return f"map<{to_spark(t.key_type)},{to_spark(t.item_type)}>"
         return _ARROW_TO_SPARK[str(t)]
 
     columns = [(f.name, to_spark(f.type)) for f in sample]

@@ -28,7 +28,9 @@ from pyspark.sql.types import (
 
 from parquet_go_spark.codecs.kinds import Kind
 from parquet_go_spark.plans import pipeline
-from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+from parquet_go_spark.interop.pqwriter import (
+    ColumnSpec, MapColumnSpec, write_table,
+)
 
 _SUMMARY_SCHEMA = StructType([
     StructField("file", StringType(), False),
@@ -57,7 +59,10 @@ def _supported(spark_type: str) -> bool:
     if spark_type in pipeline._KIND_BY_SPARK:
         return True
     elem = pipeline._list_elem(spark_type)
-    return elem is not None and elem in pipeline._KIND_BY_SPARK
+    if elem is not None:
+        return elem in pipeline._KIND_BY_SPARK
+    kv = pipeline._map_kv(spark_type)
+    return kv is not None and all(t in pipeline._KIND_BY_SPARK for t in kv)
 
 
 def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
@@ -86,6 +91,41 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
                 validity=validity,
                 logical=_LOGICAL.get(elem),
                 lengths=lengths,
+            ))
+            continue
+        kv = pipeline._map_kv(spark_type)
+        if kv is not None:
+            # map<K,V> → the writer's two-leaf MAP group. Cast to
+            # list<struct> first (slice-safe; flatten() skips null
+            # slots), same as the pipeline shredder.
+            ktype, vtype = kv
+            validity = None
+            if arr.null_count:
+                validity = np.asarray(arr.is_valid())
+            la = arr.cast(pa.list_(pa.struct([
+                pa.field("key", arr.type.key_type, nullable=False),
+                pa.field("value", arr.type.item_type),
+            ])))
+            lengths = np.asarray(
+                pc.fill_null(pc.list_value_length(la), 0)
+            ).astype(np.int64)
+            entries = la.flatten()
+            keys, vals = entries.field(0), entries.field(1)
+            entry_validity = None
+            if vals.null_count:
+                entry_validity = np.asarray(vals.is_valid())
+                vals = vals.drop_null()
+            specs.append(MapColumnSpec(
+                name,
+                key=ColumnSpec("key", pipeline._col_kind(ktype),
+                               pipeline._arrow_to_values(keys, ktype),
+                               logical=_LOGICAL.get(ktype)),
+                value=ColumnSpec("value", pipeline._col_kind(vtype),
+                                 pipeline._arrow_to_values(vals, vtype),
+                                 logical=_LOGICAL.get(vtype)),
+                lengths=lengths,
+                validity=validity,
+                entry_validity=entry_validity,
             ))
             continue
         validity = None
@@ -229,7 +269,7 @@ def export_parquet(
         if not _supported(t):
             raise ValueError(
                 f"export_parquet: column {name}: unsupported type {t} "
-                "(scalar and array<scalar> columns only)")
+                "(scalar, array<scalar>, and map<scalar,scalar> only)")
     os.makedirs(out_dir, exist_ok=True)
     salt_cols = salt_cols or [c for c, _ in columns if c != repo_col][:2]
     keyed = pipeline.plan_chunks(df, repo_col, salt_cols,

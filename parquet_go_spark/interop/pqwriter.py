@@ -8,7 +8,8 @@ parquet-format spec — so pyarrow, DuckDB, and Spark's own parquet-mr
 reader validate our encoded bytes end-to-end. Mirrors the reference
 being a full parquet writer (writer.go) rather than a private format.
 
-Scope: flat schemas, required/optional leaves, data pages v1 AND v2
+Scope: flat schemas plus LIST and MAP groups (true Dremel rep/def
+levels), required/optional leaves, data pages v1 AND v2
 (the reference's default is v2, config.go:27-31), multiple row groups,
 row-group Statistics with the reference's truncate-with-carry bound
 rule (column_index.go:684-700), encodings PLAIN / RLE(boolean) /
@@ -68,6 +69,23 @@ class ColumnSpec:
     encoding: int | None = None
     logical: str | None = None  # "string" | "date" | "timestamp_micros"
     lengths: np.ndarray | None = None  # list columns: elements per row
+
+
+@dataclass
+class MapColumnSpec:
+    """One map<K,V> column → TWO leaf chunks sharing the entry lengths:
+    a required key leaf and an optional value leaf (entry_validity marks
+    present values; `values` of the value leaf holds only non-null
+    ones). Written as the spec's 3-level MAP group
+    `optional group <name> (MAP) { repeated group key_value {
+    required K key; optional V value } }`."""
+
+    name: str
+    key: ColumnSpec    # kind/values/flba/encoding/logical of the key leaf
+    value: ColumnSpec  # same for the value leaf (null-stripped values)
+    lengths: np.ndarray = None          # entries per row
+    validity: np.ndarray | None = None  # null MAPS (rows)
+    entry_validity: np.ndarray | None = None  # per entry: value present?
 
 
 def _default_encoding(spec: ColumnSpec) -> int:
@@ -203,11 +221,15 @@ def _def_levels_v1(validity: np.ndarray) -> bytes:
     return len(payload).to_bytes(4, "little") + payload
 
 
-def _list_levels(lens: np.ndarray, valid: np.ndarray | None):
-    """Dremel entry streams for one page of a LIST column →
+def _list_levels(lens: np.ndarray, valid: np.ndarray | None,
+                 entry_valid: np.ndarray | None = None):
+    """Dremel entry streams for one page of a repeated column →
     (rep uint8[E], def uint8[E]): each row contributes its elements
-    (def 2; rep 0 for the first, 1 after) or ONE placeholder entry
-    (def 1 empty list / def 0 null list, rep 0)."""
+    (rep 0 for the first, 1 after) or ONE placeholder entry
+    (def 1 empty / def 0 null container, rep 0). Element def is 2 for
+    a required leaf; with `entry_valid` (an optional leaf under the
+    repeated group, e.g. a MAP's value) present elements get def 3 and
+    null ones def 2."""
     lens = np.where(valid, lens, 0) if valid is not None else lens
     epr = np.maximum(lens, 1)
     E = int(epr.sum())
@@ -215,7 +237,14 @@ def _list_levels(lens: np.ndarray, valid: np.ndarray | None):
     np.cumsum(epr[:-1], out=starts[1:])
     rep = np.ones(E, dtype=np.uint8)
     rep[starts] = 0
-    de = np.full(E, 2, dtype=np.uint8)
+    if entry_valid is None:
+        de = np.full(E, 2, dtype=np.uint8)
+    else:
+        # scatter per-element validity into the entry stream
+        de = np.full(E, 3, dtype=np.uint8)
+        mask = np.ones(E, dtype=bool)
+        mask[starts[lens == 0]] = False  # placeholder slots
+        de[mask] = np.where(entry_valid, 3, 2).astype(np.uint8)
     ph = starts[lens == 0]  # placeholder entries
     if valid is None:
         de[ph] = 1
@@ -378,15 +407,28 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
 def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
                       row_hi: int, compression: str | None, page_rows: int,
                       page_version: int, statistics: bool,
-                      elem_cum: np.ndarray) -> dict:
-    """Append one LIST column chunk: flattened element pages with true
-    rep/def level streams (3-level LIST group). Pages break on ROW
-    boundaries, so a list never splits across pages. `elem_cum` maps
-    row index → flattened element index (null rows contribute 0)."""
+                      elem_cum: np.ndarray,
+                      path: list[str] | None = None,
+                      entry_valid: np.ndarray | None = None,
+                      val_cum: np.ndarray | None = None) -> dict:
+    """Append one repeated-leaf column chunk: flattened element pages
+    with true rep/def level streams. Pages break on ROW boundaries, so
+    a record never splits across pages. `elem_cum` maps row index →
+    entry index (null rows contribute 0).
+
+    The default is the 3-level LIST group's required element. For an
+    OPTIONAL leaf under the repeated group (a MAP's value), pass
+    `entry_valid` (per entry: value present?) and `val_cum` (entry
+    index → null-stripped value index); def levels then run 0..3."""
     codec = spec.encoding
     vals = spec.values
     n_rows = row_hi - row_lo
-    vlo_all, vhi_all = int(elem_cum[row_lo]), int(elem_cum[row_hi])
+
+    def vof(e: int) -> int:  # entry index → value index
+        return int(val_cum[e]) if val_cum is not None else int(e)
+
+    elo_all, ehi_all = int(elem_cum[row_lo]), int(elem_cum[row_hi])
+    vlo_all, vhi_all = vof(elo_all), vof(ehi_all)
     chunk_vals = _slice_values(vals, vlo_all, vhi_all)
 
     dict_offset = None
@@ -412,12 +454,14 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
         total_raw += raw
         total_stored += stored
 
+    max_def = 3 if entry_valid is not None else 2
     data_offset = len(out)
     pages = []
     total_entries = 0
     for lo in range(row_lo, row_hi, page_rows):
         hi = min(lo + page_rows, row_hi)
-        vlo, vhi = int(elem_cum[lo]), int(elem_cum[hi])
+        elo, ehi = int(elem_cum[lo]), int(elem_cum[hi])
+        vlo, vhi = vof(elo), vof(ehi)
         page_vals = _slice_values(vals, vlo, vhi)
         if indexes is not None:
             body = rle.encode_dictionary_indexes(
@@ -427,7 +471,8 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
                                   spec.flba_size)
         rep, de = _list_levels(
             np.asarray(spec.lengths[lo:hi]),
-            spec.validity[lo:hi] if spec.validity is not None else None)
+            spec.validity[lo:hi] if spec.validity is not None else None,
+            entry_valid[elo:ehi] if entry_valid is not None else None)
         n_ent = len(rep)
         total_entries += n_ent
         if page_version == 2:
@@ -437,7 +482,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
                 _DATA_PAGE_V2, body,
                 (8, tc.STRUCT, tc.struct([
                     (1, tc.I32, n_ent),
-                    (2, tc.I32, int((de < 2).sum())),
+                    (2, tc.I32, int((de < max_def).sum())),
                     (3, tc.I32, hi - lo),
                     (4, tc.I32, codec),
                     (5, tc.I32, len(dl)),
@@ -476,7 +521,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
     meta_fields = [
         (1, tc.I32, spec.kind),
         (2, tc.LIST, sorted(encodings), tc.I32),
-        (3, tc.LIST, [spec.name, "list", "element"], tc.BINARY),
+        (3, tc.LIST, path or [spec.name, "list", "element"], tc.BINARY),
         (4, tc.I32, _COMPRESSION[compression]),
         (5, tc.I64, total_entries),
         (6, tc.I64, total_raw),
@@ -563,7 +608,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         raise ValueError("page_version must be 1 or 2")
     n_rows = None
     for c in columns:
-        if c.lengths is not None:
+        if isinstance(c, MapColumnSpec) or c.lengths is not None:
             rows = len(c.lengths)
         elif c.validity is not None:
             rows = len(c.validity)
@@ -573,28 +618,76 @@ def write_table(path: str, columns: list[ColumnSpec], *,
             n_rows = rows
         elif rows != n_rows:
             raise ValueError(f"column {c.name}: {rows} rows, expected {n_rows}")
-        if c.lengths is None and c.validity is not None and \
+        if isinstance(c, MapColumnSpec):
+            lens = np.asarray(c.lengths, dtype=np.int64)
+            eff = (np.where(c.validity, lens, 0)
+                   if c.validity is not None else lens)
+            n_ent = int(eff.sum())
+            if len(c.key.values) != n_ent:
+                raise ValueError(
+                    f"map column {c.name}: {len(c.key.values)} keys "
+                    f"for {n_ent} entries")
+            if c.entry_validity is not None:
+                if len(c.entry_validity) != n_ent:
+                    raise ValueError(
+                        f"map column {c.name}: entry_validity has "
+                        f"{len(c.entry_validity)} slots for {n_ent} entries")
+                if len(c.value.values) != int(c.entry_validity.sum()):
+                    raise ValueError(
+                        f"map column {c.name}: values must be null-stripped")
+            elif len(c.value.values) != n_ent:
+                raise ValueError(
+                    f"map column {c.name}: {len(c.value.values)} values "
+                    f"for {n_ent} entries")
+        elif c.lengths is None and c.validity is not None and \
                 len(c.values) != int(c.validity.sum()):
             raise ValueError(f"column {c.name}: values must be null-stripped")
 
-    specs = []
+    # expand top-level columns into LEAF chunks (a MAP contributes two:
+    # required key + optional value sharing the entry lengths/levels)
+    leaves = []
     used = {}
-    cums = []
+    first_leaf = []  # top-level column idx → its first leaf idx
     for c in columns:
+        first_leaf.append(len(leaves))
+        if isinstance(c, MapColumnSpec):
+            lens = np.asarray(c.lengths, dtype=np.int64)
+            eff = (np.where(c.validity, lens, 0)
+                   if c.validity is not None else lens)
+            ecum = np.concatenate([[0], np.cumsum(eff)])
+            for role, part in (("key", c.key), ("value", c.value)):
+                enc = (part.encoding if part.encoding is not None
+                       else _default_encoding(part))
+                used[f"{c.name}.{role}"] = enc
+                spec = ColumnSpec(role, part.kind, part.values, c.validity,
+                                  part.flba_size, enc, part.logical, eff)
+                ev = c.entry_validity if role == "value" else None
+                leaves.append({
+                    "spec": spec, "cum": ecum, "repeated": True,
+                    "path": [c.name, "key_value", role],
+                    "entry_valid": ev,
+                    "val_cum": (np.concatenate(
+                        [[0], np.cumsum(ev.astype(np.int64))])
+                        if ev is not None else None),
+                })
+            continue
         enc = c.encoding if c.encoding is not None else _default_encoding(c)
         used[c.name] = enc
-        specs.append(ColumnSpec(c.name, c.kind, c.values, c.validity,
-                                c.flba_size, enc, c.logical, c.lengths))
+        spec = ColumnSpec(c.name, c.kind, c.values, c.validity,
+                          c.flba_size, enc, c.logical, c.lengths)
         if c.lengths is not None:
             lens = np.asarray(c.lengths, dtype=np.int64)
             if c.validity is not None:
                 lens = np.where(c.validity, lens, 0)
-            cums.append(np.concatenate([[0], np.cumsum(lens)]))
+            cum = np.concatenate([[0], np.cumsum(lens)])
         elif c.validity is not None:
-            cums.append(np.concatenate(
-                [[0], np.cumsum(c.validity.astype(np.int64))]))
+            cum = np.concatenate(
+                [[0], np.cumsum(c.validity.astype(np.int64))])
         else:
-            cums.append(None)
+            cum = None
+        leaves.append({"spec": spec, "cum": cum,
+                       "repeated": c.lengths is not None,
+                       "path": None, "entry_valid": None, "val_cum": None})
 
     out = bytearray(_MAGIC)
     rg_rows = row_group_rows or max(n_rows, 1)
@@ -604,10 +697,15 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         if g_hi <= g_lo and n_rows > 0:
             break
         chunks = [
-            (_write_list_chunk if s.lengths is not None else _write_chunk)(
-                out, s, g_lo, g_hi, compression, page_rows,
-                page_version, statistics, cum)
-            for s, cum in zip(specs, cums)
+            _write_list_chunk(
+                out, lf["spec"], g_lo, g_hi, compression, page_rows,
+                page_version, statistics, lf["cum"], path=lf["path"],
+                entry_valid=lf["entry_valid"], val_cum=lf["val_cum"])
+            if lf["repeated"] else
+            _write_chunk(
+                out, lf["spec"], g_lo, g_hi, compression, page_rows,
+                page_version, statistics, lf["cum"])
+            for lf in leaves
         ]
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
         # spec, not the stored bytes
@@ -621,8 +719,8 @@ def write_table(path: str, columns: list[ColumnSpec], *,
     # index), which is why ColumnChunk structs are only built now
     if page_index:
         for _, _, chunks in groups:
-            for ch, s in zip(chunks, specs):
-                ci, oi = _page_index_structs(ch, s.kind)
+            for ch, lf in zip(chunks, leaves):
+                ci, oi = _page_index_structs(ch, lf["spec"].kind)
                 if ci is not None:
                     ch["ci_off"], ch["ci_len"] = len(out), len(ci)
                     out += ci
@@ -647,9 +745,11 @@ def write_table(path: str, columns: list[ColumnSpec], *,
             (3, tc.I64, g_rows),
         ]
         if sorting_columns:
-            # SortingColumn{column_idx, descending=false, nulls_first=false}
+            # SortingColumn{column_idx, descending=false, nulls_first=false};
+            # column_idx indexes the row group's LEAF chunks, so translate
+            # the caller's top-level column indexes
             rg_fields.append((4, tc.LIST, [
-                tc.struct([(1, tc.I32, i), (2, tc.BOOL, False),
+                tc.struct([(1, tc.I32, first_leaf[i]), (2, tc.BOOL, False),
                            (3, tc.BOOL, False)])
                 for i in sorting_columns
             ], tc.STRUCT))
@@ -659,7 +759,31 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),
     ])]
     for c in columns:
-        if c.lengths is not None:
+        if isinstance(c, MapColumnSpec):
+            # optional group <name> (MAP) { repeated group key_value {
+            #   required K key; <optional|required> V value } }
+            # (ConvertedType MAP = 1; the inner group carries no
+            # annotation per the modern spec)
+            schema.append(tc.struct([
+                (3, tc.I32, 1), (4, tc.BINARY, c.name),
+                (5, tc.I32, 1), (6, tc.I32, 1),
+            ]))
+            schema.append(tc.struct([
+                (3, tc.I32, 2), (4, tc.BINARY, "key_value"), (5, tc.I32, 2),
+            ]))
+            for role, part, rep in (("key", c.key, 0),
+                                    ("value", c.value,
+                                     1 if c.entry_validity is not None
+                                     else 0)):
+                schema.append(tc.struct([
+                    (1, tc.I32, part.kind),
+                    (2, tc.I32, part.flba_size
+                     if part.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
+                    (3, tc.I32, rep),
+                    (4, tc.BINARY, role),
+                    (6, tc.I32, _CONVERTED.get(part.logical)),
+                ]))
+        elif c.lengths is not None:
             # 3-level LIST group (always optional so the def scheme is
             # the constant 0=null/1=empty/2=element):
             # optional group <name> (LIST) { repeated group list {
@@ -698,7 +822,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         (3, tc.I64, n_rows),
         (4, tc.LIST, row_groups, tc.STRUCT),
         (6, tc.BINARY, "parquet_go_spark interop writer"),
-        (7, tc.LIST, [type_order] * len(columns), tc.STRUCT),
+        (7, tc.LIST, [type_order] * len(leaves), tc.STRUCT),
     ])
     out += footer
     out += len(footer).to_bytes(4, "little")

@@ -751,3 +751,189 @@ def test_export_array_column_spark_roundtrip(spark, tmp_path):
 
     assert abs(chk(back) - chk(emb)) < 1e-9
     assert pq.read_table(out).num_rows == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# MAP columns: optional group (MAP) { repeated key_value { key; value } },
+# two leaf chunks sharing the entry levels; value leaf def runs 0..3
+# ---------------------------------------------------------------------------
+
+def _map_fixture(n=2000, seed=11):
+    r = np.random.default_rng(seed)
+    lens = r.integers(0, 5, n)
+    valid = r.random(n) > 0.15          # null maps
+    eff = np.where(valid, lens, 0)
+    E = int(eff.sum())
+    keys = ByteArrays.from_pylist(
+        [f"k{i % 7}".encode() for i in range(E)])
+    entry_valid = r.random(E) > 0.3     # null values
+    vals = r.integers(0, 1000, int(entry_valid.sum())).astype(np.int64)
+    exp, j, vj = [], 0, 0
+    kl = [k.decode() for k in keys.to_pylist()]
+    for i in range(n):
+        if not valid[i]:
+            exp.append(None)
+            continue
+        m = []
+        for _ in range(lens[i]):
+            if entry_valid[j]:
+                m.append((kl[j], int(vals[vj])))
+                vj += 1
+            else:
+                m.append((kl[j], None))
+            j += 1
+        exp.append(m)
+    return lens, valid, keys, entry_valid, vals, exp
+
+
+@pytest.mark.parametrize("pv,comp", [(1, None), (2, "zstd")])
+def test_map_column_roundtrip(tmp_path, pv, comp):
+    from parquet_go_spark.interop.pqwriter import MapColumnSpec
+
+    n = 2000
+    lens, valid, keys, entry_valid, vals, exp = _map_fixture(n)
+    p = str(tmp_path / f"map_{pv}_{comp}.parquet")
+    write_table(p, [
+        ColumnSpec("id", Kind.INT64, np.arange(n, dtype=np.int64)),
+        MapColumnSpec(
+            "m",
+            key=ColumnSpec("key", Kind.BYTE_ARRAY, keys, logical="string"),
+            value=ColumnSpec("value", Kind.INT64, vals),
+            lengths=lens, validity=valid, entry_validity=entry_valid),
+    ], page_version=pv, compression=comp, page_rows=700,
+        row_group_rows=1000)
+    t = pq.ParquetFile(p, page_checksum_verification=True).read()
+    assert t.column("m").to_pylist() == exp
+    # num_values counts Dremel entries on BOTH leaves of the group
+    md = pq.ParquetFile(p).metadata
+    eff = np.where(valid, lens, 0)
+    ent = int(eff.sum()) + int((eff == 0).sum())
+    for leaf in (1, 2):
+        got = sum(md.row_group(g).column(leaf).num_values
+                  for g in range(md.num_row_groups))
+        assert got == ent
+
+
+def test_map_column_required_values(tmp_path):
+    """entry_validity=None → a required value leaf (def scheme 0..2)."""
+    from parquet_go_spark.interop.pqwriter import MapColumnSpec
+
+    n = 800
+    r = np.random.default_rng(3)
+    lens = r.integers(0, 4, n)
+    E = int(lens.sum())
+    keys = np.arange(E, dtype=np.int32)
+    vals = (np.arange(E, dtype=np.int64) * 3)
+    p = str(tmp_path / "map_req.parquet")
+    write_table(p, [MapColumnSpec(
+        "m", key=ColumnSpec("key", Kind.INT32, keys),
+        value=ColumnSpec("value", Kind.INT64, vals), lengths=lens)])
+    t = pq.ParquetFile(p, page_checksum_verification=True).read()
+    exp, j = [], 0
+    for i in range(n):
+        exp.append([(int(keys[j + x]), int(vals[j + x]))
+                    for x in range(lens[i])])
+        j += lens[i]
+    assert t.column("m").to_pylist() == exp
+
+
+def test_map_column_duckdb(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    from parquet_go_spark.interop.pqwriter import MapColumnSpec
+
+    n = 1500
+    lens, valid, keys, entry_valid, vals, exp = _map_fixture(n, seed=5)
+    p = str(tmp_path / "md.parquet")
+    write_table(p, [MapColumnSpec(
+        "m", key=ColumnSpec("key", Kind.BYTE_ARRAY, keys, logical="string"),
+        value=ColumnSpec("value", Kind.INT64, vals),
+        lengths=lens, validity=valid, entry_validity=entry_valid)])
+    got = duckdb.sql(
+        f"SELECT count(*), count(m), sum(cardinality(m)), "
+        f"CAST(coalesce(sum(list_sum(map_values(m))), 0) AS BIGINT) "
+        f"FROM read_parquet('{p}')").fetchone()
+    eff = np.where(valid, lens, 0)
+    assert got == (n, int(valid.sum()), int(eff.sum()), int(vals.sum()))
+
+
+def test_export_map_column_spark_roundtrip(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 8).cast("string").alias("grp"),
+            F.create_map(
+                F.lit("status"), F.col("o_orderstatus"),
+                F.lit("prio"),
+                F.when(F.col("o_orderkey") % 3 == 0, None)
+                .otherwise(F.col("o_orderpriority")),
+            ).alias("attrs"),
+        )
+    )
+    out = str(tmp_path / "maps")
+    export_parquet(spark, src, out, repo_col="grp",
+                   salt_cols=["o_orderkey"], target_chunk_bytes=256 << 10)
+    back = spark.read.parquet(out + "/*.parquet")
+    assert back.count() == src.count()
+
+    def chk(df):
+        return df.select(
+            F.sum(F.when(F.element_at("attrs", "prio").isNull(), 0)
+                  .otherwise(F.length(F.element_at("attrs", "prio")))),
+            F.sum(F.length(F.element_at("attrs", "status"))),
+        ).head()
+
+    assert chk(back) == chk(src)
+    assert pq.read_table(out).num_rows == src.count()
+
+
+def test_compact_export_map_column(spark, tmp_path):
+    """Compaction must merge map-columned files whose value-leaf
+    nullability differs (a file whose slice had no null values declares
+    the leaf required) and keep leaf-indexed sorting_columns aligned."""
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.interop.compact import compact_export
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 4).cast("string").alias("grp"),
+            F.create_map(
+                F.lit("s"), F.col("o_orderstatus"),
+                F.lit("p"),
+                F.when(F.col("o_orderkey") % 3 == 0, None)
+                .otherwise(F.col("o_orderpriority")),
+            ).alias("attrs"),
+        )
+    )
+    out = str(tmp_path / "cm")
+    export_parquet(spark, src, out, repo_col="grp",
+                   salt_cols=["o_orderkey"], target_chunk_bytes=16 << 10,
+                   sort_cols=["o_orderkey"])
+    n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    compact_export(spark, out, small_bytes=1 << 20, target_bytes=4 << 20)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after < n_before
+    back = spark.read.parquet(out + "/*.parquet")
+
+    def proj(d):
+        return sorted(
+            (r.o_orderkey, r.s, r.p) for r in d.select(
+                "o_orderkey",
+                F.element_at("attrs", "s").alias("s"),
+                F.element_at("attrs", "p").alias("p")).collect())
+
+    assert proj(back) == proj(src)
+    # compacted files re-declare the sort: footer sorting_columns point
+    # at the o_orderkey LEAF and pages stay ordered
+    biggest = max(
+        (f for f in os.listdir(out) if f.endswith(".parquet")),
+        key=lambda f: os.path.getsize(os.path.join(out, f)))
+    md = pq.ParquetFile(os.path.join(out, biggest)).metadata
+    sc = md.row_group(0).sorting_columns
+    assert sc and sc[0].column_index == 0
