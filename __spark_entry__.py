@@ -482,6 +482,39 @@ def _parquet_interop_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_interop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-column interop (round 3): export a struct (with a
+    nullable field) as real parquet — a group with one leaf chunk per
+    field, field def levels 0..2 — and read it back through Spark's
+    parquet-mr reader. Projected to scalar fields like
+    rt_pipeline_struct so the oracle is portable."""
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.when(F.col("o_orderkey") % 4 == 0, None)
+                .otherwise(F.col("o_custkey")).alias("ckey"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("props"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="colcodec_interop_struct_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
+        target_chunk_bytes=256 << 10,
+    )
+    back = spark.read.parquet(out + "/*.parquet")
+    return back.select(
+        "o_orderkey", "grp",
+        F.col("props.status").alias("status"),
+        F.col("props.ckey").alias("ckey"),
+        F.col("props.price").alias("price"),
+    )
+
+
 def _compact_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interop-path compaction (round 3): export documents as many tiny
     parquet files (64 KB target), fold them with compact_export (the
@@ -726,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_orders": _parquet_interop_orders,
         "parquet_interop_embeddings": _parquet_interop_embeddings,
         "parquet_interop_map": _parquet_interop_map,
+        "parquet_interop_struct": _parquet_interop_struct,
         "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
@@ -995,6 +1029,12 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus AS status, "
             "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority "
             "END AS prio, 2 AS n_entries FROM orders"
+        ),
+        "parquet_interop_struct": (
+            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
+            "o_orderstatus AS status, "
+            "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
+            "END AS ckey, o_totalprice AS price FROM orders"
         ),
         "compact_export_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

@@ -46,6 +46,7 @@ from parquet_go_spark.interop.export import (
     _SUMMARY_ARROW, _SUMMARY_SCHEMA, _file_name, _reconcile_dir, _to_specs,
 )
 from parquet_go_spark.interop.pqwriter import write_table
+from parquet_go_spark.plans import pipeline as _pipeline
 
 _ARROW_TO_SPARK = {
     "string": "string", "large_string": "string", "binary": "binary",
@@ -63,11 +64,16 @@ INHERIT = "__inherit__"
 
 def _merge_fn(out_dir: str, columns, compression, page_rows: int):
     # file-footer SortingColumn indexes address LEAF chunks; a MAP
-    # column contributes two leaves, so map them back to top-level
-    # column positions for Arrow sorting and for write_table
+    # column contributes two leaves and a STRUCT one per field, so map
+    # them back to top-level column positions for Arrow sorting and
+    # for write_table
     leaf_to_top = []
     for j, (_, t) in enumerate(columns):
-        leaf_to_top += [j, j] if t.startswith("map<") else [j]
+        if t.startswith("map<"):
+            leaf_to_top += [j, j]
+        else:
+            sf = _pipeline._struct_fields(t)
+            leaf_to_top += [j] * (len(sf) if sf else 1)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -207,6 +213,9 @@ def compact_export(
             return f"array<{to_spark(t.value_type)}>"
         if pa.types.is_map(t):
             return f"map<{to_spark(t.key_type)},{to_spark(t.item_type)}>"
+        if pa.types.is_struct(t):
+            inner = ",".join(f"{f.name}:{to_spark(f.type)}" for f in t)
+            return f"struct<{inner}>"
         return _ARROW_TO_SPARK[str(t)]
 
     columns = [(f.name, to_spark(f.type)) for f in sample]

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 from parquet_go_spark.codecs.kinds import Kind
 from parquet_go_spark.plans import pipeline
 from parquet_go_spark.interop.pqwriter import (
-    ColumnSpec, MapColumnSpec, write_table,
+    ColumnSpec, MapColumnSpec, StructColumnSpec, write_table,
 )
 
 _SUMMARY_SCHEMA = StructType([
@@ -62,7 +62,11 @@ def _supported(spark_type: str) -> bool:
     if elem is not None:
         return elem in pipeline._KIND_BY_SPARK
     kv = pipeline._map_kv(spark_type)
-    return kv is not None and all(t in pipeline._KIND_BY_SPARK for t in kv)
+    if kv is not None:
+        return all(t in pipeline._KIND_BY_SPARK for t in kv)
+    sf = pipeline._struct_fields(spark_type)
+    return sf is not None and all(
+        t in pipeline._KIND_BY_SPARK for _, t in sf)
 
 
 def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
@@ -127,6 +131,27 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
                 validity=validity,
                 entry_validity=entry_validity,
             ))
+            continue
+        sf = pipeline._struct_fields(spark_type)
+        if sf is not None:
+            # struct<...> → one leaf per field. StructArray.flatten()
+            # merges the parent validity into each child, so a child's
+            # own validity is exactly the field-present mask.
+            validity = None
+            if arr.null_count:
+                validity = np.asarray(arr.is_valid())
+            fields = []
+            for (fname, ftype), child in zip(sf, arr.flatten()):
+                cval = None
+                if child.null_count:
+                    cval = np.asarray(child.is_valid())
+                    child = child.drop_null()
+                fields.append((fname, ColumnSpec(
+                    fname, pipeline._col_kind(ftype),
+                    pipeline._arrow_to_values(child, ftype),
+                    validity=cval, logical=_LOGICAL.get(ftype))))
+            specs.append(StructColumnSpec(name, fields=fields,
+                                          validity=validity))
             continue
         validity = None
         if arr.null_count:
@@ -269,7 +294,8 @@ def export_parquet(
         if not _supported(t):
             raise ValueError(
                 f"export_parquet: column {name}: unsupported type {t} "
-                "(scalar, array<scalar>, and map<scalar,scalar> only)")
+                "(scalar, array<scalar>, map<scalar,scalar>, and "
+                "struct of scalars only)")
     os.makedirs(out_dir, exist_ok=True)
     salt_cols = salt_cols or [c for c, _ in columns if c != repo_col][:2]
     keyed = pipeline.plan_chunks(df, repo_col, salt_cols,

@@ -88,6 +88,21 @@ class MapColumnSpec:
     entry_validity: np.ndarray | None = None  # per entry: value present?
 
 
+@dataclass
+class StructColumnSpec:
+    """One struct<...> column → one leaf chunk per field, written as
+    the group `<optional|required> group <name> { fields... }`. Each
+    field's ColumnSpec carries null-stripped PRESENT values and (if the
+    field is nullable) a row-level validity that is False wherever the
+    field is null OR the whole struct is null; `validity` here marks
+    null STRUCTS. Field def levels then run 0..2 (null struct / field
+    null / present), or a subset when either side is required."""
+
+    name: str
+    fields: list  # [(field_name, ColumnSpec)]
+    validity: np.ndarray | None = None  # null structs (rows)
+
+
 def _default_encoding(spec: ColumnSpec) -> int:
     k = spec.kind
     if k in (Kind.INT32, Kind.INT64):
@@ -215,12 +230,6 @@ def _statistics_struct(vals, kind: int, null_count: int) -> bytes:
 # pages
 # ---------------------------------------------------------------------------
 
-def _def_levels_v1(validity: np.ndarray) -> bytes:
-    """V1 def-level section: 4-byte LE length + RLE hybrid, bit width 1."""
-    payload = rle.encode_hybrid(validity.astype(np.uint64), 1)
-    return len(payload).to_bytes(4, "little") + payload
-
-
 def _list_levels(lens: np.ndarray, valid: np.ndarray | None,
                  entry_valid: np.ndarray | None = None):
     """Dremel entry streams for one page of a repeated column →
@@ -285,11 +294,20 @@ def _page(page_type: int, payload: bytes, header_field: tuple,
 def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
                  compression: str | None, page_rows: int,
                  page_version: int, statistics: bool,
-                 nn_cum: np.ndarray | None) -> dict:
+                 nn_cum: np.ndarray | None,
+                 path: list[str] | None = None,
+                 def_levels: np.ndarray | None = None,
+                 def_width: int = 1) -> dict:
     """Append one column CHUNK (pages for rows [row_lo, row_hi)) to
     `out`; return a dict with everything the footer needs (the
     ColumnChunk struct is built later, once the page-index offsets are
-    known)."""
+    known).
+
+    The default is a top-level leaf whose def stream (bit width 1) is
+    derived from spec.validity. A STRUCT field leaf instead passes
+    explicit `def_levels` (uint8 per row, e.g. 0 null struct / 1 field
+    null / 2 present) with `def_width`; spec.validity must then be the
+    value-presence mask (def == max)."""
     codec = spec.encoding
     vals = spec.values
     n_rows = row_hi - row_lo
@@ -339,10 +357,15 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         else:
             body = _encode_values(page_vals, spec.kind, codec,
                                   spec.flba_size)
+        if def_levels is not None:
+            page_def = def_levels[lo:hi]
+        elif spec.validity is not None:
+            page_def = spec.validity[lo:hi].astype(np.uint8)
+        else:
+            page_def = None
         if page_version == 2:
-            dl = (rle.encode_levels(
-                spec.validity[lo:hi].astype(np.uint8), 1)
-                if spec.validity is not None else b"")
+            dl = (rle.encode_levels(page_def, def_width)
+                  if page_def is not None else b"")
             pg, raw, stored = _page(
                 _DATA_PAGE_V2, body,
                 (8, tc.STRUCT, tc.struct([
@@ -358,8 +381,10 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
             )
         else:
             payload = body
-            if spec.validity is not None:
-                payload = _def_levels_v1(spec.validity[lo:hi]) + body
+            if page_def is not None:
+                dpay = rle.encode_hybrid(
+                    page_def.astype(np.uint64), def_width)
+                payload = (len(dpay).to_bytes(4, "little") + dpay + body)
             pg, raw, stored = _page(
                 _DATA_PAGE, payload,
                 (5, tc.STRUCT, tc.struct([
@@ -385,7 +410,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
     meta_fields = [
         (1, tc.I32, spec.kind),
         (2, tc.LIST, sorted(encodings), tc.I32),
-        (3, tc.LIST, [spec.name], tc.BINARY),
+        (3, tc.LIST, path or [spec.name], tc.BINARY),
         (4, tc.I32, _COMPRESSION[compression]),
         (5, tc.I64, n_rows),
         (6, tc.I64, total_raw),
@@ -608,7 +633,14 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         raise ValueError("page_version must be 1 or 2")
     n_rows = None
     for c in columns:
-        if isinstance(c, MapColumnSpec) or c.lengths is not None:
+        if isinstance(c, StructColumnSpec):
+            if c.validity is not None:
+                rows = len(c.validity)
+            else:
+                f0 = c.fields[0][1]
+                rows = (len(f0.validity) if f0.validity is not None
+                        else len(f0.values))
+        elif isinstance(c, MapColumnSpec) or c.lengths is not None:
             rows = len(c.lengths)
         elif c.validity is not None:
             rows = len(c.validity)
@@ -618,7 +650,31 @@ def write_table(path: str, columns: list[ColumnSpec], *,
             n_rows = rows
         elif rows != n_rows:
             raise ValueError(f"column {c.name}: {rows} rows, expected {n_rows}")
-        if isinstance(c, MapColumnSpec):
+        if isinstance(c, StructColumnSpec):
+            n_present = (int(c.validity.sum())
+                         if c.validity is not None else rows)
+            for fname, part in c.fields:
+                if part.validity is None:
+                    if len(part.values) != n_present:
+                        raise ValueError(
+                            f"struct column {c.name}.{fname}: "
+                            f"{len(part.values)} values for {n_present} "
+                            "present structs")
+                    continue
+                if len(part.validity) != rows:
+                    raise ValueError(
+                        f"struct column {c.name}.{fname}: validity has "
+                        f"{len(part.validity)} rows, expected {rows}")
+                if c.validity is not None and \
+                        bool(np.any(part.validity & ~c.validity)):
+                    raise ValueError(
+                        f"struct column {c.name}.{fname}: field marked "
+                        "present inside a null struct")
+                if len(part.values) != int(part.validity.sum()):
+                    raise ValueError(
+                        f"struct column {c.name}.{fname}: values must be "
+                        "null-stripped")
+        elif isinstance(c, MapColumnSpec):
             lens = np.asarray(c.lengths, dtype=np.int64)
             eff = (np.where(c.validity, lens, 0)
                    if c.validity is not None else lens)
@@ -650,6 +706,37 @@ def write_table(path: str, columns: list[ColumnSpec], *,
     first_leaf = []  # top-level column idx → its first leaf idx
     for c in columns:
         first_leaf.append(len(leaves))
+        if isinstance(c, StructColumnSpec):
+            sv = c.validity
+            for fname, part in c.fields:
+                fv = part.validity
+                max_def = ((1 if sv is not None else 0)
+                           + (1 if fv is not None else 0))
+                pres = fv if fv is not None else sv
+                de = None
+                if max_def:
+                    de = np.full(n_rows, max_def, dtype=np.uint8)
+                    if fv is not None:
+                        de[~fv] = max_def - 1
+                    if sv is not None:
+                        de[~sv] = 0
+                enc = (part.encoding if part.encoding is not None
+                       else _default_encoding(part))
+                used[f"{c.name}.{fname}"] = enc
+                spec = ColumnSpec(fname, part.kind, part.values, pres,
+                                  part.flba_size, enc, part.logical)
+                leaves.append({
+                    "spec": spec,
+                    "cum": (np.concatenate(
+                        [[0], np.cumsum(pres.astype(np.int64))])
+                        if pres is not None else None),
+                    "repeated": False,
+                    "path": [c.name, fname],
+                    "entry_valid": None, "val_cum": None,
+                    "def_levels": de,
+                    "def_width": 2 if max_def == 2 else 1,
+                })
+            continue
         if isinstance(c, MapColumnSpec):
             lens = np.asarray(c.lengths, dtype=np.int64)
             eff = (np.where(c.validity, lens, 0)
@@ -704,7 +791,9 @@ def write_table(path: str, columns: list[ColumnSpec], *,
             if lf["repeated"] else
             _write_chunk(
                 out, lf["spec"], g_lo, g_hi, compression, page_rows,
-                page_version, statistics, lf["cum"])
+                page_version, statistics, lf["cum"], path=lf["path"],
+                def_levels=lf.get("def_levels"),
+                def_width=lf.get("def_width", 1))
             for lf in leaves
         ]
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
@@ -759,7 +848,23 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),
     ])]
     for c in columns:
-        if isinstance(c, MapColumnSpec):
+        if isinstance(c, StructColumnSpec):
+            # <optional|required> group <name> { one leaf per field }
+            schema.append(tc.struct([
+                (3, tc.I32, 1 if c.validity is not None else 0),
+                (4, tc.BINARY, c.name),
+                (5, tc.I32, len(c.fields)),
+            ]))
+            for fname, part in c.fields:
+                schema.append(tc.struct([
+                    (1, tc.I32, part.kind),
+                    (2, tc.I32, part.flba_size
+                     if part.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
+                    (3, tc.I32, 1 if part.validity is not None else 0),
+                    (4, tc.BINARY, fname),
+                    (6, tc.I32, _CONVERTED.get(part.logical)),
+                ]))
+        elif isinstance(c, MapColumnSpec):
             # optional group <name> (MAP) { repeated group key_value {
             #   required K key; <optional|required> V value } }
             # (ConvertedType MAP = 1; the inner group carries no

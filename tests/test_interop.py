@@ -937,3 +937,131 @@ def test_compact_export_map_column(spark, tmp_path):
     md = pq.ParquetFile(os.path.join(out, biggest)).metadata
     sc = md.row_group(0).sorting_columns
     assert sc and sc[0].column_index == 0
+
+
+# ---------------------------------------------------------------------------
+# STRUCT columns: group with one leaf per field; field def levels 0..2
+# (null struct / field null / present)
+# ---------------------------------------------------------------------------
+
+def _struct_fixture(n=1500, seed=13):
+    r = np.random.default_rng(seed)
+    sv = r.random(n) > 0.2                  # null structs
+    fv = (r.random(n) > 0.3) & sv           # nullable field
+    a_vals = r.integers(0, 10000, int(fv.sum())).astype(np.int64)
+    b_vals = ByteArrays.from_pylist(
+        [f"s{i % 4}".encode() for i in range(int(sv.sum()))])
+    exp, aj, bj = [], 0, 0
+    bl = [x.decode() for x in b_vals.to_pylist()]
+    for i in range(n):
+        if not sv[i]:
+            exp.append(None)
+            continue
+        row = {"a": int(a_vals[aj]) if fv[i] else None, "b": bl[bj]}
+        if fv[i]:
+            aj += 1
+        bj += 1
+        exp.append(row)
+    return sv, fv, a_vals, b_vals, exp
+
+
+@pytest.mark.parametrize("pv,comp", [(1, None), (2, "zstd")])
+def test_struct_column_roundtrip(tmp_path, pv, comp):
+    from parquet_go_spark.interop.pqwriter import StructColumnSpec
+
+    n = 1500
+    sv, fv, a_vals, b_vals, exp = _struct_fixture(n)
+    p = str(tmp_path / f"struct_{pv}_{comp}.parquet")
+    write_table(p, [
+        ColumnSpec("id", Kind.INT64, np.arange(n, dtype=np.int64)),
+        StructColumnSpec("st", fields=[
+            ("a", ColumnSpec("a", Kind.INT64, a_vals, validity=fv)),
+            ("b", ColumnSpec("b", Kind.BYTE_ARRAY, b_vals,
+                             logical="string")),
+        ], validity=sv),
+    ], page_version=pv, compression=comp, page_rows=400,
+        row_group_rows=800)
+    t = pq.ParquetFile(p, page_checksum_verification=True).read()
+    assert t.column("st").to_pylist() == exp
+    # chunk stats: null counts differ per leaf (struct-null rows count
+    # as nulls on both; field-null rows only on `a`)
+    md = pq.ParquetFile(p).metadata
+    a_nulls = sum(md.row_group(g).column(1).statistics.null_count
+                  for g in range(md.num_row_groups))
+    b_nulls = sum(md.row_group(g).column(2).statistics.null_count
+                  for g in range(md.num_row_groups))
+    assert a_nulls == n - int(fv.sum())
+    assert b_nulls == n - int(sv.sum())
+
+
+def test_struct_column_required(tmp_path):
+    """No struct validity, no field validity → def-less required leaves
+    inside the group."""
+    from parquet_go_spark.interop.pqwriter import StructColumnSpec
+
+    m = 600
+    p = str(tmp_path / "struct_req.parquet")
+    write_table(p, [StructColumnSpec("st", fields=[
+        ("x", ColumnSpec("x", Kind.INT32, np.arange(m, dtype=np.int32))),
+        ("y", ColumnSpec("y", Kind.DOUBLE, np.arange(m) * 0.5)),
+    ])])
+    t = pq.ParquetFile(p, page_checksum_verification=True).read()
+    assert t.column("st").to_pylist() == [
+        {"x": i, "y": i * 0.5} for i in range(m)]
+
+
+def test_struct_column_duckdb(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    from parquet_go_spark.interop.pqwriter import StructColumnSpec
+
+    n = 1200
+    sv, fv, a_vals, b_vals, _ = _struct_fixture(n, seed=17)
+    p = str(tmp_path / "sd.parquet")
+    write_table(p, [StructColumnSpec("st", fields=[
+        ("a", ColumnSpec("a", Kind.INT64, a_vals, validity=fv)),
+        ("b", ColumnSpec("b", Kind.BYTE_ARRAY, b_vals, logical="string")),
+    ], validity=sv)])
+    got = duckdb.sql(
+        f"SELECT count(*), count(st), sum(st.a), count(st.b) "
+        f"FROM read_parquet('{p}')").fetchone()
+    assert got == (n, int(sv.sum()), int(a_vals.sum()), int(sv.sum()))
+
+
+def test_export_struct_column_spark_roundtrip(spark, tmp_path):
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.interop.compact import compact_export
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 6).cast("string").alias("grp"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.when(F.col("o_orderkey") % 4 == 0, None)
+                .otherwise(F.col("o_custkey")).alias("ckey"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("props"),
+        )
+    )
+    out = str(tmp_path / "structs")
+    export_parquet(spark, src, out, repo_col="grp",
+                   salt_cols=["o_orderkey"], target_chunk_bytes=32 << 10)
+    back = spark.read.parquet(out + "/*.parquet")
+
+    def proj(d):
+        return sorted(
+            (r.o_orderkey, r.s, r.c, r.p) for r in d.select(
+                "o_orderkey",
+                F.col("props.status").alias("s"),
+                F.col("props.ckey").alias("c"),
+                F.col("props.price").alias("p")).collect())
+
+    exp = proj(src)
+    assert proj(back) == exp
+    assert pq.read_table(out).num_rows == src.count()
+    # compaction merges struct-columned files (value-presence differs
+    # per file) and the result still matches
+    compact_export(spark, out, small_bytes=1 << 20, target_bytes=4 << 20)
+    assert proj(spark.read.parquet(out + "/*.parquet")) == exp
