@@ -1,0 +1,220 @@
+"""Optional compiled kernels (FSST encode/decode hot loops).
+
+The numpy FSST parse is allocation- and bandwidth-bound at ~18-20 MB/s
+per core (three measured optimization attempts rejected — see
+BASELINE.md); the honest lever named there is a native kernel. This
+module ships ~90 lines of C **as source inside the package** (so it is
+`--py-files` compatible: every executor's Python worker compiles it once
+on first import with the host toolchain) and binds it with ctypes. If no
+C compiler is present, compilation fails, or the platform is not
+little-endian, everything silently falls back to the pure-numpy kernels
+— the numpy path remains the reference implementation and is exercised
+directly in tests via `SPARK_COLCODEC_NATIVE=0`.
+
+The C encoder is the FSST paper's canonical greedy longest-match parse
+(shortCodes-style 2-byte dispatch + per-prefix candidate lists ordered
+longest-first), not a translation of the numpy pair-merge parse; both
+produce valid streams for the same serialized symbol table, and the
+sequential decoder accepts either. Blob bytes are deterministic per
+environment (required for manifest resume); cross-environment resume
+re-encodes only missing partitions, for which determinism is not
+load-bearing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* FSST greedy longest-match encode.
+ *
+ * in/n           : plain bytes
+ * keys/lens      : symbol table, code i = (keys[i] little-endian, lens[i])
+ * pstart[65537]  : per-2-byte-prefix offsets into pcands
+ * pcands         : codes of len>=2 symbols grouped by first-2-byte prefix,
+ *                  longest first within a prefix
+ * single[256]    : code of the 1-byte symbol for that byte, or -1
+ * out            : capacity must be >= 2*n (worst case: all escapes)
+ * returns encoded length
+ */
+long fsst_encode(const uint8_t *in, long n,
+                 const uint64_t *keys, const uint8_t *lens,
+                 const int32_t *pstart, const int32_t *pcands,
+                 const int16_t *single, uint8_t *out)
+{
+    static const uint64_t MASK[9] = {
+        0ULL, 0xFFULL, 0xFFFFULL, 0xFFFFFFULL, 0xFFFFFFFFULL,
+        0xFFFFFFFFFFULL, 0xFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFULL,
+        0xFFFFFFFFFFFFFFFFULL};
+    long i = 0, o = 0;
+    long fast_end = n - 8; /* positions where a full word load is safe */
+    while (i <= fast_end) {
+        uint64_t w;
+        memcpy(&w, in + i, 8);
+        uint32_t p2 = (uint32_t)(w & 0xFFFF);
+        int32_t c0 = pstart[p2], c1 = pstart[p2 + 1];
+        int matched = 0;
+        for (int32_t ci = c0; ci < c1; ci++) {
+            int32_t code = pcands[ci];
+            uint8_t L = lens[code];
+            if ((w & MASK[L]) == keys[code]) {
+                out[o++] = (uint8_t)code;
+                i += L;
+                matched = 1;
+                break;
+            }
+        }
+        if (!matched) {
+            int16_t sc = single[(uint8_t)w];
+            if (sc >= 0) {
+                out[o++] = (uint8_t)sc;
+            } else {
+                out[o++] = 255;
+                out[o++] = (uint8_t)w;
+            }
+            i++;
+        }
+    }
+    while (i < n) { /* tail: partial word, candidate must fit */
+        long avail = n - i;
+        uint64_t w = 0;
+        memcpy(&w, in + i, avail >= 8 ? 8 : avail);
+        int matched = 0;
+        if (avail >= 2) {
+            uint32_t p2 = (uint32_t)(w & 0xFFFF);
+            int32_t c0 = pstart[p2], c1 = pstart[p2 + 1];
+            for (int32_t ci = c0; ci < c1; ci++) {
+                int32_t code = pcands[ci];
+                uint8_t L = lens[code];
+                if (L <= avail && (w & MASK[L]) == keys[code]) {
+                    out[o++] = (uint8_t)code;
+                    i += L;
+                    matched = 1;
+                    break;
+                }
+            }
+        }
+        if (!matched) {
+            int16_t sc = single[in[i]];
+            if (sc >= 0) {
+                out[o++] = (uint8_t)sc;
+            } else {
+                out[o++] = 255;
+                out[o++] = in[i];
+            }
+            i++;
+        }
+    }
+    return o;
+}
+
+/* FSST sequential decode. out capacity (cap) must leave 8 bytes of
+ * slack past the expected size so symbol writes can be one unconditional
+ * 8-byte store. Returns decoded length, -1 on malformed input (escape at
+ * end / code out of range), -2 on output overflow. */
+long fsst_decode(const uint8_t *in, long n,
+                 const uint64_t *keys, const uint8_t *lens, long nsyms,
+                 uint8_t *out, long cap)
+{
+    long i = 0, o = 0;
+    long safe = cap - 8;
+    while (i < n) {
+        uint8_t c = in[i++];
+        if (c == 255) {
+            if (i >= n)
+                return -1;
+            if (o >= cap)
+                return -2;
+            out[o++] = in[i++];
+        } else {
+            if (c >= nsyms)
+                return -1;
+            if (o > safe)
+                return -2;
+            uint64_t w = keys[c];
+            memcpy(out + o, &w, 8);
+            o += lens[c];
+        }
+    }
+    return o;
+}
+"""
+
+
+class _Lib:
+    __slots__ = ("encode", "decode")
+
+    def __init__(self, dll: ctypes.CDLL):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        self.encode = dll.fsst_encode
+        self.encode.restype = ctypes.c_long
+        self.encode.argtypes = [
+            u8p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), u8p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int16), u8p,
+        ]
+        self.decode = dll.fsst_decode
+        self.decode.restype = ctypes.c_long
+        self.decode.argtypes = [
+            u8p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), u8p, ctypes.c_long,
+            u8p, ctypes.c_long,
+        ]
+
+
+def _build(cc: str, cache_dir: str, so_path: str) -> None:
+    os.makedirs(cache_dir, exist_ok=True)
+    src = os.path.join(cache_dir, "fsst.c")
+    with open(src, "w") as f:
+        f.write(_C_SOURCE)
+    fd, tmp_so = tempfile.mkstemp(dir=cache_dir, suffix=".so")
+    os.close(fd)
+    try:
+        subprocess.run(
+            [cc, "-O3", "-fPIC", "-shared", "-o", tmp_so, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
+    finally:
+        if os.path.exists(tmp_so):
+            os.unlink(tmp_so)
+
+
+def load() -> _Lib | None:
+    """Compile (once per host, cached by source hash) and bind the kernels.
+
+    Returns None — meaning "use the numpy path" — when disabled via
+    SPARK_COLCODEC_NATIVE=0, on big-endian hosts (the kernels assume the
+    table's little-endian uint64 key packing matches memory order), or
+    when no working C compiler is available.
+    """
+    if os.environ.get("SPARK_COLCODEC_NATIVE", "1") == "0":
+        return None
+    if sys.byteorder != "little":
+        return None
+    digest = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"colcodec-native-{digest}"
+    )
+    so_path = os.path.join(cache_dir, "fsst.so")
+    try:
+        if not os.path.exists(so_path):
+            cc = next(
+                (c for c in ("cc", "gcc", "clang") if shutil.which(c)), None
+            )
+            if cc is None:
+                return None
+            _build(cc, cache_dir, so_path)
+        return _Lib(ctypes.CDLL(so_path))
+    except Exception:
+        return None

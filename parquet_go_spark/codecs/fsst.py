@@ -32,11 +32,22 @@ span adjacent rows — harmless for round-trip):
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
-from . import delta
+from . import _native, delta
 from .bytearrays import ByteArrays
 from .varint import read_uvarint, write_uvarint
+
+#: compiled greedy-parse kernels, or None → pure-numpy path (see
+#: _native.py; disable with SPARK_COLCODEC_NATIVE=0)
+_NATIVE = _native.load()
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I16P = ctypes.POINTER(ctypes.c_int16)
 
 MAX_SYMBOLS = 255
 ESCAPE = 255
@@ -70,7 +81,7 @@ def _buckets(keys: np.ndarray, salt: int) -> np.ndarray:
 
 class FsstTable:
     __slots__ = ("lengths", "keys", "salt", "_bucket_key", "_bucket_meta",
-                 "_sym2", "_prefix2")
+                 "_sym2", "_prefix2", "_enc_tabs")
 
     def __init__(self, lengths: np.ndarray, keys: np.ndarray):
         """lengths: (k,) uint8 in 1..8; keys: (k,) uint64. Codes are the
@@ -124,6 +135,32 @@ class FsstTable:
         ge3 = self.lengths >= 3
         prefix2[(self.keys[ge3] & np.uint64(0xFFFF)).astype(np.int64)] = True
         self._prefix2 = prefix2
+        self._enc_tabs = None  # built lazily for the native encoder
+
+    def native_enc_tabs(self):
+        """Dispatch tables for the C greedy longest-match encoder:
+        per-2-byte-prefix candidate lists (codes of len>=2 symbols,
+        longest first, so the first key match IS the greedy match) plus
+        a direct 1-byte-symbol code map."""
+        if self._enc_tabs is None:
+            multi = np.flatnonzero(self.lengths >= 2).astype(np.int64)
+            prefix = (self.keys[multi] & np.uint64(0xFFFF)).astype(np.int64)
+            order = np.lexsort(
+                (-self.lengths[multi].astype(np.int64), prefix)
+            )
+            pcands = np.ascontiguousarray(multi[order], dtype=np.int32)
+            pstart = np.bincount(
+                prefix[order] + 1, minlength=(1 << 16) + 1
+            ).cumsum().astype(np.int32)
+            single = np.full(256, -1, dtype=np.int16)
+            ones = np.flatnonzero(self.lengths == 1)
+            single[self.keys[ones].astype(np.int64)] = ones.astype(np.int16)
+            self._enc_tabs = (
+                np.ascontiguousarray(pstart),
+                pcands,
+                np.ascontiguousarray(single),
+            )
+        return self._enc_tabs
 
     def __len__(self) -> int:
         return len(self.lengths)
@@ -425,9 +462,25 @@ def encode_stream(data: np.ndarray, table: FsstTable) -> bytes:
     )
 
 
+def _encode_block_native(data: np.ndarray, table: FsstTable) -> bytes:
+    pstart, pcands, single = table.native_enc_tabs()
+    data = np.ascontiguousarray(data)
+    out = np.empty(2 * len(data), dtype=np.uint8)
+    n = _NATIVE.encode(
+        data.ctypes.data_as(_U8P), len(data),
+        table.keys.ctypes.data_as(_U64P),
+        table.lengths.ctypes.data_as(_U8P),
+        pstart.ctypes.data_as(_I32P), pcands.ctypes.data_as(_I32P),
+        single.ctypes.data_as(_I16P), out.ctypes.data_as(_U8P),
+    )
+    return out[:n].tobytes()
+
+
 def _encode_block(data: np.ndarray, table: FsstTable) -> bytes:
     if len(data) == 0:
         return b""
+    if _NATIVE is not None:
+        return _encode_block_native(data, table)
     tok_key, tok_len = _parse(data, table)
     codes = table.lookup(tok_len, tok_key)
     # unmatched tokens are single leftover bytes -> escape
@@ -450,6 +503,18 @@ def decode_stream(buf: np.ndarray, table: FsstTable, expected: int) -> np.ndarra
     n = len(codes)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
+    if _NATIVE is not None:
+        src = np.ascontiguousarray(codes)
+        out = np.empty(expected + 8, dtype=np.uint8)  # 8B store slack
+        r = _NATIVE.decode(
+            src.ctypes.data_as(_U8P), n,
+            table.keys.ctypes.data_as(_U64P),
+            table.lengths.ctypes.data_as(_U8P), len(table.lengths),
+            out.ctypes.data_as(_U8P), expected + 8,
+        )
+        if r != expected:
+            raise ValueError(f"FSST decode size mismatch: {r} != {expected}")
+        return out[:expected]
     is_esc_val = codes == ESCAPE
     # markers: within each run of consecutive 0xFF bytes (run starting at
     # a non-consumed position), positions at even run offset are escape

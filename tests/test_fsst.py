@@ -64,3 +64,86 @@ def test_fsst_table_serialization_roundtrip():
     assert consumed == len(blob)
     assert np.array_equal(back.lengths, table.lengths)
     assert np.array_equal(back.keys, table.keys)
+
+
+# ---- native (compiled) kernel vs numpy reference path ----------------
+# The C greedy longest-match parse and the numpy pair-merge parse emit
+# different (both valid) streams for the same table; each must decode
+# the other's output, fall back cleanly, and reject malformed input.
+
+needs_native = pytest.mark.skipif(
+    fsst._NATIVE is None, reason="no C toolchain on this host"
+)
+
+
+def _code_corpus(n=300):
+    return ByteArrays.from_pylist(
+        [
+            f"def fn_{i % 13}(x):\n    return x + {i % 7}  # comment\n".encode()
+            for i in range(n)
+        ]
+    )
+
+
+@needs_native
+def test_native_cross_path_roundtrip(monkeypatch):
+    ba = _code_corpus()
+    data = ba.data[: ba.offsets[-1]]
+    table = fsst.train(data)
+    enc_native = fsst._encode_block(data, table)
+    monkeypatch.setattr(fsst, "_NATIVE", None)
+    enc_numpy = fsst._encode_block(data, table)
+    # numpy decodes the native stream
+    out = fsst.decode_stream(
+        np.frombuffer(enc_native, np.uint8), table, len(data)
+    )
+    assert np.array_equal(out, data)
+    monkeypatch.undo()
+    # native decodes the numpy stream
+    out = fsst.decode_stream(
+        np.frombuffer(enc_numpy, np.uint8), table, len(data)
+    )
+    assert np.array_equal(out, data)
+    # greedy longest-match must not lose ratio vs the pair-merge parse
+    assert len(enc_native) <= len(enc_numpy) * 1.02
+
+
+@needs_native
+@given(st.lists(st.binary(max_size=60), max_size=80))
+def test_native_fuzz_roundtrip(vals):
+    ba = ByteArrays.from_pylist(vals)
+    blob = fsst.encode_byte_array(ba)
+    assert fsst.decode_byte_array(blob).to_pylist() == vals
+
+
+@needs_native
+def test_native_decode_rejects_malformed():
+    data = np.frombuffer(b"hello world hello world " * 40, dtype=np.uint8)
+    table = fsst.train(data)
+    # escape marker with no literal byte following
+    with pytest.raises(ValueError):
+        fsst.decode_stream(np.array([fsst.ESCAPE], np.uint8), table, 1)
+    # code beyond the symbol table
+    k = len(table.lengths)
+    if k < fsst.ESCAPE:
+        with pytest.raises(ValueError):
+            fsst.decode_stream(np.array([k], np.uint8), table, 8)
+
+
+def test_native_env_opt_out():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from parquet_go_spark.codecs import _native; "
+            "print(_native.load() is None)",
+        ],
+        env={**__import__("os").environ, "SPARK_COLCODEC_NATIVE": "0"},
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.stdout.strip() == "True", r.stderr
