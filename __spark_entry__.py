@@ -515,6 +515,40 @@ def _parquet_interop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_bloom_point_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec bloom filters in real parquet (round 3): export orders with
+    split-block blooms on o_custkey — XXH64 spec hashing, the filter the
+    reference writes per chunk (writer.go:2089-2095; format proven
+    byte-identical to parquet-mr's on the golden bloom fixture) — then
+    answer a point lookup by probing ONLY footers+bitsets to prune
+    files, reading just the survivors. Oracle runs the same point query
+    on the original table, so a bloom false NEGATIVE (missed rows) can't
+    hide; the pruning itself is asserted in tests/test_interop_bloom.py."""
+    import numpy as np
+    import os as _os
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqbloom
+
+    df = _load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="colcodec_bloom_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="o_orderstatus",
+        salt_cols=["o_orderkey"], target_chunk_bytes=256 << 10,
+        bloom_cols=["o_custkey"],
+    )
+    paths = [_os.path.join(out, f) for f in sorted(_os.listdir(out))
+             if f.endswith(".parquet")]
+    keep = pqbloom.prune_files(
+        paths, "o_custkey", np.array([7], dtype=np.int64), Kind.INT64)
+    back = (
+        spark.read.parquet(*keep)
+        .where(F.col("o_custkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return back
+
+
 def _compact_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interop-path compaction (round 3): export documents as many tiny
     parquet files (64 KB target), fold them with compact_export (the
@@ -760,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_embeddings": _parquet_interop_embeddings,
         "parquet_interop_map": _parquet_interop_map,
         "parquet_interop_struct": _parquet_interop_struct,
+        "parquet_bloom_point_orders": _parquet_bloom_point_orders,
         "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
@@ -1035,6 +1070,10 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus AS status, "
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
             "END AS ckey, o_totalprice AS price FROM orders"
+        ),
+        "parquet_bloom_point_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey = 7"
         ),
         "compact_export_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

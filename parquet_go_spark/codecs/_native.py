@@ -117,6 +117,76 @@ long fsst_encode(const uint8_t *in, long n,
     return o;
 }
 
+/* XXH64 (public-domain algorithm, Yann Collet) — parquet bloom filters
+ * hash each value's plain-encoded bytes with seed 0. Batch form: value i
+ * is data[offs[i] .. offs[i+1]). */
+static inline uint64_t rotl64(uint64_t x, int r)
+{
+    return (x << r) | (x >> (64 - r));
+}
+
+#define XP1 0x9E3779B185EBCA87ULL
+#define XP2 0xC2B2AE3D27D4EB4FULL
+#define XP3 0x165667B19E3779F9ULL
+#define XP4 0x85EBCA77C2B2AE63ULL
+#define XP5 0x27D4EB2F165667C5ULL
+
+static uint64_t xxh64(const uint8_t *p, long len, uint64_t seed)
+{
+    const uint8_t *end = p + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + XP1 + XP2, v2 = seed + XP2, v3 = seed,
+                 v4 = seed - XP1;
+        do {
+            uint64_t k;
+            memcpy(&k, p, 8); v1 = rotl64(v1 + k * XP2, 31) * XP1; p += 8;
+            memcpy(&k, p, 8); v2 = rotl64(v2 + k * XP2, 31) * XP1; p += 8;
+            memcpy(&k, p, 8); v3 = rotl64(v3 + k * XP2, 31) * XP1; p += 8;
+            memcpy(&k, p, 8); v4 = rotl64(v4 + k * XP2, 31) * XP1; p += 8;
+        } while (p + 32 <= end);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+        v1 *= XP2; h ^= rotl64(v1, 31) * XP1; h = h * XP1 + XP4;
+        v2 *= XP2; h ^= rotl64(v2, 31) * XP1; h = h * XP1 + XP4;
+        v3 *= XP2; h ^= rotl64(v3, 31) * XP1; h = h * XP1 + XP4;
+        v4 *= XP2; h ^= rotl64(v4, 31) * XP1; h = h * XP1 + XP4;
+    } else {
+        h = seed + XP5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        uint64_t k;
+        memcpy(&k, p, 8);
+        h ^= rotl64(k * XP2, 31) * XP1;
+        h = rotl64(h, 27) * XP1 + XP4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        uint32_t k;
+        memcpy(&k, p, 4);
+        h ^= (uint64_t)k * XP1;
+        h = rotl64(h, 23) * XP2 + XP3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (uint64_t)(*p++) * XP5;
+        h = rotl64(h, 11) * XP1;
+    }
+    h ^= h >> 33;
+    h *= XP2;
+    h ^= h >> 29;
+    h *= XP3;
+    h ^= h >> 32;
+    return h;
+}
+
+void xxh64_batch(const uint8_t *data, const int64_t *offs, long n,
+                 uint64_t seed, uint64_t *out)
+{
+    for (long i = 0; i < n; i++)
+        out[i] = xxh64(data + offs[i], (long)(offs[i + 1] - offs[i]), seed);
+}
+
 /* FSST sequential decode. out capacity (cap) must leave 8 bytes of
  * slack past the expected size so symbol writes can be one unconditional
  * 8-byte store. Returns decoded length, -1 on malformed input (escape at
@@ -151,10 +221,16 @@ long fsst_decode(const uint8_t *in, long n,
 
 
 class _Lib:
-    __slots__ = ("encode", "decode")
+    __slots__ = ("encode", "decode", "xxh64")
 
     def __init__(self, dll: ctypes.CDLL):
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        self.xxh64 = dll.xxh64_batch
+        self.xxh64.restype = None
+        self.xxh64.argtypes = [
+            u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ]
         self.encode = dll.fsst_encode
         self.encode.restype = ctypes.c_long
         self.encode.argtypes = [

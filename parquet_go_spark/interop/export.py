@@ -177,7 +177,7 @@ def _file_name(repo: str, bucket: int, part: int) -> str:
 
 
 def _export_fn(columns, out_dir: str, compression, target_bytes: int,
-               page_rows: int, sort_cols=None):
+               page_rows: int, sort_cols=None, bloom_cols=None):
     col_names = [c for c, _ in columns]
     sorting = ([col_names.index(c) for c in sort_cols]
                if sort_cols else None)
@@ -211,7 +211,7 @@ def _export_fn(columns, out_dir: str, compression, target_bytes: int,
             info = write_table(
                 tmp, _to_specs(tbl, columns),
                 compression=compression, page_rows=page_rows,
-                sorting_columns=sorting,
+                sorting_columns=sorting, bloom_columns=bloom_cols,
             )
             os.replace(tmp, final)
             rows.append({
@@ -271,6 +271,7 @@ def export_parquet(
     size_mode: str | None = None,
     resume: bool = False,
     sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Write df as a directory of self-contained .parquet files encoded
     by our kernels; returns the per-file summary DataFrame (collected
@@ -288,7 +289,11 @@ def export_parquet(
     parts (rows now duplicated into lower parts) are swept instead of
     being seen by directory-globbing readers. Consequence: out_dir is
     OWNED by the export — foreign .parquet files placed there are
-    removed."""
+    removed.
+
+    bloom_cols: leaf columns to write split-block bloom filters for
+    (spec XXH64; see pqbloom) — probe with pqbloom.read_blooms to prune
+    whole files/row groups from footer metadata alone."""
     columns = df.dtypes
     for name, t in columns:
         if not _supported(t):
@@ -309,7 +314,7 @@ def export_parquet(
     n_parts = spark.sparkContext.defaultParallelism * 4
     parts = keyed.repartition(n_parts, "__repo", "__bucket")
     fn = _export_fn(columns, out_dir, compression, target_chunk_bytes,
-                    page_rows, sort_cols)
+                    page_rows, sort_cols, bloom_cols)
     summary = parts.mapInArrow(fn, _SUMMARY_SCHEMA)
     out = summary.cache()
     out.count()  # materialize the write

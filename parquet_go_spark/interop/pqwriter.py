@@ -35,7 +35,7 @@ from parquet_go_spark.codecs import (
 from parquet_go_spark.codecs.bytearrays import ByteArrays
 from parquet_go_spark.codecs.chunk import _outer
 from parquet_go_spark.codecs.kinds import Codec, Kind, KIND_WIDTHS
-from parquet_go_spark.interop import thriftc as tc
+from parquet_go_spark.interop import pqbloom, thriftc as tc
 
 # parquet-format PageType / CompressionCodec / ConvertedType enums
 _DATA_PAGE = 0
@@ -624,9 +624,17 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 page_version: int = 1,
                 statistics: bool = True,
                 page_index: bool = True,
-                sorting_columns: list[int] | None = None) -> dict:
+                sorting_columns: list[int] | None = None,
+                bloom_columns: list[str] | None = None,
+                bloom_fpp: float = 0.01) -> dict:
     """Write one parquet file. Returns a summary
-    {n_rows, file_bytes, row_groups, encodings: {col: codec id}}."""
+    {n_rows, file_bytes, row_groups, encodings: {col: codec id}}.
+
+    bloom_columns: leaf names (dotted for struct fields) to write
+    split-block bloom filters for, per row group — XXH64 spec hashing,
+    built from the chunk's distinct values (the reference builds from
+    the dictionary, writer.go:2089-2095 — same filter, inserts are
+    idempotent). Boolean and repeated (LIST/MAP) leaves are skipped."""
     if not columns:
         raise ValueError("no columns")
     if page_version not in (1, 2):
@@ -798,16 +806,38 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         ]
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
         # spec, not the stored bytes
-        groups.append((g_hi - g_lo,
+        groups.append((g_lo, g_hi,
                        sum(ch["total_raw"] for ch in chunks), chunks))
         if n_rows == 0:
             break
+
+    # bloom filters go between the data pages and the page indexes
+    # (parquet-mr's layout); ColumnMetaData records offset+length
+    if bloom_columns:
+        wanted = set(bloom_columns)
+        for g_lo, g_hi, _, chunks in groups:
+            for ch, lf in zip(chunks, leaves):
+                spec = lf["spec"]
+                name = ".".join(lf["path"]) if lf["path"] else spec.name
+                if (name not in wanted or lf["repeated"]
+                        or spec.kind == Kind.BOOLEAN):
+                    continue
+                cum = lf["cum"]
+                vlo, vhi = ((int(cum[g_lo]), int(cum[g_hi]))
+                            if cum is not None else (g_lo, g_hi))
+                vals = _slice_values(spec.values, vlo, vhi)
+                hashes = pqbloom.spec_hashes(
+                    vals, spec.kind, flba_size=spec.flba_size)
+                blob = pqbloom.bloom_blob(hashes, fpp=bloom_fpp)
+                ch["meta_fields"].append((14, tc.I64, len(out)))
+                ch["meta_fields"].append((15, tc.I32, len(blob)))
+                out += blob
 
     # page indexes live between the pages and the footer; their offsets
     # are recorded per ColumnChunk (fields 6/7 column index, 4/5 offset
     # index), which is why ColumnChunk structs are only built now
     if page_index:
-        for _, _, chunks in groups:
+        for _, _, _, chunks in groups:
             for ch, lf in zip(chunks, leaves):
                 ci, oi = _page_index_structs(ch, lf["spec"].kind)
                 if ci is not None:
@@ -817,7 +847,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 out += oi
 
     row_groups = []
-    for g_rows, g_bytes, chunks in groups:
+    for g_lo, g_hi, g_bytes, chunks in groups:
         chunk_structs = [
             tc.struct([
                 (2, tc.I64, ch["file_offset"]),
@@ -831,7 +861,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         rg_fields = [
             (1, tc.LIST, chunk_structs, tc.STRUCT),
             (2, tc.I64, g_bytes),
-            (3, tc.I64, g_rows),
+            (3, tc.I64, g_hi - g_lo),
         ]
         if sorting_columns:
             # SortingColumn{column_idx, descending=false, nulls_first=false};

@@ -19,91 +19,9 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-
-def _uvarint(buf, pos):
-    shift = result = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
-
-
-def _zigzag(v: int) -> int:
-    return (v >> 1) ^ -(v & 1)
-
-
-def _read_value(t: int, buf, pos):
-    if t == 1:
-        return True, pos
-    if t == 2:
-        return False, pos
-    if t == 3:
-        b = buf[pos]
-        return (b - 256 if b >= 128 else b), pos + 1
-    if t in (4, 5, 6):
-        v, pos = _uvarint(buf, pos)
-        return _zigzag(v), pos
-    if t == 7:
-        import struct
-
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
-    if t == 8:
-        ln, pos = _uvarint(buf, pos)
-        return bytes(buf[pos : pos + ln]), pos + ln
-    if t in (9, 10):
-        hdr = buf[pos]
-        pos += 1
-        size, et = hdr >> 4, hdr & 0xF
-        if size == 15:
-            size, pos = _uvarint(buf, pos)
-        out = []
-        for _ in range(size):
-            if et in (1, 2):  # bool ELEMENTS are one byte: 1=true 2=false
-                out.append(buf[pos] == 1)
-                pos += 1
-            else:
-                v, pos = _read_value(et, buf, pos)
-                out.append(v)
-        return out, pos
-    if t == 11:
-        size, pos = _uvarint(buf, pos)
-        out = {}
-        if size:
-            kv = buf[pos]
-            pos += 1
-            kt, vt = kv >> 4, kv & 0xF
-            for _ in range(size):
-                k, pos = _read_value(kt, buf, pos)
-                v, pos = _read_value(vt, buf, pos)
-                out[k] = v
-        return out, pos
-    if t == 12:
-        return read_struct(buf, pos)
-    raise ValueError(f"thrift compact type {t}")
-
-
-def read_struct(buf, pos):
-    """Compact-protocol struct → {field_id: value} (nested structs as
-    dicts, bools inline in the field header)."""
-    out = {}
-    last_id = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        if b == 0:
-            return out, pos
-        delta, t = b >> 4, b & 0xF
-        if delta:
-            fid = last_id + delta
-        else:
-            v, pos = _uvarint(buf, pos)
-            fid = _zigzag(v)
-        last_id = fid
-        val, pos = _read_value(t, buf, pos)
-        out[fid] = val
+# the compact-protocol reader was promoted into the package (the engine
+# needs footer access for bloom probing); re-exported here for the tests
+from parquet_go_spark.interop.thriftc import read_struct  # noqa: F401
 
 
 _CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
