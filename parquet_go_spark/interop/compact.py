@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from parquet_go_spark.interop.export import (
     _SUMMARY_ARROW, _SUMMARY_SCHEMA, _file_name, _reconcile_dir, _to_specs,
 )
+from parquet_go_spark.interop import pqbloom
 from parquet_go_spark.interop.pqwriter import write_table
 from parquet_go_spark.plans import pipeline as _pipeline
 
@@ -92,6 +93,8 @@ def _merge_fn(out_dir: str, columns, compression, page_rows: int):
                         md.row_group(0).column(0).compression)
                 sorting = [leaf_to_top[s.column_index]
                            for s in (md.row_group(0).sorting_columns or [])]
+                # inherit bloom-filtered columns too (footer-only scan)
+                bloom_cols = pqbloom.bloom_column_names(paths[0]) or None
                 # promote: source files may disagree on nullability (a
                 # file whose slice had no nulls declares the column —
                 # or a MAP's value leaf — required)
@@ -105,7 +108,8 @@ def _merge_fn(out_dir: str, columns, compression, page_rows: int):
                 pending = os.path.join(out_dir, name) + ".pending"
                 info = write_table(pending, _to_specs(tbl, columns),
                                    compression=comp, page_rows=page_rows,
-                                   sorting_columns=sorting or None)
+                                   sorting_columns=sorting or None,
+                                   bloom_columns=bloom_cols)
                 rows.append({
                     "file": name, "repo": job["repo"],
                     "bucket": job["bucket"], "part": job["part"],

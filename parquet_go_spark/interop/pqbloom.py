@@ -243,6 +243,25 @@ def read_blooms(path: str) -> dict[tuple[int, str], np.ndarray]:
     return out
 
 
+def bloom_column_names(path: str) -> list[str]:
+    """Dotted leaf paths that carry a bloom filter in any row group —
+    footer bytes only (no bitsets read). Lets compaction inherit the
+    source files' bloom configuration the way it inherits codec/sort."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        flen = int.from_bytes(f.read(4), "little")
+        f.seek(size - 8 - flen)
+        fmd, _ = tc.read_struct(f.read(flen), 0)
+    names = set()
+    for rg in fmd[4]:
+        for cc in rg[1]:
+            meta = cc[3]
+            if meta.get(14) is not None:
+                names.add(b".".join(meta[3]).decode())
+    return sorted(names)
+
+
 def prune_files(paths, column: str, values, kind: int,
                 flba_size: int | None = None) -> list[str]:
     """Keep only files whose bloom for `column` might contain ANY of

@@ -166,3 +166,45 @@ def test_optimal_bytes_power_of_two_and_clamped():
         b = pqbloom.optimal_bytes(ndv)
         assert b & (b - 1) == 0 and b >= 32
     assert pqbloom.optimal_bytes(10**12) == pqbloom.MAX_BYTES
+
+
+def test_export_and_compact_inherit_blooms(spark, tmp_path):
+    """export_parquet(bloom_cols=...) writes blooms into every file;
+    compact_export detects them in the sources (footer-only) and writes
+    them into the merged files too, still sound for point probes."""
+    import glob
+
+    from parquet_go_spark.interop.compact import compact_export
+    from parquet_go_spark.interop.export import export_parquet
+    from parquet_go_spark.sources import repogen
+
+    df = repogen.repos_table(spark, n_rows=6000, seed=21).select(
+        "repo", "path", "lang", "content")
+    out = str(tmp_path / "bexp")
+    export_parquet(spark, df, out, target_chunk_bytes=1 << 20,
+                   bloom_cols=["path"])
+    before = sorted(glob.glob(out + "/*.parquet"))
+    assert before
+    for p in before:
+        assert pqbloom.bloom_column_names(p) == ["path"]
+
+    compact_export(spark, out, small_bytes=4 << 20, target_bytes=2 << 20)
+    after = sorted(glob.glob(out + "/*.parquet"))
+    assert len(after) < len(before)
+    for p in after:
+        assert pqbloom.bloom_column_names(p) == ["path"]
+
+    # soundness through the rewrite: a real path value keeps its file
+    sample = df.select("path").limit(1).collect()[0][0]
+    keep = pqbloom.prune_files(
+        after, "path",
+        ByteArrays.from_pylist([sample.encode()]), Kind.BYTE_ARRAY)
+    import pyarrow.compute as pc
+
+    found = sum(
+        pq.read_table(p, columns=["path"])
+        .column("path").to_pylist().count(sample) for p in keep)
+    total = sum(
+        pq.read_table(p, columns=["path"])
+        .column("path").to_pylist().count(sample) for p in after)
+    assert found == total > 0
