@@ -187,6 +187,37 @@ void xxh64_batch(const uint8_t *data, const int64_t *offs, long n,
         out[i] = xxh64(data + offs[i], (long)(offs[i + 1] - offs[i]), seed);
 }
 
+/* Engine-bloom per-value polynomial hash. Must match the numpy
+ * reference in bloom.py bit-for-bit (same blob bytes either way):
+ *   acc    = sum_j value[j] * K2^j                  (mod 2^64)
+ *   out[i] = splitmix-mix(acc ^ (len * K3))
+ * The numpy path materializes ~24 bytes of int64 temporaries per input
+ * byte (repeat/arange/add.at) — this loop is pure sequential reads. */
+#define BK1 0x9E3779B97F4A7C15ULL
+#define BK2 0xBF58476D1CE4E5B9ULL
+#define BK3 0x94D049BB133111EBULL
+
+static inline uint64_t bmix64(uint64_t x)
+{
+    x += BK1;
+    x = (x ^ (x >> 30)) * BK2;
+    x = (x ^ (x >> 27)) * BK3;
+    return x ^ (x >> 31);
+}
+
+void poly64_batch(const uint8_t *data, const int64_t *offs, long n,
+                  uint64_t *out)
+{
+    for (long i = 0; i < n; i++) {
+        const uint8_t *p = data + offs[i];
+        long len = (long)(offs[i + 1] - offs[i]);
+        uint64_t acc = 0;
+        for (long j = len - 1; j >= 0; j--)
+            acc = acc * BK2 + p[j];
+        out[i] = bmix64(acc ^ ((uint64_t)len * BK3));
+    }
+}
+
 /* FSST sequential decode. out capacity (cap) must leave 8 bytes of
  * slack past the expected size so symbol writes can be one unconditional
  * 8-byte store. Returns decoded length, -1 on malformed input (escape at
@@ -221,7 +252,7 @@ long fsst_decode(const uint8_t *in, long n,
 
 
 class _Lib:
-    __slots__ = ("encode", "decode", "xxh64")
+    __slots__ = ("encode", "decode", "xxh64", "poly64")
 
     def __init__(self, dll: ctypes.CDLL):
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -230,6 +261,12 @@ class _Lib:
         self.xxh64.argtypes = [
             u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        self.poly64 = dll.poly64_batch
+        self.poly64.restype = None
+        self.poly64.argtypes = [
+            u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64),
         ]
         self.encode = dll.fsst_encode
         self.encode.restype = ctypes.c_long

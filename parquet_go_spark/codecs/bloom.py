@@ -14,11 +14,23 @@ uvarint n_blocks | raw little-endian block words.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
+from . import _native
 from .bytearrays import ByteArrays
 from .kinds import Kind
 from .varint import read_uvarint, write_uvarint
+
+#: compiled per-value hash for byte arrays (same blob bytes as the
+#: numpy reference below — the kernel implements the identical
+#: polynomial, so filters built by either path probe correctly with
+#: the other); None → numpy fallback (see _native.py)
+_NATIVE = _native.load()
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
 
 SALT = np.array(
     [0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
@@ -45,6 +57,15 @@ def hash_values(values, kind: int) -> np.ndarray:
     if kind == Kind.BYTE_ARRAY:
         assert isinstance(values, ByteArrays)
         n = len(values)
+        if _NATIVE is not None and n:
+            raw = np.ascontiguousarray(values.data[: values.offsets[-1]])
+            out = np.empty(n, dtype=np.uint64)
+            _NATIVE.poly64(
+                raw.ctypes.data_as(_U8P),
+                values.offsets.ctypes.data_as(_I64P),
+                n, out.ctypes.data_as(_U64P),
+            )
+            return out
         data = values.data[: values.offsets[-1]].astype(np.uint64)
         lens = values.lengths
         # polynomial accumulation per value: sum(byte * K2^(pos_in_value))

@@ -63,3 +63,27 @@ def test_bloom_point_decode(spark, tmp_path_factory):
         for r in df.where(F.col("o_custkey") == key).collect()
     )
     assert got == want and len(got) >= 1
+
+
+@pytest.mark.skipif(bloom._NATIVE is None, reason="no C toolchain on this host")
+def test_native_byte_array_hash_matches_numpy(monkeypatch):
+    """The compiled poly64 kernel must reproduce the numpy reference
+    hash bit-for-bit: filters built by one path are probed by the other
+    (mixed deployments / resume across hosts with and without cc)."""
+    rng = np.random.default_rng(11)
+    lens = np.concatenate([
+        rng.integers(0, 50, 4000),          # short values + empties
+        rng.integers(1000, 4000, 100),      # content-sized values
+        [0, 0, 1],
+    ]).astype(np.int64)
+    data = rng.integers(0, 256, int(lens.sum()), dtype=np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    vals = ByteArrays(data, offsets)
+    h_native = bloom.hash_values(vals, Kind.BYTE_ARRAY)
+    monkeypatch.setattr(bloom, "_NATIVE", None)
+    h_numpy = bloom.hash_values(vals, Kind.BYTE_ARRAY)
+    assert np.array_equal(h_native, h_numpy)
+    # cross-path build/probe: numpy-built filter, native probe hashes
+    blob = bloom.build(vals, Kind.BYTE_ARRAY)
+    monkeypatch.undo()
+    assert bloom.might_contain(blob, vals, Kind.BYTE_ARRAY).all()
