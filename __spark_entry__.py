@@ -540,7 +540,8 @@ def _parquet_bloom_point_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = [_os.path.join(out, f) for f in sorted(_os.listdir(out))
              if f.endswith(".parquet")]
     keep = pqbloom.prune_files(
-        paths, "o_custkey", np.array([7], dtype=np.int64), Kind.INT64)
+        paths, "o_custkey", np.array([7], dtype=np.int64), Kind.INT64,
+        spark=spark)
     back = (
         spark.read.parquet(*keep)
         .where(F.col("o_custkey") == 7)

@@ -262,23 +262,47 @@ def bloom_column_names(path: str) -> list[str]:
     return sorted(names)
 
 
+_PROBE_DRIVER_MAX = 64  # above this (and with a session), probe as a job
+
+
+def _keep_path(path: str, column: str, hashes: np.ndarray) -> bool:
+    """True when the file might contain any hashed value (no bloom for
+    the column → kept: a bloom can only prove absence)."""
+    blooms = read_blooms(path)
+    col_blooms = [w for (gi, name), w in blooms.items() if name == column]
+    if not col_blooms:
+        return True
+    return any(bool(might_contain(w, hashes).any()) for w in col_blooms)
+
+
 def prune_files(paths, column: str, values, kind: int,
-                flba_size: int | None = None) -> list[str]:
+                flba_size: int | None = None, spark=None) -> list[str]:
     """Keep only files whose bloom for `column` might contain ANY of
-    `values` (files without a bloom for the column are kept — a bloom
-    can only prove absence). Footer+bitset reads only, no data pages:
-    at fleet scale this probe runs as a job over file paths, exactly
-    like the manifest footer-stats collection (pipeline's distributed
-    footer reader); driver-side here since the probe input is
-    metadata-scale."""
+    `values`. Footer+bitset reads only, no data pages (KBs per file).
+
+    With a SparkSession and more than _PROBE_DRIVER_MAX paths the probe
+    distributes as a job over the path list — the same shape as the
+    pipeline's footer-stats collection: at 10⁵-10⁶ files a sequential
+    driver loop is the bottleneck while each task still reads only
+    metadata bytes. Order of `paths` is preserved either way
+    (parallelize/collect keeps partition order)."""
     hashes = spec_hashes(values, kind, flba_size=flba_size)
-    keep = []
-    for p in paths:
-        blooms = read_blooms(p)
-        col_blooms = [w for (gi, name), w in blooms.items() if name == column]
-        if not col_blooms:
-            keep.append(p)
-            continue
-        if any(bool(might_contain(w, hashes).any()) for w in col_blooms):
-            keep.append(p)
-    return keep
+    paths = list(paths)
+    if spark is not None and len(paths) > _PROBE_DRIVER_MAX:
+        hb = hashes.tobytes()
+        col = column
+
+        def probe_partition(it):
+            h = np.frombuffer(hb, dtype=np.uint64)
+            for p in it:
+                if _keep_path(p, col, h):
+                    yield p
+
+        slices = min(
+            len(paths), spark.sparkContext.defaultParallelism * 4)
+        return (
+            spark.sparkContext.parallelize(paths, slices)
+            .mapPartitions(probe_partition)
+            .collect()
+        )
+    return [p for p in paths if _keep_path(p, column, hashes)]

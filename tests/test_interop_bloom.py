@@ -208,3 +208,22 @@ def test_export_and_compact_inherit_blooms(spark, tmp_path):
         pq.read_table(p, columns=["path"])
         .column("path").to_pylist().count(sample) for p in after)
     assert found == total > 0
+
+
+def test_prune_files_distributed_matches_driver(tmp_path, spark, monkeypatch):
+    """Above _PROBE_DRIVER_MAX with a session, the probe runs as a Spark
+    job over the path list; result and ordering must equal the
+    driver-side loop."""
+    paths = []
+    for fi in range(6):
+        keys = np.arange(fi * 100, (fi + 1) * 100, dtype=np.int64)
+        p = os.path.join(str(tmp_path), f"f{fi}.parquet")
+        write_table(p, [ColumnSpec("k", Kind.INT64, keys)],
+                    bloom_columns=["k"])
+        paths.append(p)
+    probe = np.array([150, 450], dtype=np.int64)
+    driver = pqbloom.prune_files(paths, "k", probe, Kind.INT64)
+    monkeypatch.setattr(pqbloom, "_PROBE_DRIVER_MAX", 2)
+    dist = pqbloom.prune_files(paths, "k", probe, Kind.INT64, spark=spark)
+    assert dist == driver
+    assert paths[1] in dist and paths[4] in dist
