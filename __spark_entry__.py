@@ -658,6 +658,18 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: seeded centroid cells, probe
+    the n_probe nearest, brute-force only inside them (assignment is one
+    codegen'd array_max over centroid literals — no explode/shuffle)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_ann_topk(
+        emb, "embedding", "vec_id", [float(x) for x in qv],
+        n_cells=16, n_probe=4, k=10,
+    )
+
+
 def _compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two disjoint encodes → compact (verbatim splice + small-chunk
     re-encode) → decode equals the original table (merge.go:25 analog)."""
@@ -840,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk,
         "knn_join_embeddings": _knn_join,
         "lsh_ann_embeddings": _lsh_ann,
+        "ivf_ann_embeddings": _ivf_ann,
         # ---- multimodal plumbing ----
         "multimodal_meta_documents": lambda spark, sf: multimodal.media_metadata(
             _load(spark, sf, "documents").select(
@@ -1152,6 +1165,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_ann_embeddings": similarity.sql_lsh_ann_pairs(
             "embeddings", "embedding", "vec_id", n_planes=8, min_sim=0.1
+        ),
+        "ivf_ann_embeddings": similarity.sql_ivf_ann_topk(
+            "embeddings", "embedding", "vec_id",
+            query_id=0, n_cells=16, n_probe=4, k=10,
         ),
         "consecutive_dedupe_lineitem": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "cosine_topk_embeddings",
     "knn_join_embeddings",
     "lsh_ann_embeddings",
+    "ivf_ann_embeddings",
     "topk_lineitem",
 ]
 

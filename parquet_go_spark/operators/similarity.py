@@ -198,3 +198,139 @@ def sql_lsh_ann_pairs(
                        * sqrt(list_dot_product(b.v, b.v))) * 1e4 + 0.5) / 1e4
                  >= {min_sim}
     """
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
+                  n_cells: int) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n_cells smallest-id vectors,
+    collected to the driver (metadata scale — n_cells rows). At fleet
+    scale centroids come from a k-means pass or a sample; the IVF
+    assign/probe/search layer below is independent of how they were
+    trained, and seeded selection keeps the operator SQL-checkable."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(n_cells).collect()
+    )
+    return [(int(r["id"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<s,negid>> of (cosine to centroid, -cell_id): argmax by
+    array_max = highest similarity, ties to the SMALLEST cell id (struct
+    ordering compares s first, then negid)."""
+    return F.array(*[
+        F.struct(
+            cosine(vec, _lit_vec(cv)).alias("s"),
+            F.lit(-cid).alias("negid"),
+        )
+        for cid, cv in cents
+    ])
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign every vector to its nearest centroid — entirely JVM-side
+    column expressions (no explode, no shuffle, no Python): the centroid
+    list is compiled into one array_max over n_cells struct literals, so
+    assignment is a narrow map over the scan at any corpus size."""
+    best = F.array_max(_cell_scores(F.col(vec_col), cents))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        (-best["negid"]).alias("cell_id"),
+    )
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):  # sequential IEEE adds — matches F.aggregate
+        acc += x * y        # and DuckDB list_dot_product ordering
+    return acc
+
+
+def ivf_probe_cells(query: list[float],
+                    cents: list[tuple[int, list[float]]],
+                    n_probe: int) -> list[int]:
+    """The n_probe cells nearest the query (driver-side over n_cells
+    centroids). Sequential double summation so the probe set matches the
+    SQL oracle's list_dot_product bit-for-bit."""
+    import math
+
+    qn = math.sqrt(_seq_dot(query, query))
+    scored = sorted(
+        ((_seq_dot(query, cv) / (math.sqrt(_seq_dot(cv, cv)) * qn), cid)
+         for cid, cv in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [cid for _, cid in scored[:n_probe]]
+
+
+def ivf_ann_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], *,
+    n_cells: int = 16, n_probe: int = 4, k: int = 10,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into centroid cells,
+    search only the n_probe cells nearest the query.
+
+    Plan shape at 100 TB: one narrow scan computes assignment + the
+    probed-cell filter + query cosine fused in codegen; the filter keeps
+    ~n_probe/n_cells of the corpus BEFORE the top-k heap, and
+    orderBy().limit(k) plans as TakeOrderedAndProject (k rows per task
+    to the driver merge, never a global sort). Recall < 1 by design —
+    cosine_topk is the exact baseline; raise n_probe to trade time for
+    recall."""
+    if cents is None:
+        cents = ivf_centroids(df, vec_col, id_col, n_cells)
+    probed = ivf_probe_cells(query, cents, n_probe)
+    q = _lit_vec(query)
+    assigned = ivf_assign(df, vec_col, id_col, cents)
+    sims = (
+        assigned.where(F.col("cell_id").isin([int(c) for c in probed]))
+        .select(
+            F.col("id").alias("nn_id"), "cell_id",
+            cosine(F.col("v"), q).alias("sim"),
+        )
+    )
+    top = sims.orderBy(F.col("sim").desc(), F.col("nn_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "nn_id", "cell_id",
+        round_portable(F.col("sim"), 4).alias("sim4"),
+    )
+
+
+def sql_ivf_ann_topk(
+    table: str, vec_col: str, id_col: str, *, query_id: int = 0,
+    n_cells: int = 16, n_probe: int = 4, k: int = 10,
+) -> str:
+    """DuckDB oracle mirroring ivf_ann_topk exactly: same seeded
+    centroids (smallest ids), same argmax tie-break (smallest cell id),
+    same probe ranking, same rounding."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    e_c = cos.format(a="e.v", b="c.cv")
+    q_c = cos.format(a="q.qv", b="c.cv")
+    a_q = cos.format(a="a.v", b="q.qv")
+    return f"""
+        WITH emb AS (SELECT {id_col} AS id,
+                            CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+        cent AS (SELECT id AS cell_id, v AS cv FROM emb ORDER BY id
+                 LIMIT {n_cells}),
+        q AS (SELECT v AS qv FROM emb WHERE id = {query_id}),
+        assigned AS (
+          SELECT id, v, cell_id FROM (
+            SELECT e.id, e.v, c.cell_id,
+                   row_number() OVER (PARTITION BY e.id
+                     ORDER BY {e_c} DESC, c.cell_id) AS rn
+            FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        probe AS (
+          SELECT cell_id FROM (
+            SELECT c.cell_id,
+                   row_number() OVER (ORDER BY {q_c} DESC, c.cell_id) AS rn
+            FROM cent c, q) WHERE rn <= {n_probe}),
+        sims AS (SELECT a.id AS nn_id, a.cell_id, {a_q} AS sim
+                 FROM assigned a JOIN probe USING (cell_id), q)
+        SELECT row_number() OVER (ORDER BY sim DESC, nn_id) AS rank,
+               nn_id, cell_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim4
+        FROM sims QUALIFY rank <= {k}
+    """

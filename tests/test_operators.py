@@ -137,3 +137,27 @@ def test_consecutive_dedupe(spark):
     assert sorted((r["k"], r["v"]) for r in rows) == [
         (1, "a"), (2, "a"), (2, "b"), (3, "c")
     ]
+
+
+def test_ivf_ann_probes_cells_and_finds_self(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    query = vecs[0][1]
+    got = similarity.ivf_ann_topk(
+        df, "embedding", "vec_id", query, n_cells=8, n_probe=3, k=5
+    ).collect()
+    assert got[0]["nn_id"] == 0 and got[0]["sim4"] == 1.0
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # every hit lives in a probed cell
+    cents = similarity.ivf_centroids(df, "embedding", "vec_id", 8)
+    probed = set(similarity.ivf_probe_cells(query, cents, 3))
+    assert {r["cell_id"] for r in got} <= probed
+    # within probed cells IVF is exact: matches brute force restricted
+    # to the probed-cell membership
+    assigned = {r["id"]: r["cell_id"] for r in
+                similarity.ivf_assign(df, "embedding", "vec_id", cents).collect()}
+    cand = [v for v in vecs if assigned[v[0]] in probed]
+    cdf = spark.createDataFrame(cand, ["vec_id", "embedding"])
+    exact = similarity.cosine_topk(cdf, "embedding", "vec_id", query, k=5).collect()
+    assert [r["nn_id"] for r in got] == [r["nn_id"] for r in exact]

@@ -106,3 +106,18 @@ def test_knn_join_broadcasts_only_queries(spark, emb):
     # the query side IS meant to be broadcast (bounded, user-provided)
     assert "ResolvedHint" in analyzed
     assert out.count() == 9
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """IVF cell assignment must be a narrow map over the scan: the
+    centroid argmax compiles to one array_max over struct literals —
+    no Exchange, no Window, no explode before the probed-cell filter."""
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.ivf_centroids(df, "embedding", "vec_id", 4)
+    plan = _physical_plan(
+        similarity.ivf_assign(df, "embedding", "vec_id", cents))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no explode
