@@ -212,10 +212,14 @@ def bloom_blob(hashes: np.ndarray, fpp: float = DEFAULT_FPP,
     return header + build_bitset(hashes, nbytes)
 
 
-def read_blooms(path: str) -> dict[tuple[int, str], np.ndarray]:
-    """All bloom bitsets of a parquet file, keyed by (row_group, dotted
+def read_blooms(path: str,
+                column: str | None = None) -> dict[tuple[int, str], np.ndarray]:
+    """Bloom bitsets of a parquet file, keyed by (row_group, dotted
     column path). Reads the footer + each bloom region only — no data
-    pages touched (the point: file-level pruning from metadata bytes)."""
+    pages touched (the point: file-level pruning from metadata bytes).
+    `column` restricts the bitset reads to one leaf path: a point probe
+    over files with blooms on several columns then pays one bitset
+    seek+read per row group instead of one per bloomed column."""
     size = os.path.getsize(path)
     out: dict[tuple[int, str], np.ndarray] = {}
     with open(path, "rb") as f:
@@ -231,6 +235,8 @@ def read_blooms(path: str) -> dict[tuple[int, str], np.ndarray]:
                 if off is None:
                     continue
                 name = b".".join(meta[3]).decode()
+                if column is not None and name != column:
+                    continue
                 f.seek(off)
                 # header ≤ ~20 B; over-read then parse
                 head = f.read(64)
@@ -267,9 +273,9 @@ _PROBE_DRIVER_MAX = 64  # above this (and with a session), probe as a job
 
 def _keep_path(path: str, column: str, hashes: np.ndarray) -> bool:
     """True when the file might contain any hashed value (no bloom for
-    the column → kept: a bloom can only prove absence)."""
-    blooms = read_blooms(path)
-    col_blooms = [w for (gi, name), w in blooms.items() if name == column]
+    the column → kept: a bloom can only prove absence). Only the probed
+    column's bitsets are read (other bloomed columns cost nothing)."""
+    col_blooms = read_blooms(path, column=column).values()
     if not col_blooms:
         return True
     return any(bool(might_contain(w, hashes).any()) for w in col_blooms)

@@ -214,15 +214,36 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     return [(int(r["id"]), [float(x) for x in r["v"]]) for r in rows]
 
 
-def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _cell_scores(vec: Column, vec_norm: Column,
+                 cents: list[tuple[int, list[float]]]) -> Column:
     """array<struct<s,negid>> of (cosine to centroid, -cell_id): argmax by
     array_max = highest similarity, ties to the SMALLEST cell id (struct
-    ordering compares s first, then negid)."""
-    return F.array(*[
-        F.struct(
-            cosine(vec, _lit_vec(cv)).alias("s"),
-            F.lit(-cid).alias("negid"),
+    ordering compares s first, then negid). The row norm is taken as a
+    pre-projected column (computed once per row, not once per centroid)
+    and each centroid's norm folds to a driver-side double literal —
+    higher-order aggregates see no subexpression elimination in codegen,
+    so without this factoring per-row work triples. sqrt is correctly
+    rounded IEEE on every engine, so the factored form stays bit-equal
+    to the oracle's sqrt(list_dot_product(...)) products."""
+    import math
+
+    neg_inf = F.lit(float("-inf"))
+
+    def score(cv: list[float]) -> Column:
+        cn = math.sqrt(_seq_dot(cv, cv))
+        if cn == 0.0 or not math.isfinite(cn):
+            return neg_inf  # degenerate centroid: never wins
+        # zero-norm/NaN rows score -inf instead of raising ANSI
+        # DIVIDE_BY_ZERO — one bad vector must not kill a corpus scan
+        return F.nanvl(
+            F.when(vec_norm != F.lit(0.0),
+                   dot(vec, _lit_vec(cv)) / (vec_norm * F.lit(cn)))
+            .otherwise(neg_inf),
+            neg_inf,
         )
+
+    return F.array(*[
+        F.struct(score(cv).alias("s"), F.lit(-cid).alias("negid"))
         for cid, cv in cents
     ])
 
@@ -233,11 +254,12 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
     column expressions (no explode, no shuffle, no Python): the centroid
     list is compiled into one array_max over n_cells struct literals, so
     assignment is a narrow map over the scan at any corpus size."""
-    best = F.array_max(_cell_scores(F.col(vec_col), cents))
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        (-best["negid"]).alias("cell_id"),
+        norm(F.col(vec_col)).alias("__vn"),
     )
+    best = F.array_max(_cell_scores(F.col("v"), F.col("__vn"), cents))
+    return base.select("id", "v", (-best["negid"]).alias("cell_id"))
 
 
 def _seq_dot(a: list[float], b: list[float]) -> float:
@@ -252,15 +274,25 @@ def ivf_probe_cells(query: list[float],
                     n_probe: int) -> list[int]:
     """The n_probe cells nearest the query (driver-side over n_cells
     centroids). Sequential double summation so the probe set matches the
-    SQL oracle's list_dot_product bit-for-bit."""
+    SQL oracle's list_dot_product bit-for-bit.
+
+    Degenerate vectors (zero norm, or NaN/Inf components) score as
+    -inf and rank last — mirroring Spark's own NULL-on-zero-divide /
+    nulls-last DESC ordering, so the operator never crashes where its
+    JVM expressions wouldn't. Oracle value-parity is only claimed for
+    finite non-zero embeddings (DuckDB orders NaN first)."""
     import math
 
-    qn = math.sqrt(_seq_dot(query, query))
-    scored = sorted(
-        ((_seq_dot(query, cv) / (math.sqrt(_seq_dot(cv, cv)) * qn), cid)
-         for cid, cv in cents),
-        key=lambda t: (-t[0], t[1]),
-    )
+    def score(cid: int, cv: list[float]) -> float:
+        denom = math.sqrt(_seq_dot(cv, cv)) * math.sqrt(
+            _seq_dot(query, query))
+        if denom == 0.0 or not math.isfinite(denom):
+            return float("-inf")
+        s = _seq_dot(query, cv) / denom
+        return s if not math.isnan(s) else float("-inf")
+
+    scored = sorted(((score(cid, cv), cid) for cid, cv in cents),
+                    key=lambda t: (-t[0], t[1]))
     return [cid for _, cid in scored[:n_probe]]
 
 
@@ -279,23 +311,39 @@ def ivf_ann_topk(
     to the driver merge, never a global sort). Recall < 1 by design —
     cosine_topk is the exact baseline; raise n_probe to trade time for
     recall."""
+    import math
+
     if cents is None:
         cents = ivf_centroids(df, vec_col, id_col, n_cells)
     probed = ivf_probe_cells(query, cents, n_probe)
     q = _lit_vec(query)
     assigned = ivf_assign(df, vec_col, id_col, cents)
+    neg_inf = F.lit(float("-inf"))
+    qn = math.sqrt(_seq_dot(query, query))
+    if qn == 0.0 or not math.isfinite(qn):
+        sim = neg_inf  # degenerate query: deterministic ranking by id
+    else:
+        vn = norm(F.col("v"))
+        # same bit pattern as cosine()/the oracle (sqrt is exact), but
+        # ANSI-safe: zero-norm/NaN candidates sink to -inf, not an error
+        sim = F.nanvl(
+            F.when(vn != F.lit(0.0),
+                   dot(F.col("v"), q) / (vn * F.lit(qn)))
+            .otherwise(neg_inf),
+            neg_inf,
+        )
     sims = (
         assigned.where(F.col("cell_id").isin([int(c) for c in probed]))
-        .select(
-            F.col("id").alias("nn_id"), "cell_id",
-            cosine(F.col("v"), q).alias("sim"),
-        )
+        .select(F.col("id").alias("nn_id"), "cell_id", sim.alias("sim"))
     )
     top = sims.orderBy(F.col("sim").desc(), F.col("nn_id")).limit(k)
     w = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "nn_id", "cell_id",
-        round_portable(F.col("sim"), 4).alias("sim4"),
+        # degenerate (-inf-ranked) rows report NULL, not a floor(-inf)
+        # artifact; finite sims round exactly as the oracle does
+        F.when(F.col("sim") != neg_inf,
+               round_portable(F.col("sim"), 4)).alias("sim4"),
     )
 
 

@@ -161,3 +161,27 @@ def test_ivf_ann_probes_cells_and_finds_self(spark):
     cdf = spark.createDataFrame(cand, ["vec_id", "embedding"])
     exact = similarity.cosine_topk(cdf, "embedding", "vec_id", query, k=5).collect()
     assert [r["nn_id"] for r in got] == [r["nn_id"] for r in exact]
+
+
+def test_ivf_ann_degenerate_vectors_never_crash(spark):
+    """Zero-norm vectors must not raise ANSI DIVIDE_BY_ZERO anywhere in
+    the IVF plan (one bad embedding must not kill a corpus scan): they
+    score -inf, rank last, and surface sim4 as NULL."""
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.5, 0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # zero-norm centroid (vec_id 0 is a centroid) and candidate
+    got = similarity.ivf_ann_topk(
+        df, "embedding", "vec_id", [1.0, 0.0, 0.0],
+        n_cells=3, n_probe=3, k=4).collect()
+    assert got[0]["nn_id"] == 1 and got[0]["sim4"] == 1.0
+    by_id = {r["nn_id"]: r for r in got}
+    if 0 in by_id:  # degenerate candidate ranks last with NULL sim4
+        assert by_id[0]["rank"] == len(got)
+        assert by_id[0]["sim4"] is None
+    # zero-norm QUERY: deterministic, no crash
+    got_q = similarity.ivf_ann_topk(
+        df, "embedding", "vec_id", [0.0, 0.0, 0.0],
+        n_cells=3, n_probe=2, k=3).collect()
+    assert [r["rank"] for r in got_q] == list(range(1, len(got_q) + 1))
+    assert all(r["sim4"] is None for r in got_q)
