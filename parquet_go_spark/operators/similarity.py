@@ -382,3 +382,41 @@ def sql_ivf_ann_topk(
                nn_id, cell_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim4
         FROM sims QUALIFY rank <= {k}
     """
+
+
+def ivf_train(
+    df: DataFrame, vec_col: str, id_col: str, *, n_cells: int = 16,
+    iters: int = 3,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means refinement of the IVF centroids — the scale path
+    for cell quality (seeded smallest-id centroids remain the
+    SQL-checkable default; pass the result as ivf_ann_topk(cents=...)).
+
+    Per iteration: one narrow argmax assignment over the corpus (the
+    same codegen'd array_max as ivf_assign — no explode) and one
+    groupBy(cell) aggregation whose shuffle payload is k×(dim+1) partial
+    sums per task (metadata scale at any corpus size); the centroid
+    update itself is k×dim doubles on the driver. Cells that lose all
+    members keep their previous centroid. Lloyd's never increases
+    within-cell distortion, but distributed float summation is not
+    bit-deterministic across cluster layouts — determinism-critical
+    paths (manifest resume) must use the seeded centroids."""
+    if cents is None:
+        cents = ivf_centroids(df, vec_col, id_col, n_cells)
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, id_col, cents)
+        rows = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(F.col("v"), i + 1).cast("double"))
+              .alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        means = {
+            int(r["cell_id"]): [r[f"s{i}"] / r["n"] for i in range(dim)]
+            for r in rows if r["n"] > 0
+        }
+        cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
+    return cents

@@ -185,3 +185,45 @@ def test_ivf_ann_degenerate_vectors_never_crash(spark):
         n_cells=3, n_probe=2, k=3).collect()
     assert [r["rank"] for r in got_q] == list(range(1, len(got_q) + 1))
     assert all(r["sim4"] is None for r in got_q)
+
+
+def test_ivf_train_improves_cells(spark):
+    """Lloyd's refinement: trained centroids give each vector a nearer
+    cell than the seeded smallest-id centroids (mean best-cosine never
+    decreases), and empty cells keep their previous centroid."""
+    rng = np.random.default_rng(5)
+    blobs = []
+    for b, center in enumerate([(5.0, 0.0), (0.0, 5.0), (-5.0, -5.0)]):
+        for i in range(20):
+            x = [center[0] + rng.normal(0, 0.3), center[1] + rng.normal(0, 0.3)]
+            blobs.append((b * 20 + i, [float(v) for v in x]))
+    df = spark.createDataFrame(blobs, "vec_id bigint, embedding array<double>")
+    seeded = similarity.ivf_centroids(df, "embedding", "vec_id", 3)
+    trained = similarity.ivf_train(
+        df, "embedding", "vec_id", n_cells=3, iters=3)
+    assert [c for c, _ in trained] == [c for c, _ in seeded]  # stable ids
+
+    def mean_best_cos(cents):
+        import math
+        tot = 0.0
+        for _, v in blobs:
+            best = max(
+                similarity._seq_dot(v, cv)
+                / (math.sqrt(similarity._seq_dot(v, v))
+                   * math.sqrt(similarity._seq_dot(cv, cv)))
+                for _, cv in cents)
+            tot += best
+        return tot / len(blobs)
+
+    assert mean_best_cos(trained) >= mean_best_cos(seeded) - 1e-9
+    # trained cells separate the three blobs
+    assigned = similarity.ivf_assign(df, "embedding", "vec_id", trained)
+    cells = {r["id"]: r["cell_id"] for r in assigned.collect()}
+    for b in range(3):
+        ids = [b * 20 + i for i in range(20)]
+        assert len({cells[i] for i in ids}) == 1  # one cell per blob
+    # trained centroids feed the query path unchanged
+    got = similarity.ivf_ann_topk(
+        df, "embedding", "vec_id", blobs[0][1],
+        n_probe=1, k=3, cents=trained).collect()
+    assert got[0]["nn_id"] == 0
