@@ -658,6 +658,18 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-style multi-probe LSH ANN: exact cosine only inside the
+    query's flip-1 sketch buckets (narrow scan + IN-filter + top-k heap
+    — no join or corpus shuffle)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_ann_topk(
+        emb, "embedding", "vec_id", [float(x) for x in qv],
+        n_planes=8, k=10, n_flip=1,
+    )
+
+
 def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: seeded centroid cells, probe
     the n_probe nearest, brute-force only inside them (assignment is one
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_embeddings": _knn_join,
         "lsh_ann_embeddings": _lsh_ann,
         "ivf_ann_embeddings": _ivf_ann,
+        "lsh_ann_topk_embeddings": _lsh_ann_topk,
         # ---- multimodal plumbing ----
         "multimodal_meta_documents": lambda spark, sf: multimodal.media_metadata(
             _load(spark, sf, "documents").select(
@@ -1169,6 +1182,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_embeddings": similarity.sql_ivf_ann_topk(
             "embeddings", "embedding", "vec_id",
             query_id=0, n_cells=16, n_probe=4, k=10,
+        ),
+        "lsh_ann_topk_embeddings": similarity.sql_lsh_ann_topk(
+            "embeddings", "embedding", "vec_id",
+            query_id=0, n_planes=8, k=10, n_flip=1,
         ),
         "consecutive_dedupe_lineitem": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "knn_join_embeddings",
     "lsh_ann_embeddings",
     "ivf_ann_embeddings",
+    "lsh_ann_topk_embeddings",
     "topk_lineitem",
 ]
 

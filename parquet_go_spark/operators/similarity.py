@@ -420,3 +420,106 @@ def ivf_train(
         }
         cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
     return cents
+
+
+def _sketch_of(vec: list[float], planes) -> int:
+    """Driver-side sketch of one vector — same sign rule as
+    hyperplane_sketch (strict > 0), sequential summation."""
+    s = 0
+    for p in range(len(planes)):
+        if _seq_dot(vec, list(planes[p])) > 0:
+            s |= 1 << p
+    return s
+
+
+def lsh_probe_sketches(query: list[float], n_planes: int, dim: int,
+                       seed: int, n_flip: int = 1) -> list[int]:
+    """Multi-probe bucket set: the query's own sketch plus every sketch
+    within Hamming distance n_flip (flip-combinations of sign bits).
+    n_flip=1 → n_planes+1 buckets — recovers most recall lost to fine
+    bucketing at a bounded probe fan-out (the multi-probe LSH idea,
+    Lv et al., VLDB'07)."""
+    from itertools import combinations
+
+    planes = lsh_planes(n_planes, dim, seed)
+    base = _sketch_of(query, planes)
+    probes = [base]
+    for r in range(1, n_flip + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probes.append(base ^ m)
+    return probes
+
+
+def lsh_ann_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], *,
+    n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10,
+    n_flip: int = 1,
+) -> DataFrame:
+    """Query-style LSH ANN: exact cosine only inside the query's
+    multi-probe buckets. The probe set is (n_planes choose ≤n_flip)+1
+    sketch literals, so the plan is a narrow scan + sketch computation +
+    IN-filter + TakeOrderedAndProject — no join, no shuffle of the
+    corpus; at 10⁹ vectors with auto_planes sizing the probed fraction
+    is ~(1+n_planes)/2^n_planes of the corpus. Exact recall over the
+    probed set; cosine_topk is the full-recall baseline."""
+    probes = lsh_probe_sketches(query, n_planes, dim, seed, n_flip)
+    sk = hyperplane_sketch(df, vec_col, id_col, n_planes, dim, seed)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = sk.where(F.col("sketch").isin(probes)).join(vecs, "id")
+    q = _lit_vec(query)
+    sims = cand.select(
+        F.col("id").alias("nn_id"), "sketch",
+        cosine(F.col("v"), q).alias("sim"),
+    )
+    top = sims.orderBy(F.col("sim").desc(), F.col("nn_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "nn_id", round_portable(F.col("sim"), 4).alias("sim4"),
+    )
+
+
+def sql_lsh_ann_topk(
+    table: str, vec_col: str, id_col: str, *, query_id: int = 0,
+    n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10,
+    n_flip: int = 1,
+) -> str:
+    """DuckDB oracle mirroring lsh_ann_topk exactly: same seeded planes;
+    the query vector, its base sketch, and the flip-1 probe set are all
+    derived inside SQL (the oracle string is built without data access),
+    so both engines compute the identical buckets from the same rows."""
+    assert n_flip == 1, "oracle generator covers the n_flip=1 default"
+    planes = lsh_planes(n_planes, dim, seed)
+
+    def sketch_expr(vec_sql: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            lst = ", ".join(str(x) for x in planes[p])
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec_sql}, [{lst}]) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    flips = " UNION ALL ".join(
+        f"SELECT xor(b, {1 << p}) AS s FROM base" for p in range(n_planes)
+    )
+    return f"""
+        WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table}
+                   WHERE {id_col} = {query_id}),
+        base AS (SELECT {sketch_expr("qv")} AS b FROM q),
+        probes AS (SELECT b AS s FROM base UNION ALL {flips}),
+        sk AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+               {sketch_expr(f"CAST({vec_col} AS DOUBLE[])")} AS sketch
+               FROM {table}),
+        sims AS (SELECT id AS nn_id,
+            list_dot_product(v, qv)
+            / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(qv, qv))) AS sim
+          FROM sk, q WHERE sketch IN (SELECT s FROM probes))
+        SELECT row_number() OVER (ORDER BY sim DESC, nn_id) AS rank,
+               nn_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim4
+        FROM sims QUALIFY rank <= {k}
+    """

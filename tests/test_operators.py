@@ -227,3 +227,38 @@ def test_ivf_train_improves_cells(spark):
         df, "embedding", "vec_id", blobs[0][1],
         n_probe=1, k=3, cents=trained).collect()
     assert got[0]["nn_id"] == 0
+
+
+def test_lsh_ann_topk_multiprobe(spark):
+    """Multi-probe LSH top-k: self is rank 1; every hit's sketch is in
+    the flip-1 probe set; result is exact over the probed buckets; and
+    clustered data gives high recall (random near-orthogonal data is
+    the documented weak case for any LSH)."""
+    rng = np.random.default_rng(9)
+    center = rng.normal(size=16)
+    rows = []
+    for i in range(30):  # tight cluster around `center`
+        rows.append((i, [float(x) for x in center + rng.normal(0, 0.05, 16)]))
+    for i in range(30, 90):  # background noise
+        rows.append((i, [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    query = rows[0][1]
+    got = similarity.lsh_ann_topk(
+        df, "embedding", "vec_id", query, n_planes=6, dim=16, k=10)
+    out = got.collect()
+    assert out[0]["nn_id"] == 0 and out[0]["sim4"] == 1.0
+    # probe-set containment
+    probes = set(similarity.lsh_probe_sketches(query, 6, 16, 42, 1))
+    sk = {r["id"]: r["sketch"] for r in similarity.hyperplane_sketch(
+        df, "embedding", "vec_id", 6, 16, 42).collect()}
+    assert all(sk[r["nn_id"]] in probes for r in out)
+    # clustered data: most of the true top-10 is recovered
+    exact = similarity.cosine_topk(df, "embedding", "vec_id", query, k=10)
+    rec = len({r["nn_id"] for r in out}
+              & {r["nn_id"] for r in exact.collect()}) / 10
+    assert rec >= 0.8, rec
+    # exact over the probed set: brute force restricted to probed ids
+    cand = [v for v in rows if sk[v[0]] in probes]
+    cdf = spark.createDataFrame(cand, "vec_id bigint, embedding array<double>")
+    restr = similarity.cosine_topk(cdf, "embedding", "vec_id", query, k=10)
+    assert [r["nn_id"] for r in out] == [r["nn_id"] for r in restr.collect()]
