@@ -515,6 +515,21 @@ def _parquet_interop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _datasource_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source read path (Spark 4 DataSource API): encode
+    orders into a blob store, register the "colcodec" format, and read
+    it back through plain spark.read with a pushed-down point filter —
+    task-side chunk pruning via manifest stats + split-block blooms,
+    Spark re-applies the filter exactly (sources/datasource.py)."""
+    from parquet_go_spark.sources import datasource as colcodec_ds
+
+    out = _encode_fresh(spark, sf_dir, "orders")
+    colcodec_ds.register(spark)
+    df = spark.read.format("colcodec").load(out)
+    return df.where(F.col("o_custkey") == 7).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
 def _parquet_bloom_point_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec bloom filters in real parquet (round 3): export orders with
     split-block blooms on o_custkey — XXH64 spec hashing, the filter the
@@ -820,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_map": _parquet_interop_map,
         "parquet_interop_struct": _parquet_interop_struct,
         "parquet_bloom_point_orders": _parquet_bloom_point_orders,
+        "datasource_read_orders": _datasource_read_orders,
         "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
@@ -1097,6 +1113,10 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus AS status, "
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
             "END AS ckey, o_totalprice AS price FROM orders"
+        ),
+        "datasource_read_orders": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_custkey = 7"
         ),
         "parquet_bloom_point_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
