@@ -51,31 +51,70 @@ class _FileSlice(InputPartition):
 def _stat_key(spark_type: str, stat: str):
     """Manifest min/max string → comparable value, mirroring
     pipeline._stat_expr: byte space for strings/binary (latin-1 round
-    trip of the truncated bound bytes), int for the integer family,
-    float for floats. Returns None for types we don't compare
-    (chunk is kept)."""
+    trip of the truncated bound bytes), int for the integer family
+    (timestamps are stored as epoch micros, dates as epoch days),
+    float for floats. Returns None — meaning "unbounded, keep" — for
+    types we don't compare and for NaN float bounds (a chunk holding
+    any NaN records NaN min/max; NaN compares false both ways and must
+    never prune)."""
+    import math
+
     if stat is None:
         return None
-    if spark_type in ("string", "binary"):
-        return stat.encode("latin-1")
-    if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz", "date"):
-        return int(stat)
-    if spark_type in ("float", "double"):
-        return float(stat)
+    try:
+        if spark_type in ("string", "binary"):
+            return stat.encode("latin-1")
+        if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz",
+                          "date"):
+            return int(stat)
+        if spark_type in ("float", "double"):
+            f = float(stat)
+            return None if math.isnan(f) else f
+    except (ValueError, TypeError):
+        return None
     return None  # decimals/containers: no task-side pruning, keep
 
 
 def _probe_key(spark_type: str, value):
     """User filter literal → the same comparison space (mirrors
-    pipeline._probe_expr)."""
+    pipeline._probe_expr). Spark pushes timestamp literals as
+    datetime.datetime and date literals as datetime.date — convert to
+    the encoded representation (micros / epoch days, matching
+    pipeline._arrow_to_values). Returns None — "cannot compare, keep
+    the chunk" — on any unexpected value shape: pruning must only ever
+    skip work, never guess."""
+    import datetime as _dt
+    import math
+
     if value is None:
         return None
-    if spark_type in ("string", "binary"):
-        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
-    if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz", "date"):
-        return int(value)
-    if spark_type in ("float", "double"):
-        return float(value)
+    try:
+        if spark_type in ("string", "binary"):
+            return (value.encode("utf-8") if isinstance(value, str)
+                    else bytes(value))
+        if spark_type in ("timestamp", "timestamp_ntz"):
+            if isinstance(value, _dt.datetime):
+                if value.tzinfo is not None:
+                    value = value.astimezone(
+                        _dt.timezone.utc).replace(tzinfo=None)
+                epoch = _dt.datetime(1970, 1, 1)
+                return ((value - epoch) // _dt.timedelta(microseconds=1))
+            return int(value)
+        if spark_type == "date":
+            if isinstance(value, _dt.datetime):
+                value = value.date()
+            if isinstance(value, _dt.date):
+                return (value - _dt.date(1970, 1, 1)).days
+            return int(value)
+        if spark_type in ("int", "bigint"):
+            if isinstance(value, bool) or not isinstance(value, int):
+                return None
+            return int(value)
+        if spark_type in ("float", "double"):
+            f = float(value)
+            return None if math.isnan(f) else f
+    except (ValueError, TypeError, OverflowError):
+        return None
     return None
 
 
@@ -111,15 +150,30 @@ def _chunk_survives(filters, col_types, stats, blooms) -> bool:
                 return False
             blob = blooms.get(col)
             if blob is not None:
+                # probe with the column's PHYSICAL kind and dtype — the
+                # filter was built from those bits (pipeline._col_kind);
+                # an int64/double probe of an int32/float bloom hashes
+                # differently and would be a silent false negative
                 if spark_type in ("string", "binary"):
                     vals = ByteArrays.from_pylist(alive)
                     kind = Kind.BYTE_ARRAY
-                elif spark_type in ("float", "double"):
-                    vals = np.array(alive, dtype=np.float64)
-                    kind = Kind.DOUBLE
                 else:
-                    vals = np.array(alive, dtype=np.int64)
-                    kind = Kind.INT64
+                    from parquet_go_spark.plans import pipeline
+
+                    kind = pipeline._col_kind(spark_type)
+                    np_dt = {Kind.INT32: np.int32, Kind.INT64: np.int64,
+                             Kind.FLOAT: np.float32,
+                             Kind.DOUBLE: np.float64}.get(kind)
+                    if np_dt is None:
+                        continue  # no safe bloom probe for this kind
+                    try:
+                        vals = np.array(alive, dtype=np_dt)
+                    except OverflowError:
+                        continue  # probe outside the physical range
+                    if vals.dtype.kind == "i" and any(
+                        int(v) != int(a) for v, a in zip(vals, alive)
+                    ):
+                        continue  # silent wrap would be a false negative
                 if not bool(
                     bloomlib.might_contain(blob, vals, kind).any()
                 ):
@@ -186,22 +240,29 @@ class ColcodecReader(DataSourceReader):
         )
         return [_FileSlice(os.path.join(self._path, f)) for f in files]
 
-    def read(self, partition: _FileSlice):
+    def read(self, partition: _FileSlice | None):
         import pyarrow.parquet as pq
 
         from parquet_go_spark.plans import pipeline
 
+        if partition is None:  # empty store: Spark passes one None slice
+            return
+
         col_types = dict(self._cols)
-        pf = pq.ParquetFile(partition.path)
         if self._filters:
-            meta = pf.read(
-                ["chunk_id", "column", "stream", "min_val", "max_val",
-                 "bloom"]
+            # metadata columns only — the blob column (the file's bulk)
+            # is not touched until chunks survive; bloom bitsets are
+            # read only for the filtered columns' values streams
+            filter_cols = sorted({c for c, _, _ in self._filters})
+            meta = pq.read_table(
+                partition.path,
+                columns=["chunk_id", "column", "stream", "min_val",
+                         "max_val", "bloom"],
+                filters=[("stream", "=", "values"),
+                         ("column", "in", filter_cols)],
             )
             per_chunk: dict[str, tuple[dict, dict]] = {}
             for row in meta.to_pylist():  # blob-row count: metadata scale
-                if row["stream"] != "values":
-                    continue
                 st, bl = per_chunk.setdefault(row["chunk_id"], ({}, {}))
                 st[row["column"]] = (row["min_val"], row["max_val"])
                 bl[row["column"]] = row["bloom"]
@@ -209,25 +270,21 @@ class ColcodecReader(DataSourceReader):
                 cid for cid, (st, bl) in per_chunk.items()
                 if _chunk_survives(self._filters, col_types, st, bl)
             }
-            # chunks absent from per_chunk (no scalar values stream)
-            # are never pruned
-            keep |= {
-                cid for cid in pf.read(["chunk_id"]).column(0).to_pylist()
-                if cid not in per_chunk
-            }
-        else:
-            keep = None
-        if keep is not None and not keep:
-            return  # every chunk in this file refuted by stats/bloom
-        tbl = pf.read()
-        if keep is not None:
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            tbl = tbl.filter(
-                pc.is_in(tbl.column("chunk_id"),
-                         value_set=pa.array(sorted(keep), pa.string()))
+            # chunks with no values stream for any filtered column are
+            # never pruned
+            all_ids = pq.read_table(
+                partition.path, columns=["chunk_id"]).column(0).to_pylist()
+            keep |= {cid for cid in all_ids if cid not in per_chunk}
+            if not keep:
+                return  # every chunk refuted by stats/bloom
+            # row-level dataset filter: refuted chunks' blob rows are
+            # dropped during the scan, not materialized then discarded
+            tbl = pq.read_table(
+                partition.path,
+                filters=[("chunk_id", "in", sorted(keep))],
             )
+        else:
+            tbl = pq.read_table(partition.path)
         if tbl.num_rows == 0:
             return
         tbl = tbl.sort_by("chunk_id")  # kernel holds one chunk at a time

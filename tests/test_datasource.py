@@ -113,3 +113,75 @@ def test_datasource_partition_per_file(spark, store):
     files = [f for f in os.listdir(d)
              if f.endswith(".parquet") and not f.startswith(("_", "."))]
     assert len(parts) == len(files) > 0
+
+
+@pytest.fixture(scope="module")
+def typed_store(spark, tmp_path_factory):
+    """Columns in every physical kind the pruner touches: int32 with
+    negatives, float32, date, timestamp, and a double column containing
+    NaN — the shapes where kind-mismatched bloom probes / datetime
+    literals / NaN bounds would silently drop rows."""
+    import datetime as dt
+    import math
+
+    d = str(tmp_path_factory.mktemp("dstyped"))
+    rows = [
+        (
+            i,
+            f"g{i % 3}",
+            int(i - 600),                       # int32, negatives
+            float((i - 600) / 4.0),             # float32
+            dt.date(2024, 1, 1) + dt.timedelta(days=i % 400),
+            dt.datetime(2024, 1, 1, 12, 0, 0)
+            + dt.timedelta(minutes=i),
+            float("nan") if i % 100 == 0 else float(i) / 3.0,
+        )
+        for i in range(1200)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "k bigint, grp string, i32 int, f32 float, d date, "
+        "ts timestamp, price double",
+    )
+    pipeline.encode_table(spark, src, d, repo_col="grp", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    datasource.register(spark)
+    return d, src
+
+
+def test_pushdown_typed_columns_exact(spark, typed_store):
+    import datetime as dt
+
+    d, src = typed_store
+    df = spark.read.format("colcodec").load(d)
+    cases = [
+        F.col("i32") == -5,                       # int32 bloom, negative
+        F.col("i32").isin(-5, 599, 10**10),       # in incl. out-of-range
+        F.col("f32") == F.lit(2.25).cast("float"),  # float32 bloom
+        F.col("d") == F.lit(dt.date(2024, 2, 1)),   # date literal
+        F.col("ts") == F.lit(
+            dt.datetime(2024, 1, 1, 13, 40)),       # timestamp literal
+        F.col("ts") > F.lit(dt.datetime(2024, 1, 1, 23, 0)),
+        F.col("price") == 2.0,  # chunk min/max poisoned by NaN: must
+                                # still find 2.0 (NaN bounds unbounded)
+    ]
+    for cond in cases:
+        got = sorted(map(str, df.where(cond).collect()))
+        exp = sorted(map(str, src.where(cond).collect()))
+        assert got == exp and got, str(cond)
+
+
+def test_probe_key_conversions():
+    import datetime as dt
+
+    from parquet_go_spark.sources.datasource import _probe_key, _stat_key
+
+    assert _probe_key("date", dt.date(1970, 1, 2)) == 1
+    assert _probe_key("timestamp",
+                      dt.datetime(1970, 1, 1, 0, 0, 1)) == 1_000_000
+    aware = dt.datetime(1970, 1, 1, 1, 0, 1, tzinfo=dt.timezone(
+        dt.timedelta(hours=1)))
+    assert _probe_key("timestamp", aware) == 1_000_000
+    assert _probe_key("bigint", "not-an-int") is None
+    assert _probe_key("double", float("nan")) is None
+    assert _stat_key("double", "nan") is None  # NaN bound = unbounded
