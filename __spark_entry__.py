@@ -530,6 +530,23 @@ def _datasource_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
 
+def _datasource_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source WRITE path: df.write.format("colcodec") encodes
+    each task's partition directly (size-triggered per-repo flush, staged
+    files renamed atomically by the driver commit), then the read path
+    decodes it back (sources/datasource.py ColcodecArrowWriter)."""
+    import tempfile as _tf
+
+    from parquet_go_spark.sources import datasource as colcodec_ds
+
+    colcodec_ds.register(spark)
+    out = _tf.mkdtemp(prefix="colcodec_dsw_") + "/store"
+    df = _load(spark, sf_dir, "orders")
+    (df.write.format("colcodec").option("repo_col", "o_orderpriority")
+       .mode("append").save(out))
+    return _fmt_ts(spark.read.format("colcodec").load(out), "o_orderdate")
+
+
 def _parquet_bloom_point_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec bloom filters in real parquet (round 3): export orders with
     split-block blooms on o_custkey — XXH64 spec hashing, the filter the
@@ -836,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_struct": _parquet_interop_struct,
         "parquet_bloom_point_orders": _parquet_bloom_point_orders,
         "datasource_read_orders": _datasource_read_orders,
+        "datasource_write_orders": _datasource_write_orders,
         "compact_export_documents": _compact_export_documents,
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
@@ -1114,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
             "END AS ckey, o_totalprice AS price FROM orders"
         ),
+        "datasource_write_orders": f"SELECT {o_cols} FROM orders",
         "datasource_read_orders": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
             "FROM orders WHERE o_custkey = 7"

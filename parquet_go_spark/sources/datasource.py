@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -39,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructField, StructType
 
@@ -318,6 +320,21 @@ class ColcodecDataSource(DataSource):
     def reader(self, schema: StructType) -> ColcodecReader:
         return ColcodecReader(self.options["path"], self._cols())
 
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("colcodec: .save(<blob store path>) required")
+        cols = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        repo_col = self.options.get("repo_col", cols[0][0])
+        if repo_col not in dict(cols):
+            raise ValueError(f"colcodec: repo_col {repo_col!r} not in schema")
+        return ColcodecArrowWriter(
+            path, cols, repo_col,
+            self.options.get("compression"),
+            int(self.options.get("target_chunk_bytes", 8 << 20)),
+            overwrite,
+        )
+
 
 def register(spark) -> None:
     """Register the format for this session (executors import this
@@ -327,3 +344,138 @@ def register(spark) -> None:
     SQL conf)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ColcodecDataSource)
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+
+
+class ColcodecArrowWriter(DataSourceArrowWriter):
+    """df.write.format("colcodec").save(store) — the DIRECT write path.
+
+    Each task encodes its own partition: rows are grouped by the repo
+    column with a size-triggered flush (a task holds at most one
+    target-sized buffer per repo — the same bounded-memory profile as
+    the pipeline's encode kernel), chunks stream into a staged parquet
+    file via ParquetWriter, and the driver-side commit atomically
+    renames staged files into the store and writes the schema sidecar —
+    a crashed or aborted job leaves only a .staging directory that the
+    next commit sweeps. Chunk placement follows the DataFrame's own
+    partitioning; for planned/salted/range layouts and manifest resume
+    use pipeline.encode_table (this path trades planning for plain
+    spark.write composability)."""
+
+    def __init__(self, path: str, cols: list[tuple[str, str]],
+                 repo_col: str, compression: str | None,
+                 target_chunk_bytes: int, overwrite: bool):
+        self._path = path
+        self._cols = cols
+        self._repo_col = repo_col
+        self._compression = compression
+        self._target = target_chunk_bytes
+        self._overwrite = overwrite
+
+    # -- executor side ----------------------------------------------
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from parquet_go_spark.plans import pipeline
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        staging = os.path.join(self._path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"w-{uuid.uuid4().hex}.parquet")
+
+        writer = None
+        fsst_cache: dict = {}
+        bufs: dict[str, list] = {}
+        sizes: dict[str, int] = {}
+        seqs: dict[str, int] = {}
+
+        def flush(repo: str):
+            nonlocal writer
+            tbl = pa.Table.from_batches(
+                [b for b in bufs.pop(repo)], schema=None)
+            sizes.pop(repo)
+            seq = seqs.get(repo, 0)
+            seqs[repo] = seq + 1
+            rec = pipeline._encode_one_chunk(
+                tbl, self._cols, repo, seq, self._compression,
+                f"@w{pid}", fsst_cache=fsst_cache)
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    staged, pipeline._BLOB_ARROW_SCHEMA)
+            writer.write_table(pa.Table.from_batches([rec]))
+
+        wrote = False
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            wrote = True
+            repo_vals = batch.column(self._repo_col)
+            for rv in pc.unique(repo_vals):
+                repo = str(rv.as_py())
+                part = batch.filter(pc.equal(repo_vals, rv))
+                bufs.setdefault(repo, []).append(part)
+                sizes[repo] = sizes.get(repo, 0) + part.nbytes
+                if sizes[repo] >= self._target:
+                    flush(repo)
+        for repo in list(bufs):
+            flush(repo)
+        if writer is not None:
+            writer.close()
+        if not wrote:
+            if os.path.exists(staged):
+                os.unlink(staged)
+            # Spark 4.1 rejects a None commit message despite the API
+            # docstring — return an empty marker instead
+            return _StagedFile(staged="")
+        return _StagedFile(staged=staged)
+
+    # -- driver side -------------------------------------------------
+    def commit(self, messages):
+        import os
+        import shutil
+        import uuid
+
+        from parquet_go_spark.plans import pipeline
+
+        os.makedirs(self._path, exist_ok=True)
+        sidecar = os.path.join(self._path, "_colcodec_schema.json")
+        if os.path.exists(sidecar) and not self._overwrite:
+            existing = pipeline._read_schema_sidecar(self._path)
+            if existing != self._cols:
+                raise ValueError(
+                    "colcodec append: schema differs from the store's "
+                    f"({existing} vs {self._cols}); use "
+                    "pipeline.compact_tables for schema-unifying merges")
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    os.unlink(os.path.join(self._path, f))
+        run = uuid.uuid4().hex[:8]
+        staged = [m.staged for m in messages
+                  if m is not None and m.staged]
+        for i, src in enumerate(staged):
+            os.replace(
+                src, os.path.join(self._path, f"part-w{run}-{i:05d}.parquet"))
+        pipeline._write_schema_sidecar(self._path, self._cols)
+        shutil.rmtree(os.path.join(self._path, ".staging"),
+                      ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.unlink(m.staged)
+        shutil.rmtree(os.path.join(self._path, ".staging"),
+                      ignore_errors=True)

@@ -185,3 +185,52 @@ def test_probe_key_conversions():
     assert _probe_key("bigint", "not-an-int") is None
     assert _probe_key("double", float("nan")) is None
     assert _stat_key("double", "nan") is None  # NaN bound = unbounded
+
+
+def test_write_path_roundtrip_append_overwrite(spark, tmp_path):
+    import datetime as dt
+
+    datasource.register(spark)
+    d = str(tmp_path / "wstore")
+    rows = [(i, f"g{i % 3}", f"text {i}", float(i) / 3,
+             dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+            for i in range(2000)]
+    src = spark.createDataFrame(
+        rows, "k bigint, grp string, txt string, price double, ts timestamp")
+    src.write.format("colcodec").option("repo_col", "grp") \
+       .mode("append").save(d)
+    back = spark.read.format("colcodec").load(d)
+    assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+    # append accumulates; overwrite replaces
+    head = spark.createDataFrame(rows[:50], src.schema)
+    head.write.format("colcodec").option("repo_col", "grp") \
+        .mode("append").save(d)
+    assert spark.read.format("colcodec").load(d).count() == 2050
+    head.write.format("colcodec").option("repo_col", "grp") \
+        .mode("overwrite").save(d)
+    assert spark.read.format("colcodec").load(d).count() == 50
+    # filters work over the written store
+    assert spark.read.format("colcodec").load(d) \
+        .where(F.col("k") == 7).count() == 1
+    # commit swept the staging dir
+    assert not os.path.exists(os.path.join(d, ".staging"))
+
+
+def test_write_append_schema_mismatch_raises(spark, tmp_path):
+    datasource.register(spark)
+    d = str(tmp_path / "wmismatch")
+    a = spark.createDataFrame([(1, "x")], "k bigint, grp string")
+    a.write.format("colcodec").option("repo_col", "grp") \
+     .mode("append").save(d)
+    b = spark.createDataFrame([(1.5, "x")], "k double, grp string")
+    with pytest.raises(Exception, match="schema differs"):
+        b.write.format("colcodec").option("repo_col", "grp") \
+         .mode("append").save(d)
+
+
+def test_write_rejects_unknown_repo_col(spark, tmp_path):
+    datasource.register(spark)
+    a = spark.createDataFrame([(1, "x")], "k bigint, grp string")
+    with pytest.raises(Exception, match="repo_col"):
+        a.write.format("colcodec").option("repo_col", "nope") \
+         .mode("append").save(str(tmp_path / "wbad"))
