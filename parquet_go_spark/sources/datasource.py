@@ -321,6 +321,9 @@ class ColcodecDataSource(DataSource):
         return ColcodecReader(self.options["path"], self._cols())
 
     def writer(self, schema: StructType, overwrite: bool):
+        import os
+        import uuid
+
         path = self.options.get("path")
         if not path:
             raise ValueError("colcodec: .save(<blob store path>) required")
@@ -328,12 +331,18 @@ class ColcodecDataSource(DataSource):
         repo_col = self.options.get("repo_col", cols[0][0])
         if repo_col not in dict(cols):
             raise ValueError(f"colcodec: repo_col {repo_col!r} not in schema")
-        return ColcodecArrowWriter(
+        w = ColcodecArrowWriter(
             path, cols, repo_col,
             self.options.get("compression"),
             int(self.options.get("target_chunk_bytes", 8 << 20)),
             overwrite,
+            uuid.uuid4().hex[:12],  # per-JOB token: chunk-id namespace
+            # + private staging dir, so concurrent/successive appends
+            # never collide
         )
+        if os.path.isdir(path):
+            w._check_schema()  # fail fast at plan time, before any task
+        return w
 
 
 def register(spark) -> None:
@@ -358,29 +367,37 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
     column with a size-triggered flush (a task holds at most one
     target-sized buffer per repo — the same bounded-memory profile as
     the pipeline's encode kernel), chunks stream into a staged parquet
-    file via ParquetWriter, and the driver-side commit atomically
-    renames staged files into the store and writes the schema sidecar —
-    a crashed or aborted job leaves only a .staging directory that the
-    next commit sweeps. Chunk placement follows the DataFrame's own
-    partitioning; for planned/salted/range layouts and manifest resume
-    use pipeline.encode_table (this path trades planning for plain
+    file, and the driver-side commit writes the schema sidecar FIRST and
+    then atomically renames staged files into the store — a crash at any
+    point leaves either a fully-valid store or a job-private
+    .staging-<job> directory the commit/abort sweep removes (never
+    orphaned data files without a sidecar). Chunk ids embed a per-job
+    token, so appends from different jobs can never collide when decode
+    paths group blob rows by chunk_id across files. NULL repo values
+    group under the key "None" (the grouping key only drives chunk
+    placement and naming — the encoded columns keep the true values).
+    Chunk placement follows the DataFrame's own partitioning; for
+    planned/salted/range layouts and manifest resume use
+    pipeline.encode_table (this path trades planning for plain
     spark.write composability)."""
 
     def __init__(self, path: str, cols: list[tuple[str, str]],
                  repo_col: str, compression: str | None,
-                 target_chunk_bytes: int, overwrite: bool):
+                 target_chunk_bytes: int, overwrite: bool, token: str):
         self._path = path
         self._cols = cols
         self._repo_col = repo_col
         self._compression = compression
         self._target = target_chunk_bytes
         self._overwrite = overwrite
+        self._token = token
 
     # -- executor side ----------------------------------------------
     def write(self, iterator):
         import os
         import uuid
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -389,7 +406,7 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
         from parquet_go_spark.plans import pipeline
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        staging = os.path.join(self._path, ".staging")
+        staging = os.path.join(self._path, f".staging-{self._token}")
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"w-{uuid.uuid4().hex}.parquet")
 
@@ -401,53 +418,60 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
 
         def flush(repo: str):
             nonlocal writer
-            tbl = pa.Table.from_batches(
-                [b for b in bufs.pop(repo)], schema=None)
+            tbl = pa.Table.from_batches(bufs.pop(repo))
             sizes.pop(repo)
             seq = seqs.get(repo, 0)
             seqs[repo] = seq + 1
             rec = pipeline._encode_one_chunk(
                 tbl, self._cols, repo, seq, self._compression,
-                f"@w{pid}", fsst_cache=fsst_cache)
+                f"@w{self._token}p{pid}", fsst_cache=fsst_cache)
             if writer is None:
                 writer = pq.ParquetWriter(
                     staged, pipeline._BLOB_ARROW_SCHEMA)
             writer.write_table(pa.Table.from_batches([rec]))
 
-        wrote = False
         for batch in iterator:
-            if batch.num_rows == 0:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            wrote = True
-            repo_vals = batch.column(self._repo_col)
-            for rv in pc.unique(repo_vals):
-                repo = str(rv.as_py())
-                part = batch.filter(pc.equal(repo_vals, rv))
-                bufs.setdefault(repo, []).append(part)
-                sizes[repo] = sizes.get(repo, 0) + part.nbytes
+            # single-pass grouping (the encode kernel's idiom): one
+            # dictionary-encode + one stable argsort per batch, then
+            # contiguous slices per repo — not one filter scan per
+            # distinct value. NULLs group under "None".
+            repos = pc.fill_null(
+                pc.cast(batch.column(self._repo_col), pa.string()), "None")
+            dictized = pc.dictionary_encode(repos)
+            rcodes = np.asarray(dictized.indices).astype(np.int64)
+            rdict = dictized.dictionary
+            order = np.argsort(rcodes, kind="stable")
+            sorted_codes = rcodes[order]
+            change = np.ones(n, dtype=bool)
+            change[1:] = sorted_codes[1:] != sorted_codes[:-1]
+            starts = np.flatnonzero(change)
+            data = batch.take(pa.array(order))
+            for i, st in enumerate(starts):
+                e = starts[i + 1] if i + 1 < len(starts) else n
+                repo = rdict[int(sorted_codes[st])].as_py()
+                sl = data.slice(st, e - st)
+                bufs.setdefault(repo, []).append(sl)
+                sizes[repo] = sizes.get(repo, 0) + sl.nbytes
                 if sizes[repo] >= self._target:
                     flush(repo)
         for repo in list(bufs):
             flush(repo)
-        if writer is not None:
-            writer.close()
-        if not wrote:
-            if os.path.exists(staged):
-                os.unlink(staged)
+        if writer is None:
             # Spark 4.1 rejects a None commit message despite the API
-            # docstring — return an empty marker instead
+            # docstring — return an empty marker for empty partitions
             return _StagedFile(staged="")
+        writer.close()
         return _StagedFile(staged=staged)
 
     # -- driver side -------------------------------------------------
-    def commit(self, messages):
+    def _check_schema(self):
         import os
-        import shutil
-        import uuid
 
         from parquet_go_spark.plans import pipeline
 
-        os.makedirs(self._path, exist_ok=True)
         sidecar = os.path.join(self._path, "_colcodec_schema.json")
         if os.path.exists(sidecar) and not self._overwrite:
             existing = pipeline._read_schema_sidecar(self._path)
@@ -456,18 +480,29 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
                     "colcodec append: schema differs from the store's "
                     f"({existing} vs {self._cols}); use "
                     "pipeline.compact_tables for schema-unifying merges")
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        from parquet_go_spark.plans import pipeline
+
+        os.makedirs(self._path, exist_ok=True)
+        self._check_schema()  # backstop; writer() already failed fast
         if self._overwrite:
             for f in os.listdir(self._path):
                 if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     os.unlink(os.path.join(self._path, f))
-        run = uuid.uuid4().hex[:8]
-        staged = [m.staged for m in messages
-                  if m is not None and m.staged]
+        # sidecar BEFORE the renames: a crash mid-commit must never
+        # leave data files that no sidecar describes
+        pipeline._write_schema_sidecar(self._path, self._cols)
+        staged = [m.staged for m in messages if m is not None and m.staged]
         for i, src in enumerate(staged):
             os.replace(
-                src, os.path.join(self._path, f"part-w{run}-{i:05d}.parquet"))
-        pipeline._write_schema_sidecar(self._path, self._cols)
-        shutil.rmtree(os.path.join(self._path, ".staging"),
+                src,
+                os.path.join(self._path,
+                             f"part-w{self._token}-{i:05d}.parquet"))
+        shutil.rmtree(os.path.join(self._path, f".staging-{self._token}"),
                       ignore_errors=True)
 
     def abort(self, messages):
@@ -477,5 +512,5 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None and m.staged and os.path.exists(m.staged):
                 os.unlink(m.staged)
-        shutil.rmtree(os.path.join(self._path, ".staging"),
+        shutil.rmtree(os.path.join(self._path, f".staging-{self._token}"),
                       ignore_errors=True)

@@ -234,3 +234,54 @@ def test_write_rejects_unknown_repo_col(spark, tmp_path):
     with pytest.raises(Exception, match="repo_col"):
         a.write.format("colcodec").option("repo_col", "nope") \
          .mode("append").save(str(tmp_path / "wbad"))
+
+
+def test_write_null_repo_rows_survive(spark, tmp_path):
+    """NULL repo values group under "None" for placement but the rows —
+    and their true null — survive the round trip."""
+    datasource.register(spark)
+    d = str(tmp_path / "wnull")
+    src = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "a", 3.0), (4, None, 4.0)],
+        "k bigint, grp string, v double")
+    src.write.format("colcodec").option("repo_col", "grp") \
+       .mode("append").save(d)
+    back = spark.read.format("colcodec").load(d)
+    assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+
+
+def test_write_appends_decode_through_pipeline(spark, tmp_path):
+    """Two separate append jobs must produce globally-unique chunk ids:
+    pipeline.decode_table groups blob rows by chunk_id ACROSS files, so
+    a cross-job collision would merge two chunks' streams."""
+    datasource.register(spark)
+    d = str(tmp_path / "wjobs")
+    a = spark.createDataFrame(
+        [(i, "g0", f"a{i}") for i in range(300)],
+        "k bigint, grp string, txt string")
+    b = spark.createDataFrame(
+        [(i, "g0", f"b{i}") for i in range(300, 600)], a.schema)
+    a.write.format("colcodec").option("repo_col", "grp") \
+     .mode("append").save(d)
+    b.write.format("colcodec").option("repo_col", "grp") \
+     .mode("append").save(d)
+    man = pipeline.manifest(spark, d)
+    ids = [r["chunk_id"] for r in man.select("chunk_id").distinct().collect()]
+    assert len(ids) == len(set(ids))
+    dec = pipeline.decode_table(spark, d)
+    exp = a.unionAll(b)
+    assert sorted(map(str, dec.collect())) == sorted(map(str, exp.collect()))
+
+
+def test_write_schema_mismatch_fails_at_plan_time(spark, tmp_path):
+    """A mismatched append is rejected in writer() — before Spark runs
+    any encode task."""
+    datasource.register(spark)
+    d = str(tmp_path / "wplan")
+    a = spark.createDataFrame([(1, "x")], "k bigint, grp string")
+    a.write.format("colcodec").option("repo_col", "grp") \
+     .mode("append").save(d)
+    b = spark.createDataFrame([(1.5, "x")], "k double, grp string")
+    with pytest.raises(Exception, match="schema differs"):
+        b.write.format("colcodec").option("repo_col", "grp") \
+         .mode("append").save(d)
