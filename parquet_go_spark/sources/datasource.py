@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -344,6 +345,24 @@ class ColcodecDataSource(DataSource):
             w._check_schema()  # fail fast at plan time, before any task
         return w
 
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        import uuid
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("colcodec: .start(<blob store path>) required")
+        cols = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        repo_col = self.options.get("repo_col", cols[0][0])
+        if repo_col not in dict(cols):
+            raise ValueError(f"colcodec: repo_col {repo_col!r} not in schema")
+        return ColcodecStreamWriter(
+            path, cols, repo_col,
+            self.options.get("compression"),
+            int(self.options.get("target_chunk_bytes", 8 << 20)),
+            overwrite,
+            uuid.uuid4().hex[:12],
+        )
+
 
 def register(spark) -> None:
     """Register the format for this session (executors import this
@@ -514,3 +533,44 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
                 os.unlink(m.staged)
         shutil.rmtree(os.path.join(self._path, f".staging-{self._token}"),
                       ignore_errors=True)
+
+
+class ColcodecStreamWriter(ColcodecArrowWriter, DataSourceStreamArrowWriter):
+    """df.writeStream.format("colcodec") — the store as a Structured
+    Streaming sink. Tasks encode exactly like the batch writer (the
+    write() method is shared); per micro-batch the driver commit renames
+    staged files to batch-stamped names. Exactly-once across replays:
+    a restarted query re-running an already-committed batchId finds its
+    part-b<batchId>-* files present, discards the re-staged duplicates,
+    and commits nothing — the file-name check is the sink-side analog of
+    the encode pipeline's manifest replay dedupe. Chunk ids stay
+    globally unique (per-task uuid token inside the blobs), so decode
+    paths that group by chunk_id across files are safe either way."""
+
+    def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
+        import os
+
+        from parquet_go_spark.plans import pipeline
+
+        os.makedirs(self._path, exist_ok=True)
+        self._check_schema()
+        staged = [m.staged for m in messages if m is not None and m.staged]
+        prefix = f"part-b{batchId:08d}-"
+        already = any(f.startswith(prefix) for f in os.listdir(self._path))
+        if already:  # replayed micro-batch: drop the duplicate staging
+            for src in staged:
+                if os.path.exists(src):
+                    os.unlink(src)
+            return
+        pipeline._write_schema_sidecar(self._path, self._cols)
+        for i, src in enumerate(staged):
+            os.replace(src, os.path.join(
+                self._path, f"{prefix}{self._token}-{i:05d}.parquet"))
+        # the job staging dir stays: later micro-batches reuse it
+
+    def abort(self, messages, batchId):  # noqa: N803
+        import os
+
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.unlink(m.staged)

@@ -285,3 +285,38 @@ def test_write_schema_mismatch_fails_at_plan_time(spark, tmp_path):
     with pytest.raises(Exception, match="schema differs"):
         b.write.format("colcodec").option("repo_col", "grp") \
          .mode("append").save(d)
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """writeStream.format("colcodec"): micro-batches land as
+    batch-stamped files; restarting from the same checkpoint processes
+    only new input, and a replayed batch commits nothing twice."""
+    datasource.register(spark)
+    src_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    schema = "k bigint, grp string, txt string"
+    df1 = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"t{i}") for i in range(400)], schema)
+    df1.write.parquet(src_dir + "/f1")
+
+    def run_once():
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src_dir + "/*")
+             .writeStream.format("colcodec").option("repo_col", "grp")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(store))
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.format("colcodec").load(store).count() == 400
+    df2 = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"t{i}") for i in range(400, 700)], schema)
+    df2.write.parquet(src_dir + "/f2")
+    run_once()
+    assert spark.read.format("colcodec").load(store).count() == 700
+    run_once()  # no new input: nothing duplicates
+    got = sorted(map(str, spark.read.format("colcodec").load(store).collect()))
+    exp = sorted(map(str, df1.unionAll(df2).collect()))
+    assert got == exp
