@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -321,6 +322,9 @@ class ColcodecDataSource(DataSource):
     def reader(self, schema: StructType) -> ColcodecReader:
         return ColcodecReader(self.options["path"], self._cols())
 
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return ColcodecStreamReader(self.options["path"], self._cols())
+
     def writer(self, schema: StructType, overwrite: bool):
         import os
         import uuid
@@ -574,3 +578,56 @@ class ColcodecStreamWriter(ColcodecArrowWriter, DataSourceStreamArrowWriter):
         for m in messages:
             if m is not None and m.staged and os.path.exists(m.staged):
                 os.unlink(m.staged)
+
+
+class ColcodecStreamReader(DataSourceStreamReader):
+    """spark.readStream.format("colcodec").load(store) — tail a growing
+    blob store. Offsets carry the set of data files already emitted
+    (committed files are immutable; both write paths only ever ADD
+    files, so set difference is exactly the new data). This mirrors
+    Spark's own FileStreamSource, which likewise tracks seen files in
+    its metadata log; at fleet scale the offset dict should be swapped
+    for a compacted seen-log beside the checkpoint. Each new file is one
+    input partition decoded executor-side with the same one-chunk-
+    at-a-time kernel as the batch reader."""
+
+    def __init__(self, path: str, cols: list[tuple[str, str]]):
+        self._path = path
+        self._cols = cols
+
+    def _listing(self) -> list[str]:
+        import os
+
+        try:
+            names = os.listdir(self._path)
+        except FileNotFoundError:
+            return []
+        return sorted(f for f in names if f.endswith(".parquet")
+                      and not f.startswith(("_", ".")))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"files": self._listing()}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        return [_FileSlice(os.path.join(self._path, f)) for f in new]
+
+    def read(self, partition: _FileSlice):
+        import pyarrow.parquet as pq
+
+        from parquet_go_spark.plans import pipeline
+
+        tbl = pq.read_table(partition.path)
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.sort_by("chunk_id")
+        decode = pipeline._decode_stream_fn(self._cols)
+        yield from decode(tbl.to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: offsets are pure file listings

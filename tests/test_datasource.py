@@ -320,3 +320,38 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     got = sorted(map(str, spark.read.format("colcodec").load(store).collect()))
     exp = sorted(map(str, df1.unionAll(df2).collect()))
     assert got == exp
+
+
+def test_streaming_source_tails_store(spark, tmp_path):
+    """readStream.format("colcodec"): offsets are file-set diffs, so a
+    checkpointed query emits exactly the files added since its last run
+    — no re-emission, no misses."""
+    datasource.register(spark)
+    store = str(tmp_path / "sstore")
+    ckpt = str(tmp_path / "sckpt")
+    outdir = str(tmp_path / "sout")
+    schema = "k bigint, grp string, txt string"
+    df1 = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"t{i}") for i in range(300)], schema)
+    df1.write.format("colcodec").option("repo_col", "grp") \
+       .mode("append").save(store)
+
+    def run_once():
+        q = (spark.readStream.format("colcodec").load(store)
+             .writeStream.format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(outdir).count() == 300
+    df2 = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"t{i}") for i in range(300, 500)], schema)
+    df2.write.format("colcodec").option("repo_col", "grp") \
+       .mode("append").save(store)
+    run_once()
+    assert spark.read.parquet(outdir).count() == 500
+    run_once()  # no new files
+    got = sorted(map(str, spark.read.parquet(outdir).collect()))
+    exp = sorted(map(str, df1.unionAll(df2).collect()))
+    assert got == exp
