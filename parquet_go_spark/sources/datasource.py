@@ -52,6 +52,18 @@ class _FileSlice(InputPartition):
     path: str
 
 
+def _decode_blob_table(tbl, cols):
+    """Decode a table of blob rows through the one-chunk-at-a-time
+    kernel — shared by the batch reader and the streaming source."""
+    from parquet_go_spark.plans import pipeline
+
+    if tbl.num_rows == 0:
+        return
+    tbl = tbl.sort_by("chunk_id")  # kernel holds one chunk at a time
+    decode = pipeline._decode_stream_fn(cols)
+    yield from decode(tbl.to_batches())
+
+
 def _stat_key(spark_type: str, stat: str):
     """Manifest min/max string → comparable value, mirroring
     pipeline._stat_expr: byte space for strings/binary (latin-1 round
@@ -289,11 +301,7 @@ class ColcodecReader(DataSourceReader):
             )
         else:
             tbl = pq.read_table(partition.path)
-        if tbl.num_rows == 0:
-            return
-        tbl = tbl.sort_by("chunk_id")  # kernel holds one chunk at a time
-        decode = pipeline._decode_stream_fn(self._cols)
-        yield from decode(tbl.to_batches())
+        yield from _decode_blob_table(tbl, self._cols)
 
 
 class ColcodecDataSource(DataSource):
@@ -350,8 +358,13 @@ class ColcodecDataSource(DataSource):
         return w
 
     def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        import os
         import uuid
 
+        if overwrite:
+            raise ValueError(
+                "colcodec sink supports append output mode only "
+                "(complete/truncate would rewrite the store every batch)")
         path = self.options.get("path")
         if not path:
             raise ValueError("colcodec: .start(<blob store path>) required")
@@ -359,13 +372,17 @@ class ColcodecDataSource(DataSource):
         repo_col = self.options.get("repo_col", cols[0][0])
         if repo_col not in dict(cols):
             raise ValueError(f"colcodec: repo_col {repo_col!r} not in schema")
-        return ColcodecStreamWriter(
+        w = ColcodecStreamWriter(
             path, cols, repo_col,
             self.options.get("compression"),
             int(self.options.get("target_chunk_bytes", 8 << 20)),
             overwrite,
             uuid.uuid4().hex[:12],
+            sink_id=self.options.get("sink_id", "q0"),
         )
+        if os.path.isdir(path):
+            w._check_schema()  # fail fast at plan time, before any batch
+        return w
 
 
 def register(spark) -> None:
@@ -541,15 +558,39 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
 
 class ColcodecStreamWriter(ColcodecArrowWriter, DataSourceStreamArrowWriter):
     """df.writeStream.format("colcodec") — the store as a Structured
-    Streaming sink. Tasks encode exactly like the batch writer (the
-    write() method is shared); per micro-batch the driver commit renames
-    staged files to batch-stamped names. Exactly-once across replays:
-    a restarted query re-running an already-committed batchId finds its
-    part-b<batchId>-* files present, discards the re-staged duplicates,
-    and commits nothing — the file-name check is the sink-side analog of
-    the encode pipeline's manifest replay dedupe. Chunk ids stay
-    globally unique (per-task uuid token inside the blobs), so decode
-    paths that group by chunk_id across files are safe either way."""
+    Streaming sink (append output mode). Tasks encode exactly like the
+    batch writer (the write() method is shared); per micro-batch the
+    driver commit renames staged files to sink/batch-stamped names and
+    then drops an empty `_q<sink_id>-b<batchId>.done` marker — the
+    marker, written LAST, is the replay check, so a crash mid-rename
+    leaves an unmarked partial batch that the replay fully rewrites
+    (partial files are cleared first) instead of being mistaken for a
+    committed one. Exactly-once is scoped by `sink_id` (option,
+    default "q0"): one streaming query per sink_id per store — a second
+    query (or a fresh checkpoint, which restarts batchIds at 0) must
+    set its own sink_id or its early batches would look like replays.
+    Chunk ids stay globally unique (per-task uuid token inside the
+    blobs), so decode paths that group by chunk_id across files are
+    safe either way."""
+
+    def __init__(self, *args, sink_id: str = "q0"):
+        super().__init__(*args)
+        self._sink_id = sink_id
+
+    def _marker(self, batchId):  # noqa: N803
+        import os
+
+        return os.path.join(
+            self._path, f"_q{self._sink_id}-b{batchId:08d}.done")
+
+    def _sweep_staging(self):
+        """Clear retried-task orphans: micro-batches run sequentially,
+        so at commit time nothing else writes to this job's staging."""
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self._path, f".staging-{self._token}"),
+                      ignore_errors=True)
 
     def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
         import os
@@ -559,18 +600,25 @@ class ColcodecStreamWriter(ColcodecArrowWriter, DataSourceStreamArrowWriter):
         os.makedirs(self._path, exist_ok=True)
         self._check_schema()
         staged = [m.staged for m in messages if m is not None and m.staged]
-        prefix = f"part-b{batchId:08d}-"
-        already = any(f.startswith(prefix) for f in os.listdir(self._path))
-        if already:  # replayed micro-batch: drop the duplicate staging
+        prefix = f"part-q{self._sink_id}-b{batchId:08d}-"
+        if os.path.exists(self._marker(batchId)):
+            # fully-committed batch replayed: drop the duplicate staging
             for src in staged:
                 if os.path.exists(src):
                     os.unlink(src)
+            self._sweep_staging()
             return
+        # no marker: any same-prefix files are a crashed partial commit —
+        # clear them and rewrite the whole batch from the fresh staging
+        for f in os.listdir(self._path):
+            if f.startswith(prefix):
+                os.unlink(os.path.join(self._path, f))
         pipeline._write_schema_sidecar(self._path, self._cols)
         for i, src in enumerate(staged):
             os.replace(src, os.path.join(
                 self._path, f"{prefix}{self._token}-{i:05d}.parquet"))
-        # the job staging dir stays: later micro-batches reuse it
+        open(self._marker(batchId), "w").close()  # marker LAST
+        self._sweep_staging()
 
     def abort(self, messages, batchId):  # noqa: N803
         import os
@@ -614,20 +662,27 @@ class ColcodecStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         import os
 
-        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        seen = set(start.get("files", []))
+        now = set(end.get("files", []))
+        removed = seen - now
+        if removed:
+            # overwrite mode or compact_tables rewrote the store under
+            # the reader: the set-diff offset would re-emit rewritten
+            # data as "new" (duplicates downstream). Fail loudly — a
+            # rewritten store needs a fresh checkpoint.
+            raise RuntimeError(
+                "colcodec stream source: store was rewritten while being "
+                f"tailed ({len(removed)} previously-seen files vanished, "
+                f"e.g. {sorted(removed)[:3]}); restart the query with a "
+                "fresh checkpoint")
+        new = sorted(now - seen)
         return [_FileSlice(os.path.join(self._path, f)) for f in new]
 
     def read(self, partition: _FileSlice):
         import pyarrow.parquet as pq
 
-        from parquet_go_spark.plans import pipeline
-
-        tbl = pq.read_table(partition.path)
-        if tbl.num_rows == 0:
-            return
-        tbl = tbl.sort_by("chunk_id")
-        decode = pipeline._decode_stream_fn(self._cols)
-        yield from decode(tbl.to_batches())
+        yield from _decode_blob_table(
+            pq.read_table(partition.path), self._cols)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: offsets are pure file listings

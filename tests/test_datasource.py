@@ -355,3 +355,75 @@ def test_streaming_source_tails_store(spark, tmp_path):
     got = sorted(map(str, spark.read.parquet(outdir).collect()))
     exp = sorted(map(str, df1.unionAll(df2).collect()))
     assert got == exp
+
+
+def test_stream_sink_partial_commit_recovers(spark, tmp_path):
+    """A crash mid-rename leaves batch files without the .done marker;
+    the replay must clear the partials and rewrite the batch in full —
+    never mistake a partial batch for a committed one."""
+    datasource.register(spark)
+    store = str(tmp_path / "pstore")
+    ckpt = str(tmp_path / "pckpt")
+    src_dir = str(tmp_path / "pin")
+    os.makedirs(src_dir)
+    schema = "k bigint, grp string"
+    df1 = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(200)], schema)
+    df1.write.parquet(src_dir + "/f1")
+
+    def run_once():
+        q = (spark.readStream.schema(schema).parquet(src_dir + "/*")
+             .writeStream.format("colcodec").option("repo_col", "grp")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(store))
+        q.awaitTermination(120)
+
+    run_once()
+    # simulate the mid-commit crash: marker gone, one batch file gone
+    markers = [f for f in os.listdir(store) if f.endswith(".done")]
+    assert markers
+    os.unlink(os.path.join(store, markers[0]))
+    parts = sorted(f for f in os.listdir(store) if f.endswith(".parquet"))
+    os.unlink(os.path.join(store, parts[0]))
+    # wipe the checkpoint so the batch REPLAYS from scratch
+    import shutil as _sh
+    _sh.rmtree(ckpt)
+    run_once()
+    back = spark.read.format("colcodec").load(store)
+    assert sorted(map(str, back.collect())) == sorted(map(str, df1.collect()))
+
+
+def test_stream_sink_rejects_complete_mode(spark, tmp_path):
+    datasource.register(spark)
+    schema = "k bigint, grp string"
+    src_dir = str(tmp_path / "cin")
+    os.makedirs(src_dir)
+    spark.createDataFrame([(1, "a")], schema).write.parquet(src_dir + "/f1")
+    agg = (spark.readStream.schema(schema).parquet(src_dir + "/*")
+           .groupBy("grp").count())
+    with pytest.raises(Exception, match="append output mode only"):
+        q = (agg.writeStream.format("colcodec").option("repo_col", "grp")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "cckpt"))
+             .trigger(availableNow=True).start(str(tmp_path / "cstore")))
+        q.awaitTermination(60)
+
+
+def test_stream_source_detects_rewrite(spark, tmp_path):
+    """Overwrite/compaction under a tailing reader must fail loudly,
+    not silently re-emit rewritten files as new data."""
+    from parquet_go_spark.sources.datasource import ColcodecStreamReader
+
+    datasource.register(spark)
+    store = str(tmp_path / "rwstore")
+    schema = "k bigint, grp string"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    df.write.format("colcodec").option("repo_col", "grp") \
+      .mode("append").save(store)
+    rdr = ColcodecStreamReader(store, pipeline._read_schema_sidecar(store))
+    start = rdr.latestOffset()
+    df.write.format("colcodec").option("repo_col", "grp") \
+      .mode("overwrite").save(store)
+    end = rdr.latestOffset()
+    with pytest.raises(RuntimeError, match="rewritten"):
+        rdr.partitions(start, end)
