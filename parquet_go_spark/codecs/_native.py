@@ -218,6 +218,170 @@ void poly64_batch(const uint8_t *data, const int64_t *offs, long n,
     }
 }
 
+/* Parquet hybrid RLE/bit-packed encode, width 1..32 (dictionary
+ * indexes, rep/def levels, RLE-boolean, small ints). Replicates the
+ * numpy encoder's grouping BYTE-FOR-BYTE (same blobs, same golden
+ * sizes): aligned groups of 8 classified const/non-const; adjacent
+ * const groups of equal value merge into RLE runs; adjacent non-const
+ * groups into bit-packed runs; a trailing partial group is padded with
+ * the last value (bit-packed) or stores the exact count (RLE).
+ * out capacity: >= 64 + (n+8)*((width+7)/8) + (n/8+2)*10. Returns
+ * encoded length. */
+static inline long put_uvarint(uint8_t *out, long o, uint64_t x)
+{
+    while (x >= 0x80) {
+        out[o++] = (uint8_t)(x | 0x80);
+        x >>= 7;
+    }
+    out[o++] = (uint8_t)x;
+    return o;
+}
+
+long rle_encode(const uint64_t *v, long n, int width, uint8_t *out)
+{
+    long o = 0;
+    int vbytes = (width + 7) / 8;
+    long ng = (n + 7) / 8;
+    long g = 0;
+    while (g < ng) {
+        /* classify group g (tail group padded with last value) */
+        uint64_t g0 = v[g * 8];
+        int is_const = 1;
+        for (int j = 1; j < 8; j++) {
+            long idx = g * 8 + j;
+            uint64_t x = idx < n ? v[idx] : v[n - 1];
+            if (x != g0) { is_const = 0; break; }
+        }
+        if (is_const) {
+            /* extend the RLE run over equal const groups */
+            long e = g + 1;
+            while (e < ng) {
+                uint64_t e0 = v[e * 8];
+                int c = 1;
+                for (int j = 1; j < 8; j++) {
+                    long idx = e * 8 + j;
+                    uint64_t x = idx < n ? v[idx] : v[n - 1];
+                    if (x != e0) { c = 0; break; }
+                }
+                if (!c || e0 != g0) break;
+                e++;
+            }
+            long count = (e - g) * 8;
+            if (e == ng && (n % 8))
+                count -= 8 - (n % 8);
+            o = put_uvarint(out, o, (uint64_t)count << 1);
+            for (int b = 0; b < vbytes; b++)
+                out[o++] = (uint8_t)(g0 >> (8 * b));
+            g = e;
+        } else {
+            /* extend the bit-packed run over non-const groups */
+            long e = g + 1;
+            while (e < ng) {
+                uint64_t e0 = v[e * 8];
+                int c = 1;
+                for (int j = 1; j < 8; j++) {
+                    long idx = e * 8 + j;
+                    uint64_t x = idx < n ? v[idx] : v[n - 1];
+                    if (x != e0) { c = 0; break; }
+                }
+                if (c) break;
+                e++;
+            }
+            o = put_uvarint(out, o, ((uint64_t)(e - g) << 1) | 1);
+            uint64_t acc = 0;
+            int nbits = 0;
+            for (long i = g * 8; i < e * 8; i++) {
+                uint64_t x = i < n ? v[i] : v[n - 1];
+                acc |= x << nbits;
+                nbits += width;
+                while (nbits >= 8) {
+                    out[o++] = (uint8_t)acc;
+                    acc >>= 8;
+                    nbits -= 8;
+                }
+            }
+            if (nbits)
+                out[o++] = (uint8_t)acc;
+            g = e;
+        }
+    }
+    return o;
+}
+
+/* Hybrid decode: fills exactly n values (zero-fill past truncated
+ * input, skip empty RLE runs — the numpy decoder's tolerances).
+ * Returns n, or -1 on a malformed header. */
+long rle_decode(const uint8_t *in, long len, long n, int width,
+                uint64_t *out)
+{
+    long pos = 0, got = 0;
+    int vbytes = (width + 7) / 8;
+    uint64_t mask = width >= 64 ? ~0ULL : ((1ULL << width) - 1);
+    while (got < n && pos < len) {
+        uint64_t h = 0;
+        int shift = 0;
+        for (;;) {
+            if (pos >= len)
+                return -1;
+            uint8_t b = in[pos++];
+            h |= (uint64_t)(b & 0x7F) << shift;
+            if (!(b & 0x80))
+                break;
+            shift += 7;
+            if (shift > 63)
+                return -1;
+        }
+        if (h & 1) {
+            long groups = (long)(h >> 1);
+            long cnt = groups * 8;
+            /* this run's payload is exactly groups*width bytes — refills
+             * must never cross into the next run's header */
+            long run_end = pos + groups * width;
+            if (run_end > len)
+                run_end = len;
+            uint64_t acc = 0;
+            int nbits = 0;
+            long i = 0;
+            long want = cnt < (n - got) ? cnt : (n - got);
+            while (i < want) {
+                /* width <= 32, so 4-byte refills keep everything in one
+                 * 64-bit register (nbits stays < 64) */
+                if (nbits <= 32 && pos + 4 <= run_end) {
+                    uint32_t w;
+                    memcpy(&w, in + pos, 4);
+                    acc |= (uint64_t)w << nbits;
+                    nbits += 32;
+                    pos += 4;
+                } else {
+                    while (nbits < width) { /* tail: byte refill, 0-pad */
+                        uint64_t b = pos < run_end ? in[pos] : 0;
+                        pos++;
+                        acc |= b << nbits;
+                        nbits += 8;
+                    }
+                }
+                while (nbits >= width && i < want) {
+                    out[got++] = acc & mask;
+                    acc >>= width;
+                    nbits -= width;
+                    i++;
+                }
+            }
+            pos = run_end; /* skip any unconsumed payload */
+        } else {
+            long cnt = (long)(h >> 1);
+            uint64_t val = 0;
+            for (int b = 0; b < vbytes && pos < len; b++)
+                val |= (uint64_t)in[pos++] << (8 * b);
+            for (long i = 0; i < cnt && got < n; i++)
+                out[got++] = val;
+        }
+    }
+    for (long i = got; i < n; i++)
+        out[i] = 0;
+    return n;
+}
+
 /* FSST sequential decode. out capacity (cap) must leave 8 bytes of
  * slack past the expected size so symbol writes can be one unconditional
  * 8-byte store. Returns decoded length, -1 on malformed input (escape at
@@ -252,7 +416,8 @@ long fsst_decode(const uint8_t *in, long n,
 
 
 class _Lib:
-    __slots__ = ("encode", "decode", "xxh64", "poly64")
+    __slots__ = ("encode", "decode", "xxh64", "poly64",
+                 "rle_encode", "rle_decode")
 
     def __init__(self, dll: ctypes.CDLL):
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -266,6 +431,18 @@ class _Lib:
         self.poly64.restype = None
         self.poly64.argtypes = [
             u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        self.rle_encode = dll.rle_encode
+        self.rle_encode.restype = ctypes.c_long
+        self.rle_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
+            u8p,
+        ]
+        self.rle_decode = dll.rle_decode
+        self.rle_decode.restype = ctypes.c_long
+        self.rle_decode.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64),
         ]
         self.encode = dll.fsst_encode

@@ -23,10 +23,21 @@ amortizes to one Python iteration per run.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
+from . import _native
 from .bitpack import bit_length_u64, pack_le, unpack_le
 from .varint import read_uvarint, write_uvarint
+
+#: compiled hybrid kernels (widths 1..32; byte-identical streams to the
+#: numpy reference below — the C encoder replicates the 8-value-group
+#: merge policy exactly, so golden sizes and blobs are unchanged);
+#: None → numpy fallback (see _native.py)
+_NATIVE = _native.load()
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
 
 
 def encode_hybrid(values: np.ndarray, width: int) -> bytes:
@@ -39,6 +50,14 @@ def encode_hybrid(values: np.ndarray, width: int) -> bytes:
         # only value 0 is representable; one RLE run, 0-byte value
         write_uvarint(out, n << 1)
         return bytes(out)
+    if _NATIVE is not None and 1 <= width <= 32:
+        v = np.ascontiguousarray(values, dtype=np.uint64)
+        vbytes = (width + 7) // 8
+        cap = 64 + (n + 8) * vbytes + (n // 8 + 2) * 10
+        buf = np.empty(cap, dtype=np.uint8)
+        ln = _NATIVE.rle_encode(
+            v.ctypes.data_as(_U64P), n, width, buf.ctypes.data_as(_U8P))
+        return buf[:ln].tobytes()
     v = np.ascontiguousarray(values, dtype=np.uint64)
     pad = (-n) % 8
     if pad:
@@ -73,6 +92,16 @@ def decode_hybrid(buf, n: int, width: int) -> np.ndarray:
     """Decode n values; returns uint64. Tolerates empty and truncated runs."""
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    if _NATIVE is not None and 1 <= width <= 32:
+        raw = np.frombuffer(bytes(buf), dtype=np.uint8)
+        out = np.empty(n, dtype=np.uint64)
+        rc = _NATIVE.rle_decode(
+            raw.ctypes.data_as(_U8P), len(raw), n, width,
+            out.ctypes.data_as(_U64P))
+        if rc == n:
+            return out
+        # malformed varint header: fall through to the tolerant numpy
+        # path (mirrors its behavior on garbage input)
     mv = memoryview(buf) if not isinstance(buf, (bytes, bytearray)) else buf
     parts: list[np.ndarray] = []
     got = 0

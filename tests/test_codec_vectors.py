@@ -300,3 +300,37 @@ def test_bss_double(vec):
 def test_bss_layout():
     a = np.array([1, 2], dtype=np.int32)  # 01 00 00 00 / 02 00 00 00
     assert bytestreamsplit.encode(a, 4) == b"\x01\x02" + b"\x00" * 6
+
+
+def test_native_rle_streams_match_numpy():
+    """The compiled hybrid kernels must reproduce the numpy encoder's
+    streams BYTE-FOR-BYTE (same grouping policy → same golden sizes)
+    and cross-decode in both directions."""
+    import numpy as np
+    import pytest
+
+    from parquet_go_spark.codecs import rle
+
+    if rle._NATIVE is None:
+        pytest.skip("no C toolchain on this host")
+    rng = np.random.default_rng(17)
+    for width, hi in [(1, 2), (3, 8), (7, 100), (12, 4000), (32, 2**32 - 1)]:
+        for vals in (
+            rng.integers(0, hi, 10001).astype(np.uint64),
+            np.full(9999, hi - 1, dtype=np.uint64),
+            np.repeat(rng.integers(0, hi, 40),
+                      rng.integers(1, 300, 40)).astype(np.uint64),
+            np.arange(13, dtype=np.uint64) % min(hi, 3),
+        ):
+            native = rle.encode_hybrid(vals, width)
+            saved = rle._NATIVE
+            try:
+                rle._NATIVE = None
+                ref = rle.encode_hybrid(vals, width)
+                dec_np = rle.decode_hybrid(native, len(vals), width)
+            finally:
+                rle._NATIVE = saved
+            dec_c = rle.decode_hybrid(ref, len(vals), width)
+            assert native == ref
+            assert np.array_equal(dec_np, vals)
+            assert np.array_equal(dec_c, vals)
