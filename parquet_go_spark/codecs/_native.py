@@ -237,6 +237,21 @@ static inline long put_uvarint(uint8_t *out, long o, uint64_t x)
     return o;
 }
 
+/* group g is constant? (tail group padded with the last value);
+ * writes the group's first value to *g0 */
+static inline int group_is_const(const uint64_t *v, long n, long g,
+                                 uint64_t *g0)
+{
+    *g0 = v[g * 8];
+    for (int j = 1; j < 8; j++) {
+        long idx = g * 8 + j;
+        uint64_t x = idx < n ? v[idx] : v[n - 1];
+        if (x != *g0)
+            return 0;
+    }
+    return 1;
+}
+
 long rle_encode(const uint64_t *v, long n, int width, uint8_t *out)
 {
     long o = 0;
@@ -244,28 +259,14 @@ long rle_encode(const uint64_t *v, long n, int width, uint8_t *out)
     long ng = (n + 7) / 8;
     long g = 0;
     while (g < ng) {
-        /* classify group g (tail group padded with last value) */
-        uint64_t g0 = v[g * 8];
-        int is_const = 1;
-        for (int j = 1; j < 8; j++) {
-            long idx = g * 8 + j;
-            uint64_t x = idx < n ? v[idx] : v[n - 1];
-            if (x != g0) { is_const = 0; break; }
-        }
+        uint64_t g0;
+        int is_const = group_is_const(v, n, g, &g0);
         if (is_const) {
             /* extend the RLE run over equal const groups */
             long e = g + 1;
-            while (e < ng) {
-                uint64_t e0 = v[e * 8];
-                int c = 1;
-                for (int j = 1; j < 8; j++) {
-                    long idx = e * 8 + j;
-                    uint64_t x = idx < n ? v[idx] : v[n - 1];
-                    if (x != e0) { c = 0; break; }
-                }
-                if (!c || e0 != g0) break;
+            uint64_t e0;
+            while (e < ng && group_is_const(v, n, e, &e0) && e0 == g0)
                 e++;
-            }
             long count = (e - g) * 8;
             if (e == ng && (n % 8))
                 count -= 8 - (n % 8);
@@ -276,17 +277,9 @@ long rle_encode(const uint64_t *v, long n, int width, uint8_t *out)
         } else {
             /* extend the bit-packed run over non-const groups */
             long e = g + 1;
-            while (e < ng) {
-                uint64_t e0 = v[e * 8];
-                int c = 1;
-                for (int j = 1; j < 8; j++) {
-                    long idx = e * 8 + j;
-                    uint64_t x = idx < n ? v[idx] : v[n - 1];
-                    if (x != e0) { c = 0; break; }
-                }
-                if (c) break;
+            uint64_t e0;
+            while (e < ng && !group_is_const(v, n, e, &e0))
                 e++;
-            }
             o = put_uvarint(out, o, ((uint64_t)(e - g) << 1) | 1);
             uint64_t acc = 0;
             int nbits = 0;
@@ -308,9 +301,12 @@ long rle_encode(const uint64_t *v, long n, int width, uint8_t *out)
     return o;
 }
 
-/* Hybrid decode: fills exactly n values (zero-fill past truncated
- * input, skip empty RLE runs — the numpy decoder's tolerances).
- * Returns n, or -1 on a malformed header. */
+/* Hybrid decode: fills exactly n values, skipping empty RLE runs.
+ * Returns n, or -1 on anything anomalous — malformed/overlong varint,
+ * or a bit-packed run whose declared payload exceeds the buffer — so
+ * the caller falls back to the numpy reference and malformed-input
+ * behavior stays identical across paths (numpy raises on a payload
+ * truncated mid-run; it must not be silently zero-filled here). */
 long rle_decode(const uint8_t *in, long len, long n, int width,
                 uint64_t *out)
 {
@@ -324,6 +320,8 @@ long rle_decode(const uint8_t *in, long len, long n, int width,
             if (pos >= len)
                 return -1;
             uint8_t b = in[pos++];
+            if (shift == 63 && b > 1)
+                return -1; /* bits past 2^64: numpy reads a bigint */
             h |= (uint64_t)(b & 0x7F) << shift;
             if (!(b & 0x80))
                 break;
@@ -333,12 +331,13 @@ long rle_decode(const uint8_t *in, long len, long n, int width,
         }
         if (h & 1) {
             long groups = (long)(h >> 1);
+            /* payload is exactly groups*width bytes; compare without
+             * multiplying (groups can be 2^62 on corrupt input — the
+             * product would overflow and wreck the bounds checks) */
+            if (groups > (len - pos) / width)
+                return -1;
             long cnt = groups * 8;
-            /* this run's payload is exactly groups*width bytes — refills
-             * must never cross into the next run's header */
             long run_end = pos + groups * width;
-            if (run_end > len)
-                run_end = len;
             uint64_t acc = 0;
             int nbits = 0;
             long i = 0;

@@ -334,3 +334,47 @@ def test_native_rle_streams_match_numpy():
             assert native == ref
             assert np.array_equal(dec_np, vals)
             assert np.array_equal(dec_c, vals)
+
+
+def test_native_rle_malformed_matches_numpy():
+    """Anomalous streams must behave identically across paths: the C
+    kernel returns -1 on malformed/overlong varints and truncated
+    bit-packed payloads (a 2^63 group count once drove an out-of-bounds
+    read), deferring to the numpy reference so errors and tolerances
+    are byte-for-byte the old ones."""
+    import numpy as np
+    import pytest
+
+    from parquet_go_spark.codecs import rle
+
+    if rle._NATIVE is None:
+        pytest.skip("no C toolchain on this host")
+
+    def both(buf, n, width):
+        def run():
+            try:
+                return rle.decode_hybrid(buf, n, width), None
+            except Exception as e:  # noqa: BLE001 — behavior capture
+                return None, type(e).__name__
+
+        a, aerr = run()
+        saved = rle._NATIVE
+        try:
+            rle._NATIVE = None
+            b, berr = run()
+        finally:
+            rle._NATIVE = saved
+        assert aerr == berr, (aerr, berr)
+        if a is not None:
+            assert np.array_equal(a, b)
+        return aerr
+
+    # varint group count ~2^63: payload-bytes product would overflow
+    assert both(b"\xff" * 9 + b"\x01", 10, 7) == "OverflowError"
+    # overlong varint carrying bits past 2^64
+    assert both(b"\xff" * 9 + b"\x07", 10, 7) == "OverflowError"
+    # bit-packed payload truncated mid-run: an error, never zero-fill
+    assert both(b"\x05\x01\x02\x03", 16, 8) == "ValueError"
+    # empty RLE runs remain tolerated
+    v = np.arange(16, dtype=np.uint64) % 5
+    assert both(b"\x00\x00" + rle.encode_hybrid(v, 3), 16, 3) is None
