@@ -479,6 +479,27 @@ def _build(cc: str, cache_dir: str, so_path: str) -> None:
             os.unlink(tmp_so)
 
 
+def _cache_dir(digest: str) -> str | None:
+    """Per-user 0o700 cache dir for the compiled kernels. The path
+    embeds the uid and the dir must be OWNED by this user: a
+    deterministic world-visible path under /tmp would let any other
+    local user pre-create it and plant a malicious fsst.so that we then
+    ctypes.CDLL — arbitrary code execution. A dir we don't own (or
+    can't verify) means "no native kernels", never "trust it"."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.environ.get("XDG_CACHE_HOME") or tempfile.gettempdir()
+    d = os.path.join(base, f"colcodec-native-{uid}-{digest}")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if hasattr(os, "getuid") and st.st_uid != uid:
+            return None
+        os.chmod(d, 0o700)  # exist_ok keeps a prior mode — force ours
+    except OSError:
+        return None
+    return d
+
+
 def load() -> _Lib | None:
     """Compile (once per host, cached by source hash) and bind the kernels.
 
@@ -492,9 +513,9 @@ def load() -> _Lib | None:
     if sys.byteorder != "little":
         return None
     digest = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-    cache_dir = os.path.join(
-        tempfile.gettempdir(), f"colcodec-native-{digest}"
-    )
+    cache_dir = _cache_dir(digest)
+    if cache_dir is None:
+        return None
     so_path = os.path.join(cache_dir, "fsst.so")
     try:
         if not os.path.exists(so_path):
@@ -504,6 +525,8 @@ def load() -> _Lib | None:
             if cc is None:
                 return None
             _build(cc, cache_dir, so_path)
+        if hasattr(os, "getuid") and os.stat(so_path).st_uid != os.getuid():
+            return None  # not our artifact — refuse to load it
         return _Lib(ctypes.CDLL(so_path))
     except Exception:
         return None

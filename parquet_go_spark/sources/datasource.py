@@ -113,6 +113,17 @@ def _probe_key(spark_type: str, value):
                 if value.tzinfo is not None:
                     value = value.astimezone(
                         _dt.timezone.utc).replace(tzinfo=None)
+                elif spark_type == "timestamp":
+                    # Spark delivers TimestampType (LTZ) literals as
+                    # naive datetimes in the driver's LOCAL timezone,
+                    # while manifest stats hold UTC epoch micros —
+                    # interpret via the local tz (naive .astimezone()
+                    # does exactly that), never as UTC: a wrong offset
+                    # here silently prunes chunks holding real matches.
+                    # timestamp_ntz naive values ARE the stored wall
+                    # clock and convert directly.
+                    value = value.astimezone(
+                        _dt.timezone.utc).replace(tzinfo=None)
                 epoch = _dt.datetime(1970, 1, 1)
                 return ((value - epoch) // _dt.timedelta(microseconds=1))
             return int(value)
@@ -244,8 +255,11 @@ class ColcodecReader(DataSourceReader):
         }
         self._filters = _translate_filters(filters, scalar_types)
         # we only SKIP chunks; Spark must still evaluate every filter
-        # exactly (bloom fpp / truncated bounds admit false positives)
-        yield from filters
+        # exactly (bloom fpp / truncated bounds admit false positives).
+        # Assign eagerly and return a plain iterator — as a generator,
+        # self._filters would only be set if Spark drained the result,
+        # and pruning would silently disengage if it ever short-circuits
+        return iter(filters)
 
     def partitions(self):
         import os
@@ -529,10 +543,21 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
 
         os.makedirs(self._path, exist_ok=True)
         self._check_schema()  # backstop; writer() already failed fast
+        # overwrite: snapshot what must go BEFORE renaming the new files
+        # in — old data is deleted only once the full new dataset is in
+        # place (names never collide: per-job token), so a mid-commit
+        # crash leaves at worst old+new rows (recoverable duplicates),
+        # never a sidecar-valid but emptied store. Stale streaming
+        # `_q*-b*.done` markers must go too: a later streaming query on
+        # the cleared store restarting batchIds at 0 would read them as
+        # committed replays and silently drop its first batches.
+        doomed = []
         if self._overwrite:
             for f in os.listdir(self._path):
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                    os.unlink(os.path.join(self._path, f))
+                data = f.endswith(".parquet") and not f.startswith(("_", "."))
+                marker = f.startswith("_q") and f.endswith(".done")
+                if data or marker:
+                    doomed.append(f)
         # sidecar BEFORE the renames: a crash mid-commit must never
         # leave data files that no sidecar describes
         pipeline._write_schema_sidecar(self._path, self._cols)
@@ -542,6 +567,17 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
                 src,
                 os.path.join(self._path,
                              f"part-w{self._token}-{i:05d}.parquet"))
+        for f in doomed:
+            try:
+                os.unlink(os.path.join(self._path, f))
+            except FileNotFoundError:
+                pass
+        if self._overwrite:
+            for f in os.listdir(self._path):  # crashed jobs' staging dirs
+                if (f.startswith(".staging-")
+                        and f != f".staging-{self._token}"):
+                    shutil.rmtree(os.path.join(self._path, f),
+                                  ignore_errors=True)
         shutil.rmtree(os.path.join(self._path, f".staging-{self._token}"),
                       ignore_errors=True)
 

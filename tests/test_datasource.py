@@ -177,8 +177,14 @@ def test_probe_key_conversions():
     from parquet_go_spark.sources.datasource import _probe_key, _stat_key
 
     assert _probe_key("date", dt.date(1970, 1, 2)) == 1
-    assert _probe_key("timestamp",
-                      dt.datetime(1970, 1, 1, 0, 0, 1)) == 1_000_000
+    # naive LTZ literal = driver-local wall clock (Spark's pushdown
+    # contract); NTZ naive = the stored wall clock directly
+    naive = dt.datetime(1970, 1, 1, 0, 0, 1)
+    local_utc = naive.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    exp = (local_utc - dt.datetime(1970, 1, 1)) \
+        // dt.timedelta(microseconds=1)
+    assert _probe_key("timestamp", naive) == exp
+    assert _probe_key("timestamp_ntz", naive) == 1_000_000
     aware = dt.datetime(1970, 1, 1, 1, 0, 1, tzinfo=dt.timezone(
         dt.timedelta(hours=1)))
     assert _probe_key("timestamp", aware) == 1_000_000
