@@ -10,7 +10,7 @@ Queries map SURVEY.md §2's operator inventory onto the driver's
 - stats_* chunk_* manifest column-index statistics (column_index.go)
 - prune_*         min/max chunk pruning (search.go:6-95)
 - dedup/minhash/simhash/ngram  training-data dedup operators
-- token/quality/langid/fingerprint  text-analysis operators
+- text_analysis_*  token/quality/langid/fingerprint (one fused query)
 - cosine/knn/lsh  embedding similarity search
 - multimodal_*    binary-payload plumbing (stubbed decode)
 """
@@ -158,58 +158,79 @@ def _rt_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rt_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array<string> round trip — the LIST-of-BYTE_ARRAY shredding
-    (lengths stream + flattened values, node.go:505-525 analog)."""
+
+def _props_expr():
+    """text → array<struct<w:string,n:int>>; the ONE definition shared
+    by the round-trip query, the level-histogram query, and (in spirit)
+    their oracles — the length%3 null rule must stay in lockstep."""
+    return F.transform(
+        F.slice(F.split(F.col("text"), " "), 1, 5),
+        lambda x: F.struct(
+            x.alias("w"),
+            F.when(F.length(x) % 3 == 0, None)
+            .otherwise(F.length(x)).cast("int").alias("n"),
+        ),
+    )
+
+
+def _props_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "source", _props_expr().alias("props"))
+    )
+
+
+def _rt_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table pipeline round trip — the part/customer/events fold
+    (VERDICT r3 #1): three independent encode→decode round trips whose
+    EVERY column lands in one uniform (tbl, k, s, i, d, ts_s) union, so
+    a single driver correctness row still hashes full decode fidelity
+    for all three flat-table shapes."""
+    outs = {n: _encode_fresh(spark, sf_dir, n)
+            for n in ("part", "customer", "events")}
+    p = pipeline.decode_table(spark, outs["part"]).select(
+        F.lit("part").alias("tbl"),
+        F.col("p_partkey").alias("k"),
+        F.concat_ws("|", "p_name", "p_brand", "p_type").alias("s"),
+        F.col("p_size").cast("bigint").alias("i"),
+        F.col("p_retailprice").alias("d"),
+        F.lit(None).cast("string").alias("ts_s"),
+    )
+    c = pipeline.decode_table(spark, outs["customer"]).select(
+        F.lit("customer").alias("tbl"),
+        F.col("c_custkey").alias("k"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("s"),
+        F.col("c_nationkey").cast("bigint").alias("i"),
+        F.col("c_acctbal").alias("d"),
+        F.lit(None).cast("string").alias("ts_s"),
+    )
+    e = pipeline.decode_table(spark, outs["events"]).select(
+        F.lit("events").alias("tbl"),
+        F.col("event_id").alias("k"),
+        F.concat_ws("|", "event_type", "props").alias("s"),
+        F.col("user_id").cast("bigint").alias("i"),
+        F.col("value").alias("d"),
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+    )
+    return p.unionByName(c).unionByName(e)
+
+
+def _rt_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<string> + array<struct<w,n>> round trip in ONE encoded
+    table — the tags/props fold: LIST-of-BYTE_ARRAY shredding (lengths
+    stream + flattened values, node.go:505-525 analog) and the
+    repeated-group shredding (shared lengths stream + per-field `f:`
+    streams with validity, column_buffer_repeated.go +
+    schema.go:341-430 analog) verified by one driver row."""
     df = (
         _load(spark, sf_dir, "documents")
         .select(
             "doc_id", "source",
             F.slice(F.split(F.col("text"), " "), 1, 5).alias("tags"),
+            _props_expr().alias("props"),
         )
     )
-    out = tempfile.mkdtemp(prefix="colcodec_tags_")
-    pipeline.encode_table(
-        spark, df, out, repo_col="source", salt_cols=["doc_id"],
-        sort_cols=["doc_id"], resume=False,
-    )
-    d = pipeline.decode_table(spark, out)
-    return d.select(
-        "doc_id", "source", F.concat_ws("\x1f", "tags").alias("tags_joined"),
-        F.size("tags").alias("n_tags"),
-    )
-
-
-def _props_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → a derived array<struct<w:string,n:int>> column; the
-    ONE definition shared by the round-trip query, the level-histogram
-    query, and (in spirit) their oracles — the length%3 null rule must
-    stay in lockstep across all three."""
-    return (
-        _load(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "source",
-            F.transform(
-                F.slice(F.split(F.col("text"), " "), 1, 5),
-                lambda x: F.struct(
-                    x.alias("w"),
-                    F.when(F.length(x) % 3 == 0, None)
-                    .otherwise(F.length(x)).cast("int").alias("n"),
-                ),
-            ).alias("props"),
-        )
-    )
-
-
-def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array<struct<w:string,n:int>> round trip — the repeated-group
-    shredding (one shared lengths stream + per-field flattened `f:`
-    streams with validity, column_buffer_repeated.go +
-    schema.go:341-430 analog), incl. a nullable int field. Output
-    projected to scalars (size / field-concat / null-aware sum) for a
-    portable oracle comparison."""
-    df = _props_df(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="colcodec_props_")
+    out = tempfile.mkdtemp(prefix="colcodec_lists_")
     pipeline.encode_table(
         spark, df, out, repo_col="source", salt_cols=["doc_id"],
         sort_cols=["doc_id"], resume=False,
@@ -217,6 +238,8 @@ def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = pipeline.decode_table(spark, out)
     return d.select(
         "doc_id", "source",
+        F.concat_ws("\x1f", "tags").alias("tags_joined"),
+        F.size("tags").alias("n_tags"),
         F.size("props").alias("n_elems"),
         F.concat_ws(
             "\x1f", F.transform("props", lambda s: s["w"])
@@ -228,6 +251,21 @@ def _rt_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("n_sum"),
     )
+
+
+def _text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token stats + quality + langid + fingerprint composed into one
+    narrow single-pass plan (all pure Column expressions — one scan of
+    documents) and one driver correctness row."""
+    d = text.fingerprint(
+        text.lang_id(text.quality_score(_load(spark, sf_dir, "documents")))
+    )
+    return d.select(
+        "doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "punct_ratio",
+        "stopword_ratio", "avg_token_len", "quality", "pred_lang",
+        "fp_md5", "fp_sha256", "fp_len",
+    )
+
 
 
 def _rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,13 +486,13 @@ def _parquet_interop_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parquet_interop_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAP-column interop (round 3): export a map<string,string> column
-    (with null values) as real parquet — the MAP group's two leaf
-    chunks share entry lengths; the optional value leaf carries def
-    levels 0..3 — and read it back through Spark's parquet-mr reader.
-    Projected to scalars via element_at like rt_pipeline_map so the
-    oracle is portable."""
+def _parquet_interop_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP + STRUCT interop in ONE exported parquet file (the round-3
+    map/struct queries folded): the MAP group's two leaf chunks share
+    entry lengths with the optional value leaf at def levels 0..3, and
+    the struct group carries one leaf chunk per field with def levels
+    0..2 — both read back through Spark's parquet-mr reader and hashed
+    by one driver row. Projected to scalars so the oracle is portable."""
     df = (
         _load(spark, sf_dir, "orders")
         .select(
@@ -466,33 +504,6 @@ def _parquet_interop_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("o_orderkey") % 3 == 0, None)
                 .otherwise(F.col("o_orderpriority")),
             ).alias("attrs"),
-        )
-    )
-    out = tempfile.mkdtemp(prefix="colcodec_interop_map_")
-    interop_export.export_parquet(
-        spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
-        target_chunk_bytes=256 << 10,
-    )
-    back = spark.read.parquet(out + "/*.parquet")
-    return back.select(
-        "o_orderkey", "grp",
-        F.element_at("attrs", "status").alias("status"),
-        F.element_at("attrs", "prio").alias("prio"),
-        F.size("attrs").alias("n_entries"),
-    )
-
-
-def _parquet_interop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRUCT-column interop (round 3): export a struct (with a
-    nullable field) as real parquet — a group with one leaf chunk per
-    field, field def levels 0..2 — and read it back through Spark's
-    parquet-mr reader. Projected to scalar fields like
-    rt_pipeline_struct so the oracle is portable."""
-    df = (
-        _load(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            (F.col("o_orderkey") % 10).cast("string").alias("grp"),
             F.struct(
                 F.col("o_orderstatus").alias("status"),
                 F.when(F.col("o_orderkey") % 4 == 0, None)
@@ -501,7 +512,7 @@ def _parquet_interop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("props"),
         )
     )
-    out = tempfile.mkdtemp(prefix="colcodec_interop_struct_")
+    out = tempfile.mkdtemp(prefix="colcodec_interop_cx_")
     interop_export.export_parquet(
         spark, df, out, repo_col="grp", salt_cols=["o_orderkey"],
         target_chunk_bytes=256 << 10,
@@ -509,9 +520,12 @@ def _parquet_interop_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out + "/*.parquet")
     return back.select(
         "o_orderkey", "grp",
-        F.col("props.status").alias("status"),
-        F.col("props.ckey").alias("ckey"),
-        F.col("props.price").alias("price"),
+        F.element_at("attrs", "status").alias("m_status"),
+        F.element_at("attrs", "prio").alias("m_prio"),
+        F.size("attrs").alias("n_entries"),
+        F.col("props.status").alias("s_status"),
+        F.col("props.ckey").alias("s_ckey"),
+        F.col("props.price").alias("s_price"),
     )
 
 
@@ -808,20 +822,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """≤50 entries by contract: the driver's correctness gate records
+    only the first 50 queries (VERDICT r3 #1), so redundant shapes are
+    FOLDED (part/customer/events → rt_pipeline_multi, tags/props →
+    rt_pipeline_lists, interop map/struct → parquet_interop_complex,
+    the four text queries → text_analysis_documents) rather than listed
+    individually — every operator family keeps a green row. Dropped as
+    queries (still pytest-covered): rt_pipeline_orders (orders round
+    trips via interop/datasource/compact), simhash_documents (subsumed
+    by simhash_pairs), multimodal_decode_stub (honest stub)."""
     li_flag = lambda df: df.select((F.col("l_quantity") > 25).alias("flag"))  # noqa: E731
     return {
         # ---- pipeline round trips (encode→manifest→decode), per shape ----
         "rt_pipeline_lineitem": _rt_pipeline("lineitem", ("l_shipdate",)),
-        "rt_pipeline_orders": _rt_pipeline("orders", ("o_orderdate",)),
         "rt_pipeline_documents": _rt_pipeline("documents"),
-        "rt_pipeline_events": _rt_pipeline("events", ("ts",)),
-        "rt_pipeline_part": _rt_pipeline("part"),
-        "rt_pipeline_customer": _rt_pipeline("customer"),
+        "rt_pipeline_multi": _rt_multi,
         "rt_pipeline_embeddings": _rt_embeddings,
         "rt_pipeline_nullable": _rt_nullable,
         "rt_pipeline_decimal": _rt_decimal,
-        "rt_pipeline_tags": _rt_tags,
-        "rt_pipeline_props": _rt_props,
+        "rt_pipeline_lists": _rt_lists,
         "rt_pipeline_struct": _rt_struct,
         "rt_pipeline_map": _rt_map,
         "rt_pipeline_uuid": _rt_uuid,
@@ -847,10 +866,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_rle_boolean": _codec_rt(
             "lineitem", "flag", Codec.RLE, derive=li_flag
         ),
+        # ---- parquet write-direction interop + data source ----
         "parquet_interop_orders": _parquet_interop_orders,
         "parquet_interop_embeddings": _parquet_interop_embeddings,
-        "parquet_interop_map": _parquet_interop_map,
-        "parquet_interop_struct": _parquet_interop_struct,
+        "parquet_interop_complex": _parquet_interop_complex,
         "parquet_bloom_point_orders": _parquet_bloom_point_orders,
         "datasource_read_orders": _datasource_read_orders,
         "datasource_write_orders": _datasource_write_orders,
@@ -872,28 +891,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": lambda spark, sf: dedup.minhash_dedup_pairs(
             _load(spark, sf, "documents"), "doc_id", "text", threshold=0.8
         ),
-        "simhash_documents": lambda spark, sf: dedup.simhash(
-            _load(spark, sf, "documents"), "doc_id", "text"
-        ),
         "simhash_pairs_documents": lambda spark, sf: dedup.simhash_near_pairs(
             dedup.simhash(_load(spark, sf, "documents"), "doc_id", "text"),
             max_hamming=8,
         ),
         "consecutive_dedupe_lineitem": _consecutive_dedupe,
-        # ---- text analysis ----
-        "token_stats_documents": lambda spark, sf: text.with_token_stats(
-            _load(spark, sf, "documents")
-        ).select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
-                 "punct_ratio", "stopword_ratio", "avg_token_len"),
-        "quality_documents": lambda spark, sf: text.quality_score(
-            _load(spark, sf, "documents")
-        ).select("doc_id", "quality"),
-        "langid_documents": lambda spark, sf: text.lang_id(
-            _load(spark, sf, "documents")
-        ).select("doc_id", "pred_lang"),
-        "fingerprint_documents": lambda spark, sf: text.fingerprint(
-            _load(spark, sf, "documents")
-        ).select("doc_id", "fp_md5", "fp_sha256", "fp_len"),
+        # ---- text analysis (token/quality/langid/fingerprint fold) ----
+        "text_analysis_documents": _text_analysis,
         # ---- similarity search ----
         "cosine_topk_embeddings": _cosine_topk,
         "knn_join_embeddings": _knn_join,
@@ -907,12 +911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "doc_id", "payload",
         ),
-        "multimodal_decode_stub": lambda spark, sf: multimodal.extract_media_features(
-            _load(spark, sf, "documents").select(
-                "doc_id", F.col("text").cast("binary").alias("payload")
-            ),
-            "doc_id", "payload",
-        ).select("media_id", "n_bytes", "digest", "width", "height"),
         # ---- row reshaping / merge / scan ----
         "convert_schema_orders": _convert_schema_orders,
         "merge_dedupe_orders": _merge_dedupe_orders,
@@ -968,16 +966,6 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    quality = f"""
-        WITH s AS ({token_stats})
-        SELECT doc_id, floor((
-            0.4 * least(n_tokens / 100.0, 1.0)
-          + 0.3 * alpha_ratio
-          + 0.2 * stopword_ratio
-          + 0.1 * (1 - least(digit_ratio * 5, 1.0))) * 1e6 + 0.5) / 1e6
-          AS quality
-        FROM s
-    """
 
     langid = f"""
         SELECT doc_id, CASE
@@ -1021,14 +1009,19 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "rt_pipeline_lineitem": f"SELECT {li_cols} FROM lineitem",
-        "rt_pipeline_orders": f"SELECT {o_cols} FROM orders",
         "rt_pipeline_documents": "SELECT * FROM documents",
-        "rt_pipeline_events": (
-            "SELECT event_id, strftime(ts, '{f}') AS ts, user_id, event_type, "
-            "value, props FROM events"
+        "rt_pipeline_multi": (
+            "SELECT 'part' AS tbl, p_partkey AS k, "
+            "concat_ws('|', p_name, p_brand, p_type) AS s, "
+            "CAST(p_size AS BIGINT) AS i, p_retailprice AS d, "
+            "CAST(NULL AS VARCHAR) AS ts_s FROM part "
+            "UNION ALL SELECT 'customer', c_custkey, "
+            "concat_ws('|', c_name, c_mktsegment), "
+            "CAST(c_nationkey AS BIGINT), c_acctbal, NULL FROM customer "
+            "UNION ALL SELECT 'events', event_id, "
+            "concat_ws('|', event_type, props), user_id, value, "
+            "strftime(ts, '{f}') FROM events"
         ).format(f=TS_FMT_DUCK),
-        "rt_pipeline_part": "SELECT * FROM part",
-        "rt_pipeline_customer": "SELECT * FROM customer",
         "rt_pipeline_embeddings": (
             "SELECT vec_id, label, len(embedding) AS dim, "
             "floor(list_sum(CAST(embedding AS DOUBLE[])) * 1e3 + 0.5) / 1e3 AS checksum "
@@ -1052,14 +1045,11 @@ def oracle_sql() -> dict[str, str]:
             "'000000000000000000.25' AS DECIMAL(38,2)) AS VARCHAR) "
             "AS price_big FROM orders"
         ),
-        "rt_pipeline_tags": (
+        "rt_pipeline_lists": (
             "SELECT doc_id, source, "
             "array_to_string(list_slice(string_split(text, ' '), 1, 5), "
             "chr(31)) AS tags_joined, "
-            "least(len(string_split(text, ' ')), 5) AS n_tags FROM documents"
-        ),
-        "rt_pipeline_props": (
-            "SELECT doc_id, source, "
+            "least(len(string_split(text, ' ')), 5) AS n_tags, "
             "least(len(string_split(text, ' ')), 5) AS n_elems, "
             "array_to_string(list_slice(string_split(text, ' '), 1, 5), "
             "chr(31)) AS ws_joined, "
@@ -1120,17 +1110,14 @@ def oracle_sql() -> dict[str, str]:
             "floor(list_sum(CAST(embedding AS DOUBLE[])) * 1e3 + 0.5) / 1e3 AS checksum "
             "FROM embeddings"
         ),
-        "parquet_interop_map": (
+        "parquet_interop_complex": (
             "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
-            "o_orderstatus AS status, "
+            "o_orderstatus AS m_status, "
             "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority "
-            "END AS prio, 2 AS n_entries FROM orders"
-        ),
-        "parquet_interop_struct": (
-            "SELECT o_orderkey, CAST(o_orderkey % 10 AS VARCHAR) AS grp, "
-            "o_orderstatus AS status, "
+            "END AS m_prio, 2 AS n_entries, "
+            "o_orderstatus AS s_status, "
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
-            "END AS ckey, o_totalprice AS price FROM orders"
+            "END AS s_ckey, o_totalprice AS s_price FROM orders"
         ),
         "datasource_write_orders": f"SELECT {o_cols} FROM orders",
         "datasource_read_orders": (
@@ -1192,13 +1179,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON id_b = sb.id "
             "WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.8"
         ),
-        "token_stats_documents": token_stats,
-        "quality_documents": quality,
-        "langid_documents": langid,
-        "fingerprint_documents": (
-            "SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256, "
-            "length(text) AS fp_len FROM documents"
-        ),
+        "text_analysis_documents": f"""
+            WITH s AS ({token_stats})
+            SELECT s.doc_id, n_tokens, alpha_ratio, digit_ratio,
+              punct_ratio, stopword_ratio, avg_token_len,
+              floor((
+                  0.4 * least(n_tokens / 100.0, 1.0)
+                + 0.3 * alpha_ratio
+                + 0.2 * stopword_ratio
+                + 0.1 * (1 - least(digit_ratio * 5, 1.0))) * 1e6 + 0.5)
+                / 1e6 AS quality,
+              l.pred_lang, f.fp_md5, f.fp_sha256, f.fp_len
+            FROM s
+            JOIN ({langid}) l ON s.doc_id = l.doc_id
+            JOIN (SELECT doc_id, md5(text) AS fp_md5,
+                         sha256(text) AS fp_sha256,
+                         length(text) AS fp_len FROM documents) f
+              ON s.doc_id = f.doc_id
+        """,
         "cosine_topk_embeddings": cosine_topk,
         "knn_join_embeddings": knn_join,
         "multimodal_meta_documents": (

@@ -32,7 +32,7 @@ ENCODE_ONLY = os.environ.get("BENCH_ENCODE_ONLY", "") == "1"
 # sf0.01 correctness path, not a 100 TB operator).
 BENCH_QUERIES = [
     "rt_pipeline_lineitem",
-    "rt_pipeline_events",
+    "rt_pipeline_multi",
     "rt_fsst_text",
     "rt_delta_bp_orderkey",
     "rt_bss_price",
@@ -41,11 +41,8 @@ BENCH_QUERIES = [
     "parquet_interop_orders",
     "dedup_exact_documents",
     "minhash_pairs_documents",
-    "simhash_documents",
-    "token_stats_documents",
-    "quality_documents",
-    "langid_documents",
-    "fingerprint_documents",
+    "simhash_pairs_documents",
+    "text_analysis_documents",
     "cosine_topk_embeddings",
     "knn_join_embeddings",
     "lsh_ann_embeddings",

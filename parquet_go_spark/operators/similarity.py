@@ -248,12 +248,100 @@ def _cell_scores(vec: Column, vec_norm: Column,
     ])
 
 
+# Above this many plan literals (n_cells × dim doubles) the literal
+# array_max expression stops being "a narrow codegen'd map" and becomes
+# a codegen bomb (tens of MB of constants at IVF-realistic nlist) — the
+# assignment switches to a broadcast numpy centroid matrix + mapInArrow
+# argmax kernel. The literal path stays the default for the small,
+# SQL-checkable case (bit-equal to the DuckDB oracle).
+_LITERAL_CELL_LIMIT = 4096
+
+
+def _ivf_assign_kernel(df: DataFrame, vec_col: str, id_col: str,
+                       cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Scale path for centroid assignment: the k×dim centroid matrix is
+    a Spark BROADCAST (one copy per executor, not per plan node) and
+    each Arrow batch computes argmax(V @ Cᵀ / |v||c|) in numpy — a
+    narrow map, no shuffle, plan size O(1) in n_cells. Ties and
+    degenerate vectors match the literal path: centroids sorted by cell
+    id so numpy's first-max argmax picks the smallest cell id; zero/NaN
+    rows and zero-norm centroids score -inf. (Float summation is
+    numpy-pairwise here vs sequential in the literal path — same
+    ranking in practice, but the bit-exact-vs-oracle claim is only made
+    for the literal path.)"""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    order = np.argsort(cell_ids, kind="stable")
+    cmat = np.array([cv for _, cv in cents], dtype=np.float64)[order]
+    cell_ids = cell_ids[order]
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    ok = (cn > 0) & np.isfinite(cn)
+    cmat = np.where(ok[:, None], cmat / np.where(ok, cn, 1.0)[:, None], 0.0)
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((cell_ids, cmat, ok))
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out_schema = StructType([
+        StructField("id", base.schema["id"].dataType),
+        StructField("v", base.schema["v"].dataType),
+        StructField("cell_id", LongType()),
+    ])
+
+    def assign(batches):
+        import pyarrow as pa
+
+        cids, cm, cok = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = b.column(1)
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            mat = np.asarray(flat, dtype=np.float64).reshape(
+                b.num_rows, -1)
+            vn = np.sqrt((mat * mat).sum(axis=1))
+            s = mat @ cm.T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s /= vn[:, None]
+            s[:, ~cok] = -np.inf          # degenerate centroids never win
+            np.nan_to_num(s, copy=False, nan=-np.inf,
+                          posinf=-np.inf, neginf=-np.inf)
+            bad = (vn == 0.0) | ~np.isfinite(vn)
+            if bad.any():
+                s[bad, :] = -np.inf       # degenerate rows: all ties →
+            best = s.argmax(axis=1)       # first max = smallest cell id
+            yield pa.record_batch(
+                [b.column(0), v, pa.array(cids[best], pa.int64())],
+                schema=pa.schema([
+                    b.schema.field(0), b.schema.field(1),
+                    pa.field("cell_id", pa.int64()),
+                ]),
+            )
+
+    return base.mapInArrow(assign, out_schema)
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
-               cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Assign every vector to its nearest centroid — entirely JVM-side
-    column expressions (no explode, no shuffle, no Python): the centroid
-    list is compiled into one array_max over n_cells struct literals, so
-    assignment is a narrow map over the scan at any corpus size."""
+               cents: list[tuple[int, list[float]]], *,
+               use_kernel: bool | None = None) -> DataFrame:
+    """Assign every vector to its nearest centroid.
+
+    Small centroid sets (n_cells × dim ≤ _LITERAL_CELL_LIMIT) compile
+    into one array_max over struct literals — entirely JVM-side, no
+    Python, bit-equal to the SQL oracle. Larger sets switch to the
+    broadcast-matrix mapInArrow kernel (_ivf_assign_kernel): at IVF
+    scale (nlist ≈ √N ≈ 30k cells, dim ≥ 256) plan-literal centroids
+    are tens of MB of constants per expression and a guaranteed codegen
+    fallback. Both paths are a narrow map over the scan — no shuffle,
+    no explode."""
+    if use_kernel is None:
+        use_kernel = bool(cents) and (
+            len(cents) * len(cents[0][1]) > _LITERAL_CELL_LIMIT)
+    if use_kernel:
+        return _ivf_assign_kernel(df, vec_col, id_col, cents)
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("__vn"),
@@ -393,29 +481,101 @@ def ivf_train(
     for cell quality (seeded smallest-id centroids remain the
     SQL-checkable default; pass the result as ivf_ann_topk(cents=...)).
 
-    Per iteration: one narrow argmax assignment over the corpus (the
-    same codegen'd array_max as ivf_assign — no explode) and one
-    groupBy(cell) aggregation whose shuffle payload is k×(dim+1) partial
-    sums per task (metadata scale at any corpus size); the centroid
-    update itself is k×dim doubles on the driver. Cells that lose all
-    members keep their previous centroid. Lloyd's never increases
-    within-cell distortion, but distributed float summation is not
-    bit-deterministic across cluster layouts — determinism-critical
-    paths (manifest resume) must use the seeded centroids."""
+    Per iteration: ONE narrow mapInArrow pass fuses the broadcast-matrix
+    argmax assignment with per-task accumulation, emitting at most
+    k×(dim+1) partial sums per task; the only shuffle is those partials
+    into a groupBy(cell_id) element-wise array sum, and the centroid
+    update itself is k×dim doubles on the driver — metadata scale at
+    any corpus size AND any dim (no dim-wide agg expression list, which
+    was codegen-hostile at dim ≥ 768). Cells that lose all members keep
+    their previous centroid. Lloyd's never increases within-cell
+    distortion, but distributed float summation is not bit-deterministic
+    across cluster layouts — determinism-critical paths (manifest
+    resume) must use the seeded centroids."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
     if cents is None:
         cents = ivf_centroids(df, vec_col, id_col, n_cells)
     if not cents:
         return cents
     dim = len(cents[0][1])
+    sc = df.sparkSession.sparkContext
+    partial_schema = StructType([
+        StructField("cell_id", LongType()),
+        StructField("n", LongType()),
+        StructField("sums", ArrayType(DoubleType())),
+    ])
     for _ in range(iters):
-        assigned = ivf_assign(df, vec_col, id_col, cents)
-        rows = assigned.groupBy("cell_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at(F.col("v"), i + 1).cast("double"))
-              .alias(f"s{i}") for i in range(dim)],
+        cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        order = np.argsort(cell_ids, kind="stable")
+        cmat = np.array([cv for _, cv in cents], dtype=np.float64)[order]
+        cell_ids = cell_ids[order]
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        ok = (cn > 0) & np.isfinite(cn)
+        cnorm = np.where(ok[:, None], cmat / np.where(ok, cn, 1.0)[:, None],
+                         0.0)
+        bc = sc.broadcast((cell_ids, cnorm, ok))
+
+        def partials(batches):
+            """Per-TASK partial sums: assignment argmax fused with the
+            accumulation, one k×(dim+1) emission per task — the shuffle
+            payload is metadata-scale at any corpus size."""
+            import pyarrow as pa
+
+            cids, cm, cok = bc.value
+            k = len(cids)
+            acc = np.zeros((k, cm.shape[1]), dtype=np.float64)
+            cnt = np.zeros(k, dtype=np.int64)
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+                mat = np.asarray(flat, dtype=np.float64).reshape(
+                    b.num_rows, -1)
+                vn = np.sqrt((mat * mat).sum(axis=1))
+                s = mat @ cm.T
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s /= vn[:, None]
+                s[:, ~cok] = -np.inf
+                np.nan_to_num(s, copy=False, nan=-np.inf,
+                              posinf=-np.inf, neginf=-np.inf)
+                bad = (vn == 0.0) | ~np.isfinite(vn)
+                if bad.any():
+                    s[bad, :] = -np.inf
+                best = s.argmax(axis=1)
+                np.add.at(acc, best, np.nan_to_num(mat, nan=0.0))
+                np.add.at(cnt, best, 1)
+            hit = np.flatnonzero(cnt)
+            if len(hit):
+                yield pa.record_batch(
+                    [pa.array(cids[hit], pa.int64()),
+                     pa.array(cnt[hit], pa.int64()),
+                     pa.array(list(acc[hit]),
+                              pa.list_(pa.float64()))],
+                    schema=pa.schema([
+                        pa.field("cell_id", pa.int64()),
+                        pa.field("n", pa.int64()),
+                        pa.field("sums", pa.list_(pa.float64())),
+                    ]),
+                )
+
+        part = df.select(F.col(vec_col).alias("v")).mapInArrow(
+            partials, partial_schema)
+        # one shuffle of ≤ k rows per task; element-wise array sum keeps
+        # the combined payload k×(dim+1) regardless of cluster size
+        rows = part.groupBy("cell_id").agg(
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.collect_list("sums"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+            ).alias("sums"),
         ).collect()
         means = {
-            int(r["cell_id"]): [r[f"s{i}"] / r["n"] for i in range(dim)]
+            int(r["cell_id"]): [s / r["n"] for s in r["sums"]]
             for r in rows if r["n"] > 0
         }
         cents = [(cid, means.get(cid, cv)) for cid, cv in cents]

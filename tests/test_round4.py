@@ -112,3 +112,77 @@ def test_push_filters_assigns_eagerly():
     # NOT consumed — yet the translation must already be in place
     assert r._filters == [("k", "eq", 7)]
     assert [type(f).__name__ for f in out] == ["EqualTo"]
+
+
+# ------------------------------------------------- VERDICT #2: IVF at scale
+def test_ivf_kernel_matches_literal_assignment(spark):
+    """The broadcast-matrix mapInArrow kernel must assign every vector
+    to the same cell as the literal array_max path (incl. degenerate
+    rows and zero-norm centroids)."""
+    import numpy as np
+
+    from parquet_go_spark.operators import similarity
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    rows += [(900, [0.0] * 8), (901, [float("nan")] + [1.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.ivf_centroids(df, "embedding", "vec_id", 6)
+    cents[2] = (cents[2][0], [0.0] * 8)  # zero-norm centroid never wins
+    lit = {r["id"]: r["cell_id"] for r in similarity.ivf_assign(
+        df, "embedding", "vec_id", cents, use_kernel=False).collect()}
+    ker = {r["id"]: r["cell_id"] for r in similarity.ivf_assign(
+        df, "embedding", "vec_id", cents, use_kernel=True).collect()}
+    assert lit == ker
+
+
+def test_ivf_kernel_engages_at_scale_with_bounded_plan(spark):
+    """n_cells=4096 × dim=256: the plan must be O(1) in the centroid
+    count (broadcast + ArrowEval, no million-literal expression and no
+    codegen fallback risk), and assignment must still be narrow."""
+    import numpy as np
+
+    from parquet_go_spark.operators import similarity
+
+    rng = np.random.default_rng(23)
+    cents = [(i, [float(x) for x in rng.normal(size=256)])
+             for i in range(4096)]
+    rows = [(i, [float(x) for x in rng.normal(size=256)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.ivf_assign(df, "embedding", "vec_id", cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert len(plan) < 100_000  # 4096×256 literals would be tens of MB
+    got = out.collect()
+    assert len(got) == 50
+    # argmax parity with numpy on a spot row
+    cm = np.array([c for _, c in cents])
+    cm = cm / np.sqrt((cm * cm).sum(axis=1))[:, None]
+    v = np.array(rows[0][1])
+    exp_cell = int(np.argmax(cm @ (v / np.sqrt((v * v).sum()))))
+    assert {r["id"]: r["cell_id"] for r in got}[0] == exp_cell
+
+
+def test_ivf_train_partial_sums_any_dim(spark):
+    """ivf_train's per-iteration plan must not grow with dim (partial-sum
+    kernel, not dim agg expressions) and must still converge on blobs."""
+    import numpy as np
+
+    from parquet_go_spark.operators import similarity
+
+    rng = np.random.default_rng(31)
+    dim = 96
+    blobs = []
+    for b in range(3):
+        center = rng.normal(size=dim) * 5
+        for i in range(15):
+            blobs.append((b * 15 + i,
+                          [float(v) for v in center + rng.normal(0, .2, dim)]))
+    df = spark.createDataFrame(blobs, "vec_id bigint, embedding array<double>")
+    trained = similarity.ivf_train(df, "embedding", "vec_id",
+                                   n_cells=3, iters=2)
+    assigned = similarity.ivf_assign(df, "embedding", "vec_id", trained,
+                                     use_kernel=False)
+    cells = {r["id"]: r["cell_id"] for r in assigned.collect()}
+    for b in range(3):
+        assert len({cells[b * 15 + i] for i in range(15)}) == 1
