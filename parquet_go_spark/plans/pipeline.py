@@ -186,6 +186,26 @@ def _decimal_info(spark_type: str) -> tuple[int, int] | None:
     return int(p), int(s)
 
 
+def _unscaled(value, scale: int) -> int | None:
+    """Probe literal → the decimal column's UNSCALED integer, or None
+    when no exact representation exists (more fractional digits than the
+    scale — rounding would compare the WRONG value and mis-prune). Runs
+    under a widened decimal context: the default 28-digit precision
+    silently rounds decimal(38,*) probes."""
+    import decimal
+    from decimal import Decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        try:
+            scaled = Decimal(str(value)).scaleb(scale)
+        except decimal.InvalidOperation:
+            return None
+        if scaled != scaled.to_integral_value():
+            return None
+        return int(scaled)
+
+
 def _decimal_kind(precision: int) -> int:
     """DECIMAL physical mapping by precision — the reference's
     type_decimal.go:18 rule: unscaled INT32 for p≤9, INT64 for p≤18,
@@ -1429,9 +1449,12 @@ def bloom_point_decode(
             [value.encode() if isinstance(value, str) else value]
         )
     elif dp is not None:
-        from decimal import Decimal
-
-        unscaled = int(Decimal(str(value)).scaleb(dp[1]).to_integral_value())
+        unscaled = _unscaled(value, dp[1])
+        if unscaled is None:
+            raise ValueError(
+                f"bloom_point_decode: {value!r} has no exact "
+                f"representation at {spark_type} — no stored value can "
+                "equal it")
         if dp[0] <= 9:
             probe_vals = np.array([unscaled], dtype=np.int32)
         elif dp[0] <= 18:
@@ -1509,10 +1532,12 @@ def _probe_expr(spark_type: str, value):
         return F.lit(int(value)).cast("bigint")
     dp = _decimal_info(spark_type)
     if dp is not None:
-        # stats hold UNSCALED ints; scale the user's probe to match
-        from decimal import Decimal
-
-        unscaled = int(Decimal(str(value)).scaleb(dp[1]).to_integral_value())
+        # stats hold UNSCALED ints; scale the user's probe to match.
+        # Inexact literals (more fractional digits than the scale) have
+        # no unscaled representation → None = unbounded, never prune.
+        unscaled = _unscaled(value, dp[1])
+        if unscaled is None:
+            return None
         return F.lit(str(unscaled)).cast("decimal(38,0)")
     return F.lit(value).cast("double")
 
@@ -1538,13 +1563,15 @@ def pruned_decode(
     # NULL bounds mean "unbounded", never "prunable": _truncate_max
     # returns None for an all-0xFF prefix, and boolean/empty chunks
     # record no stats at all — such chunks must always be kept.
+    p_lo = _probe_expr(spark_type, lo)  # None = not comparable, keep
+    p_hi = _probe_expr(spark_type, hi)
     keep_lo = (
-        F.lit(True) if lo is None
-        else (F.col("max_val").isNull() | (mx >= _probe_expr(spark_type, lo)))
+        F.lit(True) if p_lo is None
+        else (F.col("max_val").isNull() | (mx >= p_lo))
     )
     keep_hi = (
-        F.lit(True) if hi is None
-        else (F.col("min_val").isNull() | (mn <= _probe_expr(spark_type, hi)))
+        F.lit(True) if p_hi is None
+        else (F.col("min_val").isNull() | (mn <= p_hi))
     )
     chunk_ids = m.where(keep_lo & keep_hi).select("chunk_id").distinct()
 

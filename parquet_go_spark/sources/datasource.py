@@ -83,12 +83,14 @@ def _stat_key(spark_type: str, stat: str):
         if spark_type in ("int", "bigint", "timestamp", "timestamp_ntz",
                           "date"):
             return int(stat)
+        if spark_type.startswith("decimal("):
+            return int(stat)  # manifest stores the UNSCALED integer
         if spark_type in ("float", "double"):
             f = float(stat)
             return None if math.isnan(f) else f
     except (ValueError, TypeError):
         return None
-    return None  # decimals/containers: no task-side pruning, keep
+    return None  # containers: no task-side pruning, keep
 
 
 def _probe_key(spark_type: str, value):
@@ -137,6 +139,17 @@ def _probe_key(spark_type: str, value):
             if isinstance(value, bool) or not isinstance(value, int):
                 return None
             return int(value)
+        if spark_type.startswith("decimal("):
+            # scale the literal into the manifest's UNSCALED-int space
+            # (mirrors pipeline._probe_expr); inexact literals → None =
+            # keep the chunk (rounding would mis-prune range predicates)
+            from parquet_go_spark.plans.pipeline import (_decimal_info,
+                                                         _unscaled)
+
+            dp = _decimal_info(spark_type)
+            if dp is None:
+                return None
+            return _unscaled(value, dp[1])
         if spark_type in ("float", "double"):
             f = float(value)
             return None if math.isnan(f) else f
@@ -184,6 +197,30 @@ def _chunk_survives(filters, col_types, stats, blooms) -> bool:
                 if spark_type in ("string", "binary"):
                     vals = ByteArrays.from_pylist(alive)
                     kind = Kind.BYTE_ARRAY
+                elif spark_type.startswith("decimal("):
+                    from parquet_go_spark.plans import pipeline
+
+                    # probe in the column's PHYSICAL decimal space
+                    # (unscaled int32/int64, or the FLBA(16) int128
+                    # little-endian words — same layout the bloom was
+                    # built from, pipeline._col_kind/_decimal_to_values)
+                    kind = pipeline._col_kind(spark_type)
+                    dp = pipeline._decimal_info(spark_type)
+                    if dp[0] <= 18:
+                        np_dt = np.int32 if dp[0] <= 9 else np.int64
+                        try:
+                            vals = np.array(alive, dtype=np_dt)
+                        except OverflowError:
+                            continue
+                        if any(int(v) != int(a)
+                               for v, a in zip(vals, alive)):
+                            continue  # wrap = silent false negative
+                    else:
+                        mask64 = (1 << 64) - 1
+                        words = np.array(
+                            [[v & mask64, (v >> 64) & mask64]
+                             for v in alive], dtype=np.uint64)
+                        vals = words.view(np.uint8).reshape(len(alive), 16)
                 else:
                     from parquet_go_spark.plans import pipeline
 

@@ -186,3 +186,70 @@ def test_ivf_train_partial_sums_any_dim(spark):
     cells = {r["id"]: r["cell_id"] for r in assigned.collect()}
     for b in range(3):
         assert len({cells[b * 15 + i] for i in range(15)}) == 1
+
+
+# ----------------------------------------- VERDICT #5: decimal stat pruning
+def test_decimal_probe_and_stat_keys():
+    from decimal import Decimal
+
+    from parquet_go_spark.sources.datasource import _probe_key, _stat_key
+
+    assert _stat_key("decimal(12,2)", "725") == 725
+    assert _probe_key("decimal(12,2)", Decimal("7.25")) == 725
+    assert _probe_key("decimal(12,2)", 7) == 700
+    # more fractional digits than the scale: no exact representation —
+    # rounding would mis-prune range predicates, so keep (None)
+    assert _probe_key("decimal(12,2)", Decimal("7.251")) is None
+    assert _probe_key("decimal(38,2)", Decimal("1" * 30 + ".25")) \
+        == int("1" * 30 + "25")
+
+
+def test_decimal_chunk_survives_prunes_and_keeps():
+    from decimal import Decimal
+
+    from parquet_go_spark.sources.datasource import _chunk_survives
+
+    types = {"price": "decimal(12,2)"}
+    stats = {"price": ("100", "999")}  # unscaled: 1.00 .. 9.99
+    f_in = [("price", "eq", Decimal("5.00"))]
+    f_out = [("price", "gt", Decimal("10.00"))]
+    assert _chunk_survives(f_in, types, stats, {})
+    assert not _chunk_survives(f_out, types, stats, {})
+    assert not _chunk_survives(
+        [("price", "lt", Decimal("1.00"))], types, stats, {})
+    # inexact literal: never prune
+    assert _chunk_survives(
+        [("price", "eq", Decimal("5.001"))], types, stats, {})
+
+
+def test_decimal_pushdown_end_to_end(spark, tmp_path):
+    """Decimal predicates over the data source: pruning engages (chunks
+    whose unscaled bounds refute the filter are skipped) with results
+    identical to the source — incl. a decimal(38,2) FLBA(16) column."""
+    from decimal import Decimal
+
+    datasource.register(spark)
+    d = str(tmp_path / "decstore")
+    src = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(2000)], "k bigint, grp string"
+    ).select(
+        "k", "grp",
+        (F.col("k") / 4).cast("decimal(12,2)").alias("price"),
+        (F.concat(F.col("k").cast("string"),
+                  F.lit("00000000000000000.25"))
+         .cast("decimal(38,2)")).alias("big"),
+    )
+    pipeline.encode_table(spark, src, d, repo_col="grp", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    df = spark.read.format("colcodec").load(d)
+    cases = [
+        F.col("price") == F.lit(Decimal("7.25")).cast("decimal(12,2)"),
+        F.col("price") > F.lit(Decimal("490.00")).cast("decimal(12,2)"),
+        F.col("price") <= F.lit(Decimal("1.50")).cast("decimal(12,2)"),
+        F.col("big") == F.lit(Decimal("700000000000000000.25"))
+        .cast("decimal(38,2)"),
+    ]
+    for cond in cases:
+        got = sorted(map(str, df.where(cond).collect()))
+        exp = sorted(map(str, src.where(cond).collect()))
+        assert got == exp and got, str(cond)
