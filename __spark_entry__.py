@@ -486,6 +486,69 @@ def _parquet_interop_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT shredding round trip (type_variant.go:27 +
+    variant_shredded_write.go/read.go slice): flat JSON built from
+    orders shreds into struct<metadata, value, typed_value{a,b}> — a,b
+    typed; c,d variant-binary residual (d absent on every third row) —
+    encodes through the pipeline's struct stream grammar, decodes, and
+    reconstructs the JSON; the oracle recomputes each extracted field
+    from the raw table."""
+    from parquet_go_spark.operators import variant as vops
+
+    ok = F.col("o_orderkey")
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (ok % 10).cast("string").alias("grp"),
+            F.to_json(F.struct(
+                F.col("o_custkey").alias("a"),
+                F.col("o_orderstatus").alias("b"),
+                (ok % 97).alias("c"),
+                F.when(ok % 3 == 0, None)
+                .otherwise(F.col("o_orderpriority")).alias("d"),
+            )).alias("js"),
+        )
+    )
+    sh = vops.shred_json(df, "js", [("a", "bigint"), ("b", "string")])
+    out = tempfile.mkdtemp(prefix="colcodec_variant_")
+    pipeline.encode_table(
+        spark, sh, out, repo_col="grp", salt_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], resume=False,
+    )
+    d = pipeline.decode_table(spark, out)
+    un = vops.unshred_json(d, "var")
+    js = F.col("json")
+    return un.select(
+        "o_orderkey",
+        F.get_json_object(js, "$.a").alias("a"),
+        F.get_json_object(js, "$.b").alias("b"),
+        F.get_json_object(js, "$.c").alias("c"),
+        F.get_json_object(js, "$.d").alias("d"),
+    )
+
+
+def _parquet_read_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-direction parquet (OpenFile analog, file.go:65-130): export
+    orders with OUR writer, then decode the files back through OUR
+    pqreader kernels — distributed, one file per input slice — and
+    compare against the source table via the oracle."""
+    from parquet_go_spark.interop import pqreader
+
+    df = _load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="colcodec_pqread_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="o_orderstatus",
+        salt_cols=["o_orderkey"], target_chunk_bytes=1 << 20,
+    )
+    back = pqreader.spark_read(spark, out).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    return _fmt_ts(back, "o_orderdate")
+
+
 def _parquet_interop_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP + STRUCT interop in ONE exported parquet file (the round-3
     map/struct queries folded): the MAP group's two leaf chunks share
@@ -845,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pipeline_map": _rt_map,
         "rt_pipeline_uuid": _rt_uuid,
         "rt_pipeline_nested": _rt_nested,
+        "rt_pipeline_variant": _rt_variant,
         # ---- forced-codec round trips (E1..E10) ----
         "rt_plain_part_name": _codec_rt("part", "p_name", Codec.PLAIN),
         "rt_rle_dict_returnflag": _codec_rt(
@@ -870,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_orders": _parquet_interop_orders,
         "parquet_interop_embeddings": _parquet_interop_embeddings,
         "parquet_interop_complex": _parquet_interop_complex,
+        "parquet_read_golden": _parquet_read_golden,
         "parquet_bloom_point_orders": _parquet_bloom_point_orders,
         "datasource_read_orders": _datasource_read_orders,
         "datasource_write_orders": _datasource_write_orders,
@@ -1088,6 +1153,12 @@ def oracle_sql() -> dict[str, str]:
             "o_orderpriority || ',' || o_orderstatus AS p_joined, "
             "0 AS e_n FROM orders"
         ),
+        "rt_pipeline_variant": (
+            "SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS a, "
+            "o_orderstatus AS b, CAST(o_orderkey % 97 AS VARCHAR) AS c, "
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority "
+            "END AS d FROM orders"
+        ),
         "rt_plain_part_name": "SELECT p_name FROM part",
         "rt_rle_dict_returnflag": "SELECT l_returnflag FROM lineitem",
         "rt_delta_bp_orderkey": "SELECT o_orderkey FROM orders",
@@ -1119,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
             "END AS s_ckey, o_totalprice AS s_price FROM orders"
         ),
+        "parquet_read_golden": f"SELECT {o_cols} FROM orders",
         "datasource_write_orders": f"SELECT {o_cols} FROM orders",
         "datasource_read_orders": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
