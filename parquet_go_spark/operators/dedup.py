@@ -199,43 +199,37 @@ def minhash_dedup_pairs(
         .where((agree / num_perm) >= est_cut)
         .select("id_a", "id_b")
     ).persist()
-    # exact verify touches ONLY candidate documents: the n-gram explode
-    # is a ~30x data blowup, and at corpus scale candidates are a tiny
-    # fraction of documents — semi-join them out BEFORE exploding so the
-    # verify stage's input is proportional to the candidate set, not the
-    # corpus (exploding all docs here would re-read the whole table twice)
+    # exact verify touches ONLY candidate documents, and never explodes:
+    # char_ngrams is already the DISTINCT gram set as one array per doc,
+    # so intersection size is a JVM-side array_intersect over two arrays
+    # brought together by the pair join — the old shape exploded ~30x
+    # gram rows per candidate doc and shuffled them through a gram-equi
+    # join + groupBy; this one shuffles each candidate doc's single
+    # gram-array row once per pair side (round-4 VERDICT #7: verify cost
+    # was the dominant bench item). Semi-join candidates out BEFORE
+    # materializing gram arrays so the stage's input stays proportional
+    # to the candidate set, not the corpus.
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    docs_v = df.join(
+    gsets = df.join(
         cand_ids, df[id_col] == cand_ids["id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("gs")
     )
-    grams = docs_v.select(
-        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
-    )
-    sizes = docs_v.select(
-        F.col(id_col).alias("id"),
-        F.size(char_ngrams(text_col, n)).alias("sz"),
-    )
-    ga = grams.alias("ga")
-    gb = grams.alias("gb")
-    inter = (
-        cands.join(ga, F.col("id_a") == F.col("ga.id"))
-        .join(gb, (F.col("id_b") == F.col("gb.id")) & (F.col("ga.g") == F.col("gb.g")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # sizes is per-document — never broadcast it (see ngram_jaccard_pairs)
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # gsets is per-document — never broadcast it (see ngram_jaccard_pairs)
+    ga = gsets.alias("ga")
+    gb = gsets.alias("gb")
+    inter = F.size(F.array_intersect(F.col("ga.gs"), F.col("gb.gs")))
+    union_sz = (F.size(F.col("ga.gs")) + F.size(F.col("gb.gs")) - inter)
     out = (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
+        cands.join(ga, F.col("id_a") == F.col("ga.id"))
+        .join(gb, F.col("id_b") == F.col("gb.id"))
         .select(
             "id_a", "id_b",
-            round_portable(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6).alias("jaccard"),
+            round_portable(inter / union_sz, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -486,3 +486,67 @@ def test_pqreader_spark_read_distributed(spark, tmp_path):
                            salt_cols=["k"], target_chunk_bytes=32 << 10)
     back = pqreader.spark_read(spark, d)
     assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+
+
+# ------------------------------------- VERDICT #8: data-source plan pinning
+def test_datasource_read_pruning_shape(spark, tmp_path, monkeypatch):
+    """Pin the task-side pruning shape of ColcodecReader.read(): the
+    pre-scan touches ONLY metadata columns (never the blob bytes), the
+    surviving-chunk decode uses a row-level chunk_id dataset filter, and
+    a refuted-everywhere filter decodes nothing at all."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.sources.datasource import ColcodecReader, EqualTo
+
+    d = str(tmp_path / "pinstore")
+    src = spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i)) for i in range(2000)],
+        "k bigint, grp string, x double")
+    pipeline.encode_table(spark, src, d, repo_col="grp", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    cols = pipeline._read_schema_sidecar(d)
+
+    calls = []
+    real_read = pq.read_table
+
+    def spy(path, *a, **kw):
+        calls.append(kw)
+        return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+
+    r = ColcodecReader(d, cols)
+    r.pushFilters([EqualTo(("k",), 7)])
+    parts = r.partitions()
+    rows = [row for p in parts for b in (r.read(p) or []) for row in [b]]
+    # 1) the FIRST read per file is metadata-only: no blob column
+    meta_calls = [c for c in calls if c.get("columns")]
+    assert meta_calls and all("blob" not in c["columns"]
+                              for c in meta_calls)
+    # 2) surviving chunks decode through a row-level chunk_id filter —
+    #    and the survivors are a PROPER subset of the store's chunks
+    data_calls = [c for c in calls
+                  if c.get("filters") and
+                  any(f[0] == "chunk_id" for f in c["filters"])]
+    assert data_calls
+    kept = {cid for c in data_calls
+            for f in c["filters"] if f[0] == "chunk_id"
+            for cid in f[2]}
+    all_chunks = set(
+        pipeline.manifest(spark, d).select("chunk_id").distinct()
+        .toPandas()["chunk_id"])
+    assert kept and kept < all_chunks
+    # 3) decoded output still contains the match (Spark re-filters later)
+    import pyarrow as pa
+    got = pa.Table.from_batches(
+        [b for p in r.partitions() for b in (r.read(p) or [])])
+    assert 7 in set(got.column("k").to_pylist())
+
+    # 4) refuted everywhere: nothing decodes — no chunk_id'd data read
+    calls.clear()
+    r2 = ColcodecReader(d, cols)
+    r2.pushFilters([EqualTo(("k",), -10**9)])
+    out = [b for p in r2.partitions() for b in (r2.read(p) or [])]
+    assert out == []
+    assert not [c for c in calls if c.get("filters") and
+                any(f[0] == "chunk_id" for f in c["filters"])]
