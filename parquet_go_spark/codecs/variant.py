@@ -363,11 +363,14 @@ def _rec_shred(names, value_bytes, typed):
                 out.setdefault(k, v)
         return out
     if isinstance(typed, list):  # shredded ARRAY: element groups
-        return [
-            _rec_shred(names, (e or {}).get("value"),
-                       (e or {}).get("typed_value"))
-            for e in typed
-        ]
+        out = []
+        for e in typed:
+            ev = _rec_shred(names, (e or {}).get("value"),
+                            (e or {}).get("typed_value"))
+            # a null/empty element group has no value to carry — map to
+            # variant null rather than leaking the _MISSING sentinel
+            out.append(None if ev is _MISSING else ev)
+        return out
     if typed is not None:
         return typed
     if value_bytes is not None:

@@ -40,8 +40,12 @@ from parquet_go_spark.codecs.bytearrays import ByteArrays
 from parquet_go_spark.codecs.kinds import Codec, Kind
 from parquet_go_spark.interop.thriftc import read_struct
 
+# codec 5 (legacy LZ4) is deliberately ABSENT: it is ambiguous in the
+# wild (Hadoop block framing vs LZ4 frame) and pa.Codec("lz4") only
+# decodes the frame flavor — a wrong guess corrupts data, so reject
+# with a clear error instead. LZ4_RAW (7) is well-defined and supported.
 _CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
-                5: "lz4", 6: "zstd", 7: "lz4_raw"}
+                6: "zstd", 7: "lz4_raw"}
 
 # thrift ConvertedType codes used here
 _CT_UTF8, _CT_MAP, _CT_MAP_KV, _CT_LIST, _CT_DECIMAL = 0, 1, 2, 3, 5
@@ -306,19 +310,26 @@ def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
             ph = hdr[5]
             nv, enc = ph[1], ph[2]
             def_enc, rep_enc = ph.get(3, Codec.RLE), ph.get(4, Codec.RLE)
+            # v1 level sections: RLE streams carry a 4-byte LE length
+            # prefix; legacy BIT_PACKED streams have NO prefix — their
+            # size is exactly ceil(nv * width / 8)
+            def _v1_levels(buf, off, max_level, enc):
+                if enc == Codec.BIT_PACKED:
+                    ln = (nv * _level_width(max_level) + 7) // 8
+                    return (_decode_level_stream(
+                        buf[off:off + ln], nv, max_level, enc), off + ln)
+                ln = int.from_bytes(buf[off:off + 4], "little")
+                return (_decode_level_stream(
+                    buf[off + 4:off + 4 + ln], nv, max_level, enc),
+                    off + 4 + ln)
+
             off = 0
             reps = np.zeros(nv, dtype=np.int64)
             if max_rep > 0:
-                ln = int.from_bytes(raw[off:off + 4], "little")
-                reps = _decode_level_stream(
-                    raw[off + 4:off + 4 + ln], nv, max_rep, rep_enc)
-                off += 4 + ln
+                reps, off = _v1_levels(raw, off, max_rep, rep_enc)
             defs = np.full(nv, max_def, dtype=np.int64)
             if max_def > 0:
-                ln = int.from_bytes(raw[off:off + 4], "little")
-                defs = _decode_level_stream(
-                    raw[off + 4:off + 4 + ln], nv, max_def, def_enc)
-                off += 4 + ln
+                defs, off = _v1_levels(raw, off, max_def, def_enc)
             vals_buf = raw[off:]
         elif ptype == 3:  # data page v2: level sections never compressed
             ph = hdr[8]
@@ -369,10 +380,13 @@ def _values_to_arrow(leaf: _Node, vals) -> pa.Array:
         return base.cast(typ) if typ != pa.binary() else base
     arr = np.asarray(vals)
     if pa.types.is_decimal(typ):
-        if arr.ndim == 2:  # FLBA(16) little-endian int128 words
-            lo = arr[:, :8].copy().view(np.uint64).reshape(-1)
-            hi = arr[:, 8:].copy().view(np.int64).reshape(-1)
-            ints = [int(h) << 64 | int(lo_) for h, lo_ in zip(hi, lo)]
+        if arr.ndim == 2:
+            # parquet stores FLBA decimals as BIG-endian two's
+            # complement of ANY byte width (parquet-mr writes the
+            # minimal width) — not our blob store's little-endian
+            # int128 words
+            ints = [int.from_bytes(row.tobytes(), "big", signed=True)
+                    for row in arr]
         else:
             ints = [int(v) for v in arr]
         import decimal as _dec
@@ -482,8 +496,7 @@ def _map_with_validity(offsets, keys, items, valid) -> pa.Array:
     return pa.MapArray.from_arrays(all_off, keys, items)
 
 
-def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Decode a .parquet file through our kernels → pyarrow Table."""
+def _read_footer(path: str) -> tuple[bytes, dict]:
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"PAR1" or data[-4:] != b"PAR1":
@@ -492,6 +505,22 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
     if flen <= 0 or flen > len(data) - 8:
         raise ValueError("pqreader: corrupt footer length")
     fmd, _ = read_struct(data, len(data) - 8 - flen)
+    return data, fmd
+
+
+def read_schema(path: str) -> pa.Schema:
+    """Footer-only schema (no data pages touched) — what spark_read
+    uses on the driver."""
+    _, fmd = _read_footer(path)
+    root = _parse_schema(fmd[2])
+    _annotate(root, 0, 0, ())
+    return pa.schema(
+        [pa.field(c.name, _node_arrow_type(c)) for c in root.children])
+
+
+def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Decode a .parquet file through our kernels → pyarrow Table."""
+    data, fmd = _read_footer(path)
     root = _parse_schema(fmd[2])
     _annotate(root, 0, 0, ())
     top = [c for c in root.children
@@ -561,7 +590,7 @@ def spark_read(spark, dir_path: str):
     )
     if not files:
         raise ValueError(f"pqreader: no parquet files under {dir_path}")
-    probe = read_table(files[0]).schema
+    probe = read_schema(files[0])  # footer only — no driver-side decode
     from pyspark.sql.pandas.types import from_arrow_schema
 
     out_schema = from_arrow_schema(probe)

@@ -257,6 +257,40 @@ def _cell_scores(vec: Column, vec_norm: Column,
 _LITERAL_CELL_LIMIT = 4096
 
 
+def _batch_vec_matrix(col, dim: int):
+    """Arrow list column → (n×dim float64 matrix, bad mask). NULL rows
+    and rows whose length ≠ dim are 'bad' (zero rows in the matrix):
+    the literal expression path scores such vectors -inf and assigns
+    the smallest cell id, and ListArray.flatten() DROPS null lists —
+    a naive reshape would crash the kernel on the first null embedding."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(col)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    isnull = (np.zeros(n, dtype=bool) if col.null_count == 0
+              else np.asarray(col.is_null()))
+    if pa.types.is_fixed_size_list(col.type):
+        if col.type.list_size != dim:
+            return mat, np.ones(n, dtype=bool)
+        vals = np.asarray(
+            col.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        starts = (col.offset + np.arange(n, dtype=np.int64)) * dim
+        bad = isnull.copy()
+    else:
+        offs = np.asarray(col.offsets)
+        lengths = np.diff(offs)
+        bad = isnull | (lengths != dim)
+        vals = np.asarray(
+            col.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        starts = offs[:-1].astype(np.int64)
+    good = np.flatnonzero(~bad)
+    if len(good):
+        idx = starts[good][:, None] + np.arange(dim, dtype=np.int64)
+        mat[good] = vals[idx]
+    return mat, bad
+
+
 def _ivf_assign_kernel(df: DataFrame, vec_col: str, id_col: str,
                        cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Scale path for centroid assignment: the k×dim centroid matrix is
@@ -299,9 +333,7 @@ def _ivf_assign_kernel(df: DataFrame, vec_col: str, id_col: str,
             if b.num_rows == 0:
                 continue
             v = b.column(1)
-            flat = v.flatten().to_numpy(zero_copy_only=False)
-            mat = np.asarray(flat, dtype=np.float64).reshape(
-                b.num_rows, -1)
+            mat, shape_bad = _batch_vec_matrix(v, cm.shape[1])
             vn = np.sqrt((mat * mat).sum(axis=1))
             s = mat @ cm.T
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -309,7 +341,7 @@ def _ivf_assign_kernel(df: DataFrame, vec_col: str, id_col: str,
             s[:, ~cok] = -np.inf          # degenerate centroids never win
             np.nan_to_num(s, copy=False, nan=-np.inf,
                           posinf=-np.inf, neginf=-np.inf)
-            bad = (vn == 0.0) | ~np.isfinite(vn)
+            bad = shape_bad | (vn == 0.0) | ~np.isfinite(vn)
             if bad.any():
                 s[bad, :] = -np.inf       # degenerate rows: all ties →
             best = s.argmax(axis=1)       # first max = smallest cell id
@@ -532,9 +564,8 @@ def ivf_train(
             for b in batches:
                 if b.num_rows == 0:
                     continue
-                flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
-                mat = np.asarray(flat, dtype=np.float64).reshape(
-                    b.num_rows, -1)
+                mat, shape_bad = _batch_vec_matrix(
+                    b.column(0), cm.shape[1])
                 vn = np.sqrt((mat * mat).sum(axis=1))
                 s = mat @ cm.T
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -542,12 +573,14 @@ def ivf_train(
                 s[:, ~cok] = -np.inf
                 np.nan_to_num(s, copy=False, nan=-np.inf,
                               posinf=-np.inf, neginf=-np.inf)
-                bad = (vn == 0.0) | ~np.isfinite(vn)
-                if bad.any():
-                    s[bad, :] = -np.inf
+                bad = shape_bad | (vn == 0.0) | ~np.isfinite(vn)
+                good = ~bad
                 best = s.argmax(axis=1)
-                np.add.at(acc, best, np.nan_to_num(mat, nan=0.0))
-                np.add.at(cnt, best, 1)
+                # degenerate vectors (null / wrong dim / zero / NaN)
+                # carry no usable coordinates: excluded from both sums
+                # and counts — a mean must not be dragged toward zero
+                np.add.at(acc, best[good], mat[good])
+                np.add.at(cnt, best[good], 1)
             hit = np.flatnonzero(cnt)
             if len(hit):
                 yield pa.record_batch(

@@ -70,9 +70,13 @@ def shred_json(df: DataFrame, json_col: str,
                         "shred_json: flat-JSON slice requires a JSON "
                         f"object per row, got {type(obj).__name__}")
                 resid = {k: v for k, v in obj.items() if k not in shredded}
-                # metadata covers ALL keys (stable ids even for shredded
-                # fields, as the spec's writer section directs)
-                name_ids = {k: i for i, k in enumerate(obj)}
+                # metadata covers ALL keys RECURSIVELY (stable ids for
+                # shredded fields AND every key inside nested residual
+                # values — a top-level-only dictionary would KeyError
+                # when the residual encoder meets a nested object)
+                name_ids: dict[str, int] = {k: i for i, k
+                                            in enumerate(obj)}
+                vcodec._collect_names(resid, name_ids)
                 metas.append(vcodec.encode_metadata(list(name_ids)))
                 resids.append(
                     vcodec.encode_value(resid, name_ids) if resid

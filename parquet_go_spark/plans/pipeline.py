@@ -1451,10 +1451,14 @@ def bloom_point_decode(
     elif dp is not None:
         unscaled = _unscaled(value, dp[1])
         if unscaled is None:
-            raise ValueError(
-                f"bloom_point_decode: {value!r} has no exact "
-                f"representation at {spark_type} — no stored value can "
-                "equal it")
+            # a literal finer than the column's scale can equal NO
+            # stored value: the semantically-correct answer is an
+            # EMPTY result (decode nothing), not an error
+            empty = manifest(spark, out_path).where(F.lit(False)) \
+                .select("chunk_id").distinct()
+            blobs = spark.read.parquet(out_path).join(
+                F.broadcast(empty), "chunk_id", "left_semi")
+            return _decode_blobs(blobs, _read_schema_sidecar(out_path))
         if dp[0] <= 9:
             probe_vals = np.array([unscaled], dtype=np.int32)
         elif dp[0] <= 18:

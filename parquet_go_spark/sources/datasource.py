@@ -251,6 +251,22 @@ def _chunk_survives(filters, col_types, stats, blooms) -> bool:
     return True
 
 
+def _anchor_tz(col_type: str, value):
+    """Resolve naive TimestampType literals on the DRIVER: pushFilters
+    runs driver-side, but _chunk_survives runs on executors whose OS tz
+    can differ — a naive datetime shipped as-is would be interpreted in
+    the WRONG zone there and silently prune matching chunks. Recursive
+    over In-lists."""
+    import datetime as _dt
+
+    if isinstance(value, (list, tuple)):
+        return [_anchor_tz(col_type, v) for v in value]
+    if (col_type == "timestamp" and isinstance(value, _dt.datetime)
+            and value.tzinfo is None):
+        return value.astimezone(_dt.timezone.utc)
+    return value
+
+
 def _translate_filters(filters, col_types):
     """Spark Filter objects → picklable (col, op, value) triples for the
     columns/types we can prune on. Unsupported filters are ignored here
@@ -263,18 +279,19 @@ def _translate_filters(filters, col_types):
         col = attr[0]
         if col_types.get(col) is None:
             continue
+        t = col_types[col]
         if isinstance(f, EqualTo):
-            out.append((col, "eq", f.value))
+            out.append((col, "eq", _anchor_tz(t, f.value)))
         elif isinstance(f, In):
-            out.append((col, "in", list(f.value)))
+            out.append((col, "in", _anchor_tz(t, list(f.value))))
         elif isinstance(f, GreaterThan):
-            out.append((col, "gt", f.value))
+            out.append((col, "gt", _anchor_tz(t, f.value)))
         elif isinstance(f, GreaterThanOrEqual):
-            out.append((col, "gte", f.value))
+            out.append((col, "gte", _anchor_tz(t, f.value)))
         elif isinstance(f, LessThan):
-            out.append((col, "lt", f.value))
+            out.append((col, "lt", _anchor_tz(t, f.value)))
         elif isinstance(f, LessThanOrEqual):
-            out.append((col, "lte", f.value))
+            out.append((col, "lte", _anchor_tz(t, f.value)))
     return out
 
 
@@ -451,6 +468,39 @@ class _StagedFile(WriterCommitMessage):
     staged: str
 
 
+class _CommitLock:
+    """Exclusive flock over <store>/._commit.lock held across the
+    [stamp mtimes + rename in] section of every commit. The stream
+    source's watermark offsets order files by commit-time mtime;
+    without serialization, a committer that stamps its files and then
+    stalls past another job's commit would rename files in BEHIND the
+    watermark — data the tail would silently skip. Driver-side, once
+    per job commit: contention-free in practice."""
+
+    def __init__(self, store: str):
+        import os
+
+        self._path = os.path.join(store, "._commit.lock")
+        self._fd = None
+
+    def __enter__(self):
+        import fcntl
+        import os
+
+        self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+        import os
+
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        self._fd = None
+        return False
+
+
 class ColcodecArrowWriter(DataSourceArrowWriter):
     """df.write.format("colcodec").save(store) — the DIRECT write path.
 
@@ -599,14 +649,17 @@ class ColcodecArrowWriter(DataSourceArrowWriter):
         # leave data files that no sidecar describes
         pipeline._write_schema_sidecar(self._path, self._cols)
         staged = [m.staged for m in messages if m is not None and m.staged]
-        for i, src in enumerate(staged):
-            os.utime(src)  # commit-time mtime BEFORE the rename: the
-            # stream source's watermark offsets order files by mtime, so
-            # a listed file must never carry its (older) task-write time
-            os.replace(
-                src,
-                os.path.join(self._path,
-                             f"part-w{self._token}-{i:05d}.parquet"))
+        with _CommitLock(self._path):
+            for i, src in enumerate(staged):
+                os.utime(src)  # commit-time mtime BEFORE the rename:
+                # the stream source's watermark offsets order files by
+                # mtime — a listed file must never carry its (older)
+                # task-write time, and the lock keeps concurrent
+                # committers' stamp+rename sections from interleaving
+                os.replace(
+                    src,
+                    os.path.join(self._path,
+                                 f"part-w{self._token}-{i:05d}.parquet"))
         for f in doomed:
             try:
                 os.unlink(os.path.join(self._path, f))
@@ -690,10 +743,11 @@ class ColcodecStreamWriter(ColcodecArrowWriter, DataSourceStreamArrowWriter):
             if f.startswith(prefix):
                 os.unlink(os.path.join(self._path, f))
         pipeline._write_schema_sidecar(self._path, self._cols)
-        for i, src in enumerate(staged):
-            os.utime(src)  # commit-time mtime (watermark offset order)
-            os.replace(src, os.path.join(
-                self._path, f"{prefix}{self._token}-{i:05d}.parquet"))
+        with _CommitLock(self._path):
+            for i, src in enumerate(staged):
+                os.utime(src)  # commit-time mtime (watermark order)
+                os.replace(src, os.path.join(
+                    self._path, f"{prefix}{self._token}-{i:05d}.parquet"))
         open(self._marker(batchId), "w").close()  # marker LAST
         self._sweep_staging()
 
@@ -784,6 +838,19 @@ class ColcodecStreamReader(DataSourceStreamReader):
                 "colcodec stream source: store was rewritten while being "
                 f"tailed ({expect - len(was)} previously-emitted files "
                 "vanished); restart the query with a fresh checkpoint")
+        if "files" not in start and len(was) > expect:
+            # a file LANDED BEHIND the watermark (mtime ≤ hw but never
+            # counted): a writer bypassed the commit lock (e.g. files
+            # copied in by hand, or a non-colcodec writer without
+            # commit-time stamping). Silently skipping it would lose
+            # rows forever — fail loudly instead.
+            raise RuntimeError(
+                "colcodec stream source: "
+                f"{len(was) - expect} file(s) appeared BEHIND the "
+                "offset watermark (stamped before the last batch but "
+                "renamed in after it); the store is being written by "
+                "something that bypasses the colcodec commit protocol — "
+                "restart with a fresh checkpoint to pick them up")
         new = sorted(
             f for f, mt in listing.items()
             if self._emitted_by(end, f, mt)

@@ -550,3 +550,130 @@ def test_datasource_read_pruning_shape(spark, tmp_path, monkeypatch):
     assert out == []
     assert not [c for c in calls if c.get("filters") and
                 any(f[0] == "chunk_id" for f in c["filters"])]
+
+
+# ----------------------------------------------- review-pass regressions
+def test_pqreader_big_endian_flba_decimals(tmp_path):
+    """Parquet stores FLBA decimals big-endian two's-complement at ANY
+    width (parquet-mr writes minimal bytes) — not our blob store's LE
+    words. Externally written decimal columns must decode exactly."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    vals = [decimal.Decimal("12345678901234567890123456789012345.67"),
+            decimal.Decimal("-0.01"), decimal.Decimal("7.25"), None]
+    tbl = pa.table({
+        "big": pa.array(vals, pa.decimal128(38, 2)),
+        "small": pa.array([decimal.Decimal("1.5"), None,
+                           decimal.Decimal("-2.25"),
+                           decimal.Decimal("99.99")],
+                          pa.decimal128(10, 2)),
+    })
+    p = str(tmp_path / "dec.parquet")
+    pq.write_table(tbl, p, use_dictionary=False)
+    ours = pqreader.read_table(p)
+    assert ours.column("big").to_pylist() == tbl.column("big").to_pylist()
+    assert ours.column("small").to_pylist() \
+        == tbl.column("small").to_pylist()
+
+
+def test_shred_json_nested_residual(spark):
+    """Residual values may be nested objects/arrays: the metadata
+    dictionary must cover their keys recursively (was: KeyError in the
+    executor), and the round trip must reproduce them."""
+    import json
+
+    from parquet_go_spark.operators import variant as vops
+
+    rows = [(1, json.dumps({"a": 1, "x": {"y": 2, "z": [1, 2]}, "w": [
+        {"q": "s"}]}))]
+    df = spark.createDataFrame(rows, "k bigint, js string")
+    sh = vops.shred_json(df, "js", [("a", "bigint")])
+    got = vops.unshred_json(sh, "var").collect()[0]["json"]
+    assert json.loads(got) == {"a": 1, "x": {"y": 2, "z": [1, 2]},
+                               "w": [{"q": "s"}]}
+
+
+def test_reconstruct_shredded_null_array_element():
+    from parquet_go_spark.codecs import variant as V
+
+    meta = V.encode_metadata([])
+    got = V.reconstruct_shredded(
+        meta, None,
+        [{"value": None, "typed_value": "a"}, None,
+         {"value": None, "typed_value": None}])
+    assert got == ["a", None, None]  # never the _MISSING sentinel
+
+
+def test_ivf_kernel_tolerates_null_and_ragged_vectors(spark):
+    import numpy as np
+
+    from parquet_go_spark.operators import similarity
+
+    rng = np.random.default_rng(41)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+    rows += [(900, None), (901, [1.0, 2.0]),  # null + wrong-dim
+             (902, [0.0] * 6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.ivf_centroids(
+        df.where(F.col("vec_id") < 40), "embedding", "vec_id", 4)
+    lit = {r["id"]: r["cell_id"] for r in similarity.ivf_assign(
+        df, "embedding", "vec_id", cents, use_kernel=False).collect()}
+    ker = {r["id"]: r["cell_id"] for r in similarity.ivf_assign(
+        df, "embedding", "vec_id", cents, use_kernel=True).collect()}
+    assert lit == ker and 900 in ker
+    # training ignores degenerate rows instead of crashing
+    trained = similarity.ivf_train(df, "embedding", "vec_id",
+                                   n_cells=4, iters=1, cents=cents)
+    assert len(trained) == 4
+
+
+def test_bloom_point_decode_inexact_decimal_returns_empty(spark, tmp_path):
+    from decimal import Decimal
+
+    d = str(tmp_path / "bpstore")
+    src = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(200)], "k bigint, grp string"
+    ).select("k", "grp",
+             (F.col("k") / 4).cast("decimal(12,2)").alias("price"))
+    pipeline.encode_table(spark, src, d, repo_col="grp", salt_cols=["k"],
+                          sort_cols=["k"], resume=False)
+    out = pipeline.bloom_point_decode(spark, d, "price", Decimal("7.251"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "grp", "price"]
+
+
+def test_translate_filters_anchors_naive_timestamps():
+    """Naive TimestampType literals must resolve to UTC on the DRIVER
+    (pushFilters side) — executors may run in a different OS tz and
+    would otherwise mis-prune."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from parquet_go_spark.sources.datasource import _translate_filters
+
+    naive = dt.datetime(2024, 1, 1, 12, 0, 0)
+    out = _translate_filters(
+        [EqualTo(("ts",), naive), In(("ts",), (naive,)),
+         EqualTo(("nts",), naive)],
+        {"ts": "timestamp", "nts": "timestamp_ntz"})
+    assert out[0][2].tzinfo is not None          # anchored, aware
+    assert out[1][2][0].tzinfo is not None
+    assert out[2][2].tzinfo is None              # NTZ stays wall-clock
+
+
+def test_pqreader_read_schema_footer_only(spark, tmp_path):
+    from parquet_go_spark.interop import export as iexport
+    from parquet_go_spark.interop import pqreader
+
+    src = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(100)],
+        "k bigint, grp string, x double")
+    d = str(tmp_path / "schonly")
+    iexport.export_parquet(spark, src, d, repo_col="grp", salt_cols=["k"])
+    import glob as _glob
+    f = sorted(_glob.glob(d + "/*.parquet"))[0]
+    assert pqreader.read_schema(f) == pqreader.read_table(f).schema
