@@ -573,6 +573,11 @@ def _parquet_interop_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("o_custkey")).alias("ckey"),
                 F.col("o_totalprice").alias("price"),
             ).alias("props"),
+            # DECIMAL leaves (round 4): INT64-backed and FLBA(16)-backed
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+            F.concat(F.col("o_orderkey").cast("string"),
+                     F.lit("000000000000000000.25"))
+            .cast("decimal(38,2)").alias("big_dec"),
         )
     )
     out = tempfile.mkdtemp(prefix="colcodec_interop_cx_")
@@ -589,6 +594,8 @@ def _parquet_interop_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props.status").alias("s_status"),
         F.col("props.ckey").alias("s_ckey"),
         F.col("props.price").alias("s_price"),
+        F.col("price_dec").cast("string").alias("price_dec"),
+        F.col("big_dec").cast("string").alias("big_dec"),
     )
 
 
@@ -1188,7 +1195,12 @@ def oracle_sql() -> dict[str, str]:
             "END AS m_prio, 2 AS n_entries, "
             "o_orderstatus AS s_status, "
             "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey "
-            "END AS s_ckey, o_totalprice AS s_price FROM orders"
+            "END AS s_ckey, o_totalprice AS s_price, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) "
+            "AS price_dec, "
+            "CAST(CAST(CAST(o_orderkey AS VARCHAR) || "
+            "'000000000000000000.25' AS DECIMAL(38,2)) AS VARCHAR) "
+            "AS big_dec FROM orders"
         ),
         "parquet_read_golden": f"SELECT {o_cols} FROM orders",
         "datasource_write_orders": f"SELECT {o_cols} FROM orders",

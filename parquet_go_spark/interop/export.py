@@ -55,18 +55,48 @@ _LOGICAL = {"string": "string", "date": "date",
             "timestamp_ntz": "timestamp_micros"}
 
 
+def _leaf_logical(spark_type: str) -> str | None:
+    """pqwriter `logical` tag for a leaf: decimals carry their own type
+    string (pqwriter expands it to ConvertedType DECIMAL + scale/
+    precision + the modern DecimalType logicalType)."""
+    if pipeline._decimal_info(spark_type) is not None:
+        return spark_type
+    return _LOGICAL.get(spark_type)
+
+
+def _leaf_ok(spark_type: str) -> bool:
+    return (spark_type in pipeline._KIND_BY_SPARK
+            or pipeline._decimal_info(spark_type) is not None)
+
+
+def _leaf_flba(spark_type: str) -> int | None:
+    dp = pipeline._decimal_info(spark_type)
+    return 16 if dp is not None and dp[0] > 18 else None
+
+
+def _leaf_values(arr, spark_type: str):
+    """Arrow array → pqwriter value payload. Decimal FLBA needs the
+    PARQUET byte order: big-endian two's complement — the pipeline
+    helper emits the blob store's little-endian int128 words, so
+    reverse each row's bytes."""
+    vals = pipeline._arrow_to_values(arr, spark_type)
+    dp = pipeline._decimal_info(spark_type)
+    if dp is not None and dp[0] > 18:
+        vals = np.ascontiguousarray(vals[:, ::-1])
+    return vals
+
+
 def _supported(spark_type: str) -> bool:
-    if spark_type in pipeline._KIND_BY_SPARK:
+    if _leaf_ok(spark_type):
         return True
     elem = pipeline._list_elem(spark_type)
     if elem is not None:
-        return elem in pipeline._KIND_BY_SPARK
+        return _leaf_ok(elem)
     kv = pipeline._map_kv(spark_type)
     if kv is not None:
-        return all(t in pipeline._KIND_BY_SPARK for t in kv)
+        return all(_leaf_ok(t) for t in kv)
     sf = pipeline._struct_fields(spark_type)
-    return sf is not None and all(
-        t in pipeline._KIND_BY_SPARK for _, t in sf)
+    return sf is not None and all(_leaf_ok(t) for _, t in sf)
 
 
 def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
@@ -91,9 +121,10 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
             specs.append(ColumnSpec(
                 name,
                 pipeline._col_kind(elem),
-                pipeline._arrow_to_values(arr.flatten(), elem),
+                _leaf_values(arr.flatten(), elem),
                 validity=validity,
-                logical=_LOGICAL.get(elem),
+                flba_size=_leaf_flba(elem),
+                logical=_leaf_logical(elem),
                 lengths=lengths,
             ))
             continue
@@ -122,11 +153,13 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
             specs.append(MapColumnSpec(
                 name,
                 key=ColumnSpec("key", pipeline._col_kind(ktype),
-                               pipeline._arrow_to_values(keys, ktype),
-                               logical=_LOGICAL.get(ktype)),
+                               _leaf_values(keys, ktype),
+                               flba_size=_leaf_flba(ktype),
+                               logical=_leaf_logical(ktype)),
                 value=ColumnSpec("value", pipeline._col_kind(vtype),
-                                 pipeline._arrow_to_values(vals, vtype),
-                                 logical=_LOGICAL.get(vtype)),
+                                 _leaf_values(vals, vtype),
+                                 flba_size=_leaf_flba(vtype),
+                                 logical=_leaf_logical(vtype)),
                 lengths=lengths,
                 validity=validity,
                 entry_validity=entry_validity,
@@ -148,8 +181,9 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
                     child = child.drop_null()
                 fields.append((fname, ColumnSpec(
                     fname, pipeline._col_kind(ftype),
-                    pipeline._arrow_to_values(child, ftype),
-                    validity=cval, logical=_LOGICAL.get(ftype))))
+                    _leaf_values(child, ftype),
+                    validity=cval, flba_size=_leaf_flba(ftype),
+                    logical=_leaf_logical(ftype))))
             specs.append(StructColumnSpec(name, fields=fields,
                                           validity=validity))
             continue
@@ -160,9 +194,10 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
         specs.append(ColumnSpec(
             name,
             pipeline._col_kind(spark_type),
-            pipeline._arrow_to_values(arr, spark_type),
+            _leaf_values(arr, spark_type),
             validity=validity,
-            logical=_LOGICAL.get(spark_type),
+            flba_size=_leaf_flba(spark_type),
+            logical=_leaf_logical(spark_type),
         ))
     return specs
 

@@ -44,6 +44,34 @@ _DATA_PAGE_V2 = 3
 _COMPRESSION = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6}
 _CONVERTED = {"string": 0, "date": 6, "timestamp_micros": 10}
 
+
+def _logical_fields(logical: str | None) -> list:
+    """SchemaElement annotation fields for a leaf. Plain names map to
+    the legacy ConvertedType; "decimal(p,s)" additionally writes
+    scale/precision and the modern DecimalType logicalType (union
+    field 5) so every reader generation agrees on the value space."""
+    if logical is None:
+        return []
+    if logical.startswith("decimal("):
+        pr, sc = (int(x) for x in logical[len("decimal("):-1].split(","))
+        return [
+            (6, tc.I32, 5), (7, tc.I32, sc), (8, tc.I32, pr),
+            (10, tc.STRUCT, tc.struct([
+                (5, tc.STRUCT, tc.struct([(1, tc.I32, sc),
+                                          (2, tc.I32, pr)])),
+            ])),
+        ]
+    return [(6, tc.I32, _CONVERTED.get(logical))]
+
+
+def _dec_flba(kind: int, logical: str | None) -> bool:
+    """FLBA decimals are big-endian two's complement: raw byte order is
+    NOT value order across signs, so min/max statistics and page
+    indexes are omitted for them (null bounds = never prunable) rather
+    than risking a reader pruning away real matches."""
+    return (kind == Kind.FIXED_LEN_BYTE_ARRAY and logical is not None
+            and logical.startswith("decimal("))
+
 _MAGIC = b"PAR1"
 STAT_TRUNCATE = 16  # same bound as the manifest stats (config.go:29)
 
@@ -217,8 +245,10 @@ def _stat_bounds(vals, kind: int) -> tuple[bytes | None, bytes | None]:
     return lo[:STAT_TRUNCATE], _truncate_max_bytes(hi)
 
 
-def _statistics_struct(vals, kind: int, null_count: int) -> bytes:
-    lo, hi = _stat_bounds(vals, kind)
+def _statistics_struct(vals, kind: int, null_count: int,
+                       logical: str | None = None) -> bytes:
+    lo, hi = ((None, None) if _dec_flba(kind, logical)
+              else _stat_bounds(vals, kind))
     return tc.struct([
         (3, tc.I64, null_count),
         (5, tc.BINARY, hi),
@@ -326,6 +356,12 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
     if codec == Codec.RLE_DICTIONARY:
         if spec.kind == Kind.BYTE_ARRAY:
             uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
+        elif np.asarray(chunk_vals).ndim == 2:
+            # FLBA rows: np.unique needs axis=0 or it flattens the
+            # (n, width) matrix into single bytes — corrupt dictionary
+            uniques, indexes = np.unique(
+                np.asarray(chunk_vals), axis=0, return_inverse=True)
+            indexes = np.asarray(indexes).reshape(-1).astype(np.int32)
         else:
             uniques, indexes = dictionary.factorize_numeric(
                 np.asarray(chunk_vals))
@@ -397,7 +433,9 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         out += pg
         total_raw += raw
         total_stored += stored
-        lo_b, hi_b = _stat_bounds(page_vals, spec.kind)
+        lo_b, hi_b = ((None, None)
+                      if _dec_flba(spec.kind, spec.logical)
+                      else _stat_bounds(page_vals, spec.kind))
         pages.append({
             "offset": page_off,
             "size": len(pg),
@@ -418,7 +456,8 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         (9, tc.I64, data_offset),
         (11, tc.I64, dict_offset),
         (12, tc.STRUCT,
-         _statistics_struct(chunk_vals, spec.kind, null_count)
+         _statistics_struct(chunk_vals, spec.kind, null_count,
+                            spec.logical)
          if statistics else None),
     ]
     return {
@@ -463,6 +502,12 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
     if codec == Codec.RLE_DICTIONARY:
         if spec.kind == Kind.BYTE_ARRAY:
             uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
+        elif np.asarray(chunk_vals).ndim == 2:
+            # FLBA rows: np.unique needs axis=0 or it flattens the
+            # (n, width) matrix into single bytes — corrupt dictionary
+            uniques, indexes = np.unique(
+                np.asarray(chunk_vals), axis=0, return_inverse=True)
+            indexes = np.asarray(indexes).reshape(-1).astype(np.int32)
         else:
             uniques, indexes = dictionary.factorize_numeric(
                 np.asarray(chunk_vals))
@@ -533,7 +578,9 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
         out += pg
         total_raw += raw
         total_stored += stored
-        lo_b, hi_b = _stat_bounds(page_vals, spec.kind)
+        lo_b, hi_b = ((None, None)
+                      if _dec_flba(spec.kind, spec.logical)
+                      else _stat_bounds(page_vals, spec.kind))
         pages.append({
             "offset": page_off,
             "size": len(pg),
@@ -555,7 +602,8 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
         (11, tc.I64, dict_offset),
         (12, tc.STRUCT,
          _statistics_struct(chunk_vals, spec.kind,
-                            total_entries - (vhi_all - vlo_all))
+                            total_entries - (vhi_all - vlo_all),
+                            spec.logical)
          if statistics else None),
     ]
     return {
@@ -892,7 +940,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                      if part.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
                     (3, tc.I32, 1 if part.validity is not None else 0),
                     (4, tc.BINARY, fname),
-                    (6, tc.I32, _CONVERTED.get(part.logical)),
+                    *_logical_fields(part.logical),
                 ]))
         elif isinstance(c, MapColumnSpec):
             # optional group <name> (MAP) { repeated group key_value {
@@ -916,7 +964,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                      if part.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
                     (3, tc.I32, rep),
                     (4, tc.BINARY, role),
-                    (6, tc.I32, _CONVERTED.get(part.logical)),
+                    *_logical_fields(part.logical),
                 ]))
         elif c.lengths is not None:
             # 3-level LIST group (always optional so the def scheme is
@@ -936,7 +984,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                  if c.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
                 (3, tc.I32, 0),
                 (4, tc.BINARY, "element"),
-                (6, tc.I32, _CONVERTED.get(c.logical)),
+                *_logical_fields(c.logical),
             ]))
         else:
             schema.append(tc.struct([
@@ -945,7 +993,7 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                  if c.kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
                 (3, tc.I32, 1 if c.validity is not None else 0),
                 (4, tc.BINARY, c.name),
-                (6, tc.I32, _CONVERTED.get(c.logical)),
+                *_logical_fields(c.logical),
             ]))
 
     # ColumnOrder = union{1: TypeDefinedOrder{}} per leaf — readers only

@@ -677,3 +677,64 @@ def test_pqreader_read_schema_footer_only(spark, tmp_path):
     import glob as _glob
     f = sorted(_glob.glob(d + "/*.parquet"))[0]
     assert pqreader.read_schema(f) == pqreader.read_table(f).schema
+
+
+# ------------------------------------------- round-4: decimal parquet WRITE
+def test_export_parquet_decimals_all_readers(spark, tmp_path):
+    """DECIMAL columns (INT32/INT64/FLBA(16)-backed, incl. negatives and
+    a struct field) export as spec parquet — ConvertedType DECIMAL +
+    scale/precision + DecimalType logicalType, FLBA big-endian — and
+    read back equal through Spark's parquet-mr, pyarrow, DuckDB, and
+    our own pqreader. FLBA decimal chunks carry NO min/max stats (raw
+    byte order is not value order across signs — null bounds can never
+    mis-prune)."""
+    import glob as _glob
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import export as iexport
+    from parquet_go_spark.interop import pqreader
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(2000)], "k bigint, grp string"
+    ).select(
+        "k", "grp",
+        (F.col("k") / 4 - 100).cast("decimal(12,2)").alias("price"),
+        ((F.col("k") % 7) - 3).cast("decimal(7,0)").alias("small"),
+        (F.concat(F.col("k").cast("string"),
+                  F.lit("00000000000000000.25")).cast("decimal(38,2)")
+         * F.when(F.col("k") % 2 == 0, -1).otherwise(1)).alias("big"),
+        F.struct((F.col("k") / 8).cast("decimal(10,3)").alias("sp"))
+        .alias("s"),
+    )
+    d = str(tmp_path / "decexp")
+    iexport.export_parquet(spark, df, d, repo_col="grp", salt_cols=["k"])
+    cols = ["k", "grp", "price", "small", "big", "s"]
+    exp = sorted(map(str, df.select(*cols).collect()))
+    assert sorted(map(str,
+                      spark.read.parquet(d).select(*cols).collect())) == exp
+    ref = pq.read_table(d)
+    assert str(ref.schema.field("big").type) == "decimal128(38, 2)"
+    assert str(ref.schema.field("small").type) == "decimal128(7, 0)"
+    con = duckdb.connect()
+    n, lo, hi = con.execute(
+        f"SELECT count(*), min(big), max(big) "
+        f"FROM read_parquet('{d}/*.parquet')").fetchone()
+    assert n == 2000 and lo < 0 < hi
+    ours = pa.concat_tables([pqreader.read_table(p) for p in
+                             sorted(_glob.glob(d + "/*.parquet"))])
+    assert sorted(map(str, ours.to_pylist())) \
+        == sorted(map(str, ref.to_pylist()))
+    # FLBA decimal chunks: no Statistics bounds, no ColumnIndex
+    f0 = sorted(_glob.glob(d + "/*.parquet"))[0]
+    md = pq.ParquetFile(f0).metadata
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema == "big":
+                st = col.statistics
+                assert st is None or not st.has_min_max
+            if col.path_in_schema == "price":  # INT64-backed: stats kept
+                assert col.statistics.has_min_max
