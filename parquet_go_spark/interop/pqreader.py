@@ -175,7 +175,10 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
     if ph == 7:
         return pa.binary(leaf.type_length or 0)
     if ph == 3:
-        return pa.binary(12)  # INT96: surfaced as its raw 12 bytes
+        # deprecated INT96 timestamps (impala / old parquet-mr):
+        # 8 B LE nanos-of-day + 4 B LE Julian day; surfaced naive
+        # ns like pyarrow does
+        return pa.timestamp("ns")
     raise ValueError(f"pqreader: unsupported physical type {ph}")
 
 
@@ -379,6 +382,12 @@ def _values_to_arrow(leaf: _Node, vals) -> pa.Array:
              pa.py_buffer(data.tobytes())])
         return base.cast(typ) if typ != pa.binary() else base
     arr = np.asarray(vals)
+    if leaf.physical == 3:  # INT96 → epoch nanos
+        a = np.ascontiguousarray(arr, dtype=np.uint8).reshape(-1, 12)
+        nanos = a[:, :8].copy().view("<u8").reshape(-1).astype(np.int64)
+        julian = a[:, 8:].copy().view("<u4").reshape(-1).astype(np.int64)
+        epoch_ns = (julian - 2440588) * 86_400_000_000_000 + nanos
+        return pa.array(epoch_ns, type=typ)
     if pa.types.is_decimal(typ):
         if arr.ndim == 2:
             # parquet stores FLBA decimals as BIG-endian two's

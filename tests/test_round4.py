@@ -419,8 +419,6 @@ def test_pqreader_reference_files_match_pyarrow():
         ref = pq.read_table(path)
         assert ours.num_rows == ref.num_rows, f
         for name in ref.schema.names:
-            if ref.schema.field(name).type == "timestamp[ns]":
-                continue  # INT96: out of scope, surfaced as raw bytes
             assert ours.column(name).to_pylist() \
                 == ref.column(name).to_pylist(), (f, name)
 
