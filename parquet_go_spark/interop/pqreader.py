@@ -13,8 +13,10 @@ Surface:
   columns assemble from true Dremel rep/def level streams with
   vectorized range arithmetic (one numpy pass per node, no per-row
   Python except the final Arrow buffer construction). Supported
-  nesting: arbitrary struct depth, one repetition level (the 3-level
-  LIST and MAP idioms — list-of-list raises, documented).
+  nesting: arbitrary struct AND repetition depth (list-of-list,
+  map-of-map, list<map<struct<list>>>, …), the legacy 2-level list
+  forms (bare repeated fields; `array` / `*_tuple` / multi-field
+  repeated groups as struct elements per LogicalTypes.md).
 - ``spark_read(spark, dir)`` → DataFrame: one input slice per file,
   decoded executor-side via mapInArrow — the distributed read path (no
   driver funnel; the driver only reads one footer for the schema).
@@ -50,6 +52,10 @@ _CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
 # thrift ConvertedType codes used here
 _CT_UTF8, _CT_MAP, _CT_MAP_KV, _CT_LIST, _CT_DECIMAL = 0, 1, 2, 3, 5
 _CT_DATE, _CT_TS_MILLIS, _CT_TS_MICROS = 6, 9, 10
+# legacy int annotations: UINT_8..UINT_64 = 11..14, INT_8..INT_64 = 15..18
+_CT_INTS = {11: pa.uint8(), 12: pa.uint16(), 13: pa.uint32(),
+            14: pa.uint64(), 15: pa.int8(), 16: pa.int16(),
+            17: pa.int32(), 18: pa.int64()}
 
 
 @dataclass
@@ -60,6 +66,8 @@ class _Node:
     type_length: int | None
     converted: int | None
     logical: dict | None
+    scale: int = 0
+    precision: int = 0
     children: list = field(default_factory=list)
     # filled by _annotate
     max_def: int = 0
@@ -83,6 +91,8 @@ def _parse_schema(elements: list[dict]) -> _Node:
             type_length=el.get(2),
             converted=el.get(6),
             logical=el.get(10),
+            scale=el.get(7, 0),
+            precision=el.get(8, 0),
         )
         for _ in range(el.get(5, 0)):
             node.children.append(build())
@@ -133,10 +143,14 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
     ct = leaf.converted
     ph = leaf.physical
     if 5 in lg or ct == _CT_DECIMAL:
+        # logicalType carries scale/precision inline; the legacy
+        # ConvertedType form puts them in SchemaElement fields 7/8
         dec = lg.get(5, {})
-        scale = dec.get(1, 0)
-        prec = dec.get(2, 38)
+        scale = dec.get(1, leaf.scale)
+        prec = dec.get(2, leaf.precision or 38)
         return pa.decimal128(prec, scale)
+    if 11 in lg:  # UNKNOWN (the null type — always-null column)
+        return pa.null()
     if ph == 0:
         return pa.bool_()
     if ph == 1:
@@ -148,6 +162,8 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
             return {8: pa.int8() if signed else pa.uint8(),
                     16: pa.int16() if signed else pa.uint16(),
                     32: pa.int32() if signed else pa.uint32()}[w]
+        if ct in _CT_INTS:
+            return _CT_INTS[ct]
         return pa.int32()
     if ph == 2:
         ts = lg.get(8)
@@ -163,6 +179,8 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
         intl = lg.get(10)
         if intl and not intl.get(2, True):
             return pa.uint64()
+        if ct in _CT_INTS:
+            return _CT_INTS[ct]
         return pa.int64()
     if ph == 4:
         return pa.float32()
@@ -182,7 +200,26 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
     raise ValueError(f"pqreader: unsupported physical type {ph}")
 
 
-def _node_arrow_type(node: _Node) -> pa.DataType:
+def _list_elem_node(list_node: _Node, rep: _Node) -> _Node:
+    """The element node under a LIST's repeated child, following the
+    spec's backward-compat rules (LogicalTypes.md): the repeated node is
+    ITSELF the element when it is a leaf, has more than one field, or is
+    named `array` / `<list>_tuple` (legacy writers); otherwise the
+    element is its single child."""
+    if not rep.children:
+        return rep
+    if (len(rep.children) > 1 or rep.name == "array"
+            or rep.name == f"{list_node.name}_tuple"):
+        return rep
+    return rep.children[0]
+
+
+def _node_arrow_type(node: _Node, as_element: bool = False) -> pa.DataType:
+    if node.repetition == 2 and not as_element:
+        # bare repeated field without LIST/MAP annotation: a required
+        # list whose element is the node itself (LogicalTypes.md
+        # backward-compat rule)
+        return pa.list_(_node_arrow_type(node, as_element=True))
     if not node.children:
         return _leaf_arrow_type(node)
     if _is_map(node):
@@ -191,12 +228,8 @@ def _node_arrow_type(node: _Node) -> pa.DataType:
                        _node_arrow_type(kv.children[1]))
     if _is_list(node):
         rep = node.children[0]
-        elem = rep.children[0] if rep.children else rep
-        return pa.list_(_node_arrow_type(elem))
-    if node.children and node.children[0].repetition == 2:
-        raise ValueError(
-            "pqreader: repeated group without LIST/MAP annotation "
-            f"(legacy 2-level list) at {node.path}")
+        elem = _list_elem_node(node, rep)
+        return pa.list_(_node_arrow_type(elem, as_element=elem is rep))
     # nullable=True throughout: StructArray.from_arrays always yields
     # nullable children, and arrow-side required-ness adds nothing here
     return pa.struct([
@@ -369,13 +402,31 @@ def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
 
 # ------------------------------------------------------------- assembly
 
+def _ints_to_decimal(ints: list, typ: pa.DataType) -> pa.Array:
+    import decimal as _dec
+
+    with _dec.localcontext() as ctx:
+        ctx.prec = 60  # decimal(38) unscaled ints overflow default prec
+        pyvals = [_dec.Decimal(i).scaleb(-typ.scale) for i in ints]
+    return pa.array(pyvals, type=typ)
+
+
 def _values_to_arrow(leaf: _Node, vals) -> pa.Array:
     """Non-null decoded values → typed Arrow array (no nulls yet)."""
     typ = _leaf_arrow_type(leaf)
+    if pa.types.is_null(typ):
+        return pa.nulls(len(vals))
     if isinstance(vals, ByteArrays):
         n = len(vals)
         data = np.ascontiguousarray(vals.data[:vals.offsets[-1]])
         offs = vals.offsets.astype(np.int32)
+        if pa.types.is_decimal(typ):
+            # variable-width big-endian two's complement (the
+            # BYTE_ARRAY decimal form) — a string cast would PARSE text
+            raw = data.tobytes()
+            ints = [int.from_bytes(raw[offs[i]:offs[i + 1]], "big",
+                                   signed=True) for i in range(n)]
+            return _ints_to_decimal(ints, typ)
         base = pa.Array.from_buffers(
             pa.binary(), n,
             [None, pa.py_buffer(offs.tobytes()),
@@ -398,12 +449,7 @@ def _values_to_arrow(leaf: _Node, vals) -> pa.Array:
                     for row in arr]
         else:
             ints = [int(v) for v in arr]
-        import decimal as _dec
-
-        with _dec.localcontext() as ctx:
-            ctx.prec = 60
-            pyvals = [_dec.Decimal(i).scaleb(-typ.scale) for i in ints]
-        return pa.array(pyvals, type=typ)
+        return _ints_to_decimal(ints, typ)
     if pa.types.is_fixed_size_binary(typ):
         return pa.FixedSizeBinaryArray.from_buffers(
             typ, len(arr), [None, pa.py_buffer(
@@ -421,14 +467,105 @@ def _first_leaf(node: _Node) -> _Node:
     return node if not node.children else _first_leaf(node.children[0])
 
 
+def _element_scopes(reps: np.ndarray, s: np.ndarray, e: np.ndarray,
+                    has: np.ndarray, r: int):
+    """Split each slot [s_i, e_i) with has[i] into element scopes of a
+    repeated node at repetition level ``r``.
+
+    An entry starts a new element iff it opens the slot or its rep
+    level equals ``r`` (rep > r continues the current element deeper
+    inside — that is what makes this exact at ANY nesting depth);
+    rep < r cannot occur inside a slot, it would have opened a new one.
+    Returns (elem_starts, elem_ends, n_elem_per_slot), all vectorized —
+    one cumsum pass, no per-row Python."""
+    n = len(reps)
+    n_elem = np.zeros(len(s), dtype=np.int64)
+    if n == 0 or not bool(has.any()):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, n_elem
+    cover = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(cover, s[has], 1)
+    np.add.at(cover, e[has], -1)
+    inside = np.cumsum(cover[:n]) > 0
+    estart = inside & (reps == r)
+    estart[s[has]] = True
+    flat = np.flatnonzero(estart).astype(np.int64)
+    csum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(estart, out=csum[1:])
+    n_elem = np.where(has, csum[e] - csum[s], 0)
+    ends_flat = np.empty_like(flat)
+    ends_flat[:-1] = flat[1:]
+    cum = np.zeros(len(s) + 1, dtype=np.int64)
+    np.cumsum(n_elem, out=cum[1:])
+    ends_flat[cum[1:][has] - 1] = e[has]  # last element of each slot
+    return flat, ends_flat, n_elem
+
+
+def _assemble_repeated(node: _Node, rep_node: _Node, leaf_data: dict,
+                       starts: dict, ends: dict, n_slots: int,
+                       *, is_map: bool, bare: bool) -> pa.Array:
+    """LIST/MAP node (or bare repeated field when ``bare``) → Arrow
+    list/map array. Handles arbitrary repetition depth: element scopes
+    may span many entries (nested lists), and recursion re-segments
+    them at the next repetition level."""
+    r = rep_node.max_rep
+    d_elem = rep_node.max_def
+    probe = _first_leaf(rep_node).path
+    ld = leaf_data[probe]
+    s, e = starts[probe], ends[probe]
+    first_def = ld.defs[s] if len(s) else np.zeros(0, np.int64)
+    has_elems = first_def >= d_elem
+    # element scope per leaf: each leaf re-segments its OWN entry
+    # ranges at level r (entry counts differ below r, boundaries agree)
+    sub_starts, sub_ends = {}, {}
+    n_elem = None
+    for lf in _leaves(rep_node):
+        fs, fe, ne = _element_scopes(
+            leaf_data[lf.path].reps, starts[lf.path], ends[lf.path],
+            has_elems, r)
+        sub_starts[lf.path], sub_ends[lf.path] = fs, fe
+        if n_elem is None:
+            n_elem = ne
+    offsets = np.zeros(n_slots + 1, dtype=np.int32)
+    np.cumsum(n_elem, out=offsets[1:])
+    n_inner = int(offsets[-1])
+    # bare repeated fields are required lists — never null themselves
+    valid = np.ones(len(s), dtype=bool) if bare \
+        else first_def >= node.max_def
+    if is_map:
+        kv = rep_node
+        keys = _assemble(kv.children[0], leaf_data, sub_starts,
+                         sub_ends, n_inner)
+        items = _assemble(kv.children[1], leaf_data, sub_starts,
+                          sub_ends, n_inner)
+        return pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), keys, items
+        ) if bool(valid.all()) else _map_with_validity(
+            offsets, keys, items, valid)
+    elem_node = rep_node if bare else _list_elem_node(node, rep_node)
+    elems = _assemble(elem_node, leaf_data, sub_starts, sub_ends,
+                      n_inner, as_element=elem_node is rep_node)
+    if bool(valid.all()):
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), elems)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), elems,
+        mask=pa.array(~valid))
+
+
 def _assemble(node: _Node, leaf_data: dict, starts: dict, ends: dict,
-              n_slots: int) -> pa.Array:
+              n_slots: int, as_element: bool = False) -> pa.Array:
     """Assemble `node` over per-slot entry ranges.
 
     starts/ends: per leaf path → int64[n_slots] entry ranges (slots are
-    the current nesting scope's elements; ranges are single-entry above
-    any repetition). All leaves under a node agree on slot structure at
-    levels ≤ the node's — the Dremel invariant."""
+    the current nesting scope's elements; ranges are single-entry below
+    the deepest repetition level). All leaves under a node agree on
+    slot structure at levels ≤ the node's — the Dremel invariant."""
+    if node.repetition == 2 and not as_element:
+        # bare repeated field (no LIST/MAP annotation): required list
+        # of the node itself
+        return _assemble_repeated(node, node, leaf_data, starts, ends,
+                                  n_slots, is_map=False, bare=True)
     if not node.children:
         ld: _LeafData = leaf_data[node.path]
         s = starts[node.path]
@@ -441,46 +578,9 @@ def _assemble(node: _Node, leaf_data: dict, starts: dict, ends: dict,
         nul_idx = pa.array(np.where(present, idx, None), type=pa.int64())
         return vals.take(nul_idx)
     if _is_list(node) or _is_map(node):
-        rep_node = node.children[0]
-        d_elem = rep_node.max_def  # def at which an element exists
-        probe = _first_leaf(rep_node).path
-        ld = leaf_data[probe]
-        s, e = starts[probe], ends[probe]
-        first_def = ld.defs[s] if len(s) else np.zeros(0, np.int64)
-        has_elems = first_def >= d_elem
-        n_elem = np.where(has_elems, e - s, 0)
-        offsets = np.zeros(n_slots + 1, dtype=np.int32)
-        np.cumsum(n_elem, out=offsets[1:])
-        valid = first_def >= node.max_def  # below = null list / ancestor
-        # element scope: one entry per element, for every leaf below
-        sub_starts, sub_ends = {}, {}
-        for lf in _leaves(rep_node):
-            lds, lde = starts[lf.path], ends[lf.path]
-            segs = [np.arange(a, b) for a, b, h in
-                    zip(lds, lde, has_elems) if h]
-            flat = np.concatenate(segs) if segs else np.zeros(0, np.int64)
-            sub_starts[lf.path] = flat
-            sub_ends[lf.path] = flat + 1
-        n_inner = int(offsets[-1])
-        if _is_map(node):
-            kv = rep_node
-            keys = _assemble(kv.children[0], leaf_data, sub_starts,
-                             sub_ends, n_inner)
-            items = _assemble(kv.children[1], leaf_data, sub_starts,
-                              sub_ends, n_inner)
-            return pa.MapArray.from_arrays(
-                pa.array(offsets, type=pa.int32()), keys, items
-            ) if bool(valid.all()) else _map_with_validity(
-                offsets, keys, items, valid)
-        elem_node = rep_node.children[0] if rep_node.children else rep_node
-        elems = _assemble(elem_node, leaf_data, sub_starts, sub_ends,
-                          n_inner)
-        if bool(valid.all()):
-            return pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()), elems)
-        return pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), elems,
-            mask=pa.array(~valid))
+        return _assemble_repeated(node, node.children[0], leaf_data,
+                                  starts, ends, n_slots,
+                                  is_map=_is_map(node), bare=False)
     # struct node
     children = [
         _assemble(c, leaf_data, starts, ends, n_slots)
@@ -535,11 +635,6 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
     top = [c for c in root.children
            if columns is None or c.name in columns]
     leaves = {lf.path: lf for c in top for lf in _leaves(c)}
-    if any(lf.max_rep > 1 for lf in leaves.values()):
-        raise ValueError(
-            "pqreader: more than one repetition level (list-of-list) "
-            "is not supported")
-
     batches = []
     names = [c.name for c in top]
     arrow_fields = [pa.field(c.name, _node_arrow_type(c)) for c in top]

@@ -406,21 +406,108 @@ def test_variant_shred_unshred_pipeline(spark):
 
 
 # --------------------------------------- VERDICT #6: read-direction parquet
-def test_pqreader_reference_files_match_pyarrow():
+def _canon_type(t):
+    """All-nullable, default-field-name version of an Arrow type, so
+    files compare on VALUES (our reader normalizes list item names and
+    required-ness — metadata, not data)."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _canon_type(f.type))
+                          for f in t])
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_canon_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_canon_type(t.key_type), _canon_type(t.item_type))
+    return t
+
+
+def test_pqreader_reference_corpus_matches_pyarrow():
+    """EVERY .parquet file in the reference's testdata decodes through
+    our kernels equal to pyarrow — flat scalars, every encoding, v2
+    pages, INT96, all decimal physical forms (INT32/INT64/BYTE_ARRAY/
+    FLBA), the null type, deep nesting (list-of-list-of-list, map of
+    map, impala legacy 2-level lists, bare repeated groups)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
     from parquet_go_spark.interop import pqreader
 
-    for f in ("alltypes_plain.parquet", "delta_binary_packed.parquet",
-              "delta_byte_array.parquet", "rle_boolean_encoding.parquet",
-              "datapage_v2.snappy.parquet"):
-        path = f"/root/reference/testdata/{f}"
+    files = sorted(_glob.glob("/root/reference/testdata/*.parquet"))
+    assert len(files) >= 45
+    for path in files:
         ours = pqreader.read_table(path)
         ref = pq.read_table(path)
-        assert ours.num_rows == ref.num_rows, f
+        assert ours.num_rows == ref.num_rows, path
         for name in ref.schema.names:
-            assert ours.column(name).to_pylist() \
-                == ref.column(name).to_pylist(), (f, name)
+            a = ours.column(name).combine_chunks()
+            b = ref.column(name).combine_chunks()
+            ct = _canon_type(b.type)
+            a = a.cast(ct) if a.type != ct else a
+            b = b.cast(ct) if b.type != ct else b
+            assert a.equals(b), (path, name)
+
+
+def test_pqreader_deep_nesting_stress(tmp_path):
+    """Synthetic list<list<int>> / list<struct<list>> / map<.., list>
+    with nulls at EVERY level, across many tiny pages and several row
+    groups — the depth-general Dremel assembly must agree with pyarrow
+    on its own files."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    rng = random.Random(42)
+
+    def inner():
+        r = rng.random()
+        if r < 0.15:
+            return None
+        if r < 0.3:
+            return []
+        return [None if rng.random() < 0.2 else rng.randrange(1000)
+                for _ in range(rng.randrange(1, 5))]
+
+    def outer():
+        r = rng.random()
+        if r < 0.1:
+            return None
+        if r < 0.2:
+            return []
+        return [inner() for _ in range(rng.randrange(1, 4))]
+
+    n = 2000
+    ll = [outer() for _ in range(n)]
+    ls = [None if rng.random() < 0.1 else
+          [{"a": rng.randrange(50),
+            "b": inner()} for _ in range(rng.randrange(3))]
+          for _ in range(n)]
+    mp = [None if rng.random() < 0.1 else
+          [(f"k{j}", inner()) for j in range(rng.randrange(3))]
+          for _ in range(n)]
+    tbl = pa.table({
+        "ll": pa.array(ll, type=pa.list_(pa.list_(pa.int64()))),
+        "ls": pa.array(ls, type=pa.list_(pa.struct(
+            [("a", pa.int32()), ("b", pa.list_(pa.int64()))]))),
+        "mp": pa.array(mp, type=pa.map_(pa.string(),
+                                        pa.list_(pa.int64()))),
+    })
+    path = str(tmp_path / "deep.parquet")
+    pq.write_table(tbl, path, row_group_size=700, data_page_size=512,
+                   use_dictionary=False)
+    ours = pqreader.read_table(path)
+    ref = pq.read_table(path)
+    for name in ref.schema.names:
+        a = ours.column(name).combine_chunks()
+        b = ref.column(name).combine_chunks()
+        ct = _canon_type(b.type)
+        a = a.cast(ct) if a.type != ct else a
+        b = b.cast(ct) if b.type != ct else b
+        assert a.equals(b), name
 
 
 def test_pqreader_roundtrips_our_writer(spark, tmp_path):
