@@ -32,6 +32,18 @@ def factorize_byte_array(values: ByteArrays) -> tuple[ByteArrays, np.ndarray]:
     return uniques, indexes
 
 
+def factorize_flba(rows) -> tuple[np.ndarray, np.ndarray]:
+    """(n, width) fixed-width byte rows → (unique rows, int32 indexes).
+
+    np.unique needs axis=0 or it flattens the matrix into single bytes
+    (corrupt dictionary); return_inverse's shape varies across numpy
+    versions, hence the explicit reshape.
+    """
+    uniques, inverse = np.unique(
+        np.asarray(rows), axis=0, return_inverse=True)
+    return uniques, np.asarray(inverse).reshape(-1).astype(np.int32)
+
+
 def lookup_numeric(uniques: np.ndarray, indexes: np.ndarray) -> np.ndarray:
     return uniques[indexes]
 

@@ -220,6 +220,8 @@ def compact_export(
         if pa.types.is_struct(t):
             inner = ",".join(f"{f.name}:{to_spark(f.type)}" for f in t)
             return f"struct<{inner}>"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
         return _ARROW_TO_SPARK[str(t)]
 
     columns = [(f.name, to_spark(f.type)) for f in sample]

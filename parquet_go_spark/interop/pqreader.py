@@ -41,6 +41,7 @@ from parquet_go_spark.codecs import bitpacked, delta, plain, rle
 from parquet_go_spark.codecs.bytearrays import ByteArrays
 from parquet_go_spark.codecs.kinds import Codec, Kind
 from parquet_go_spark.interop.thriftc import read_struct
+from parquet_go_spark.plans import pipeline as _pipeline
 
 # codec 5 (legacy LZ4) is deliberately ABSENT: it is ambiguous in the
 # wild (Hadoop block framing vs LZ4 frame) and pa.Codec("lz4") only
@@ -148,6 +149,10 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
         dec = lg.get(5, {})
         scale = dec.get(1, leaf.scale)
         prec = dec.get(2, leaf.precision or 38)
+        # precision > 38 is spec-legal for BYTE_ARRAY / FLBA(>=17);
+        # pyarrow maps it to decimal256, so we do too
+        if prec > 38:
+            return pa.decimal256(prec, scale)
         return pa.decimal128(prec, scale)
     if 11 in lg:  # UNKNOWN (the null type — always-null column)
         return pa.null()
@@ -440,16 +445,30 @@ def _values_to_arrow(leaf: _Node, vals) -> pa.Array:
         epoch_ns = (julian - 2440588) * 86_400_000_000_000 + nanos
         return pa.array(epoch_ns, type=typ)
     if pa.types.is_decimal(typ):
+        small = typ.precision <= 18 and not pa.types.is_decimal256(typ)
         if arr.ndim == 2:
             # parquet stores FLBA decimals as BIG-endian two's
             # complement of ANY byte width (parquet-mr writes the
             # minimal width) — not our blob store's little-endian
             # int128 words
+            w = arr.shape[1]
+            if small and w <= 8:
+                a = np.ascontiguousarray(arr, dtype=np.uint8)
+                if w < 8:  # sign-extend to 8 big-endian bytes
+                    pad = np.where(a[:, :1] & 0x80, 255, 0).astype(np.uint8)
+                    a = np.ascontiguousarray(np.concatenate(
+                        [np.broadcast_to(pad, (len(a), 8 - w)), a], axis=1))
+                ints64 = a.view(">i8").reshape(-1).astype(np.int64)
+                return _pipeline._values_to_decimal(
+                    ints64, typ.precision, typ.scale)
             ints = [int.from_bytes(row.tobytes(), "big", signed=True)
                     for row in arr]
-        else:
-            ints = [int(v) for v in arr]
-        return _ints_to_decimal(ints, typ)
+            return _ints_to_decimal(ints, typ)
+        if small:
+            # INT32/INT64-backed decimals: no per-row Python
+            return _pipeline._values_to_decimal(
+                np.asarray(arr, dtype=np.int64), typ.precision, typ.scale)
+        return _ints_to_decimal([int(v) for v in arr], typ)
     if pa.types.is_fixed_size_binary(typ):
         return pa.FixedSizeBinaryArray.from_buffers(
             typ, len(arr), [None, pa.py_buffer(

@@ -209,9 +209,14 @@ _STAT_FMT = {Kind.INT32: "<i", Kind.INT64: "<q",
              Kind.FLOAT: "<f", Kind.DOUBLE: "<d"}
 
 
-def _stat_bounds(vals, kind: int) -> tuple[bytes | None, bytes | None]:
-    """(min_value, max_value) plain-encoded, or (None, None)."""
-    if len(vals) == 0:
+def _stat_bounds(vals, kind: int,
+                 logical: str | None = None) -> tuple[bytes | None, bytes | None]:
+    """(min_value, max_value) plain-encoded, or (None, None).
+
+    FLBA decimals (see _dec_flba) always get (None, None): byte order
+    is not value order across signs, and null bounds are never
+    prunable — safer than a reader pruning away real matches."""
+    if len(vals) == 0 or _dec_flba(kind, logical):
         return None, None
     if kind == Kind.BOOLEAN:
         a = np.asarray(vals, dtype=bool)
@@ -247,8 +252,7 @@ def _stat_bounds(vals, kind: int) -> tuple[bytes | None, bytes | None]:
 
 def _statistics_struct(vals, kind: int, null_count: int,
                        logical: str | None = None) -> bytes:
-    lo, hi = ((None, None) if _dec_flba(kind, logical)
-              else _stat_bounds(vals, kind))
+    lo, hi = _stat_bounds(vals, kind, logical)
     return tc.struct([
         (3, tc.I64, null_count),
         (5, tc.BINARY, hi),
@@ -357,11 +361,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         if spec.kind == Kind.BYTE_ARRAY:
             uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
         elif np.asarray(chunk_vals).ndim == 2:
-            # FLBA rows: np.unique needs axis=0 or it flattens the
-            # (n, width) matrix into single bytes — corrupt dictionary
-            uniques, indexes = np.unique(
-                np.asarray(chunk_vals), axis=0, return_inverse=True)
-            indexes = np.asarray(indexes).reshape(-1).astype(np.int32)
+            uniques, indexes = dictionary.factorize_flba(chunk_vals)
         else:
             uniques, indexes = dictionary.factorize_numeric(
                 np.asarray(chunk_vals))
@@ -433,9 +433,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
         out += pg
         total_raw += raw
         total_stored += stored
-        lo_b, hi_b = ((None, None)
-                      if _dec_flba(spec.kind, spec.logical)
-                      else _stat_bounds(page_vals, spec.kind))
+        lo_b, hi_b = _stat_bounds(page_vals, spec.kind, spec.logical)
         pages.append({
             "offset": page_off,
             "size": len(pg),
@@ -503,11 +501,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
         if spec.kind == Kind.BYTE_ARRAY:
             uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
         elif np.asarray(chunk_vals).ndim == 2:
-            # FLBA rows: np.unique needs axis=0 or it flattens the
-            # (n, width) matrix into single bytes — corrupt dictionary
-            uniques, indexes = np.unique(
-                np.asarray(chunk_vals), axis=0, return_inverse=True)
-            indexes = np.asarray(indexes).reshape(-1).astype(np.int32)
+            uniques, indexes = dictionary.factorize_flba(chunk_vals)
         else:
             uniques, indexes = dictionary.factorize_numeric(
                 np.asarray(chunk_vals))
@@ -578,9 +572,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
         out += pg
         total_raw += raw
         total_stored += stored
-        lo_b, hi_b = ((None, None)
-                      if _dec_flba(spec.kind, spec.logical)
-                      else _stat_bounds(page_vals, spec.kind))
+        lo_b, hi_b = _stat_bounds(page_vals, spec.kind, spec.logical)
         pages.append({
             "offset": page_off,
             "size": len(pg),

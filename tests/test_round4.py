@@ -666,6 +666,74 @@ def test_pqreader_big_endian_flba_decimals(tmp_path):
         == tbl.column("small").to_pylist()
 
 
+def test_pqreader_decimal256_and_int_backed(tmp_path):
+    """Spec-legal DECIMAL precision > 38 (BYTE_ARRAY / FLBA >= 17 bytes)
+    maps to decimal256 like pyarrow, not an uncontrolled ArrowInvalid;
+    DuckDB's INT32/INT64-backed decimals take the vectorized
+    _values_to_decimal path and still decode exactly."""
+    import decimal
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    vals = [decimal.Decimal("12345678901234567890123456789012345678.90"),
+            decimal.Decimal("-0.01"), None]
+    tbl = pa.table({"huge": pa.array(vals, pa.decimal256(40, 2))})
+    p = str(tmp_path / "dec256.parquet")
+    pq.write_table(tbl, p, use_dictionary=False)
+    ours = pqreader.read_table(p)
+    assert ours.schema.field("huge").type == pa.decimal256(40, 2)
+    assert ours.column("huge").to_pylist() == vals
+
+    # int32/int64 physical decimals (DuckDB writes these forms)
+    p2 = str(tmp_path / "decint.parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT (i - 500)/4.0::decimal(9,2) AS d32,"
+        "             (i * 1000000 - 13)/8.0::decimal(18,3) AS d64 "
+        "      FROM range(1000) t(i)) TO '" + p2 + "' (FORMAT parquet)")
+    ref = pq.read_table(p2)
+    got = pqreader.read_table(p2)
+    assert got.schema == ref.schema
+    assert got.to_pylist() == ref.to_pylist()
+
+
+def test_compact_export_inherits_decimals(spark, tmp_path):
+    """Small-file compaction on an export directory whose schema now
+    carries DECIMAL columns (round-4 write feature) must run and keep
+    values exact — to_spark() used to KeyError on decimal128(p, s)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop.compact import compact_export
+    from parquet_go_spark.interop.export import export_parquet
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 40}") for i in range(4000)], "k bigint, grp string"
+    ).select(
+        "k", "grp",
+        (F.col("k") / 4 - 100).cast("decimal(12,2)").alias("price"),
+        (F.concat(F.col("k").cast("string"),
+                  F.lit("00000000000000000.25")).cast("decimal(38,2)")
+         ).alias("big"),
+    )
+    out = str(tmp_path / "deccmp")
+    export_parquet(spark, df, out, repo_col="grp", salt_cols=["k"])
+    before = sorted(glob.glob(out + "/*.parquet"))
+    done = compact_export(spark, out, small_bytes=4 << 20,
+                          target_bytes=2 << 20)
+    after = sorted(glob.glob(out + "/*.parquet"))
+    assert done.count() > 0 and len(after) < len(before)
+    cols = ["k", "grp", "price", "big"]
+    assert sorted(map(str, spark.read.parquet(out + "/*.parquet")
+                      .select(*cols).collect())) \
+        == sorted(map(str, df.select(*cols).collect()))
+    assert pq.read_table(out).num_rows == 4000
+
+
 def test_shred_json_nested_residual(spark):
     """Residual values may be nested objects/arrays: the metadata
     dictionary must cover their keys recursively (was: KeyError in the
