@@ -532,8 +532,12 @@ def _rt_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _parquet_read_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-direction parquet (OpenFile analog, file.go:65-130): export
     orders with OUR writer, then decode the files back through OUR
-    pqreader kernels — distributed, one file per input slice — and
-    compare against the source table via the oracle."""
+    pqreader kernels — distributed, one file per input slice, with the
+    projection AND a stat/bloom-prunable predicate pushed into every
+    task (round-4: row groups that footer min/max statistics refute
+    are skipped without reading a data page, the reader analog of
+    column_index.go search) — and compare against the source table
+    WHERE-filtered by the oracle."""
     from parquet_go_spark.interop import pqreader
 
     df = _load(spark, sf_dir, "orders")
@@ -542,9 +546,11 @@ def _parquet_read_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, df, out, repo_col="o_orderstatus",
         salt_cols=["o_orderkey"], target_chunk_bytes=1 << 20,
     )
-    back = pqreader.spark_read(spark, out).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
+    back = pqreader.spark_read(
+        spark, out,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+        predicate=("o_totalprice", ">", 300000.0),
     )
     return _fmt_ts(back, "o_orderdate")
 
@@ -1202,7 +1208,9 @@ def oracle_sql() -> dict[str, str]:
             "'000000000000000000.25' AS DECIMAL(38,2)) AS VARCHAR) "
             "AS big_dec FROM orders"
         ),
-        "parquet_read_golden": f"SELECT {o_cols} FROM orders",
+        "parquet_read_golden": (
+            f"SELECT {o_cols} FROM orders WHERE o_totalprice > 300000.0"
+        ),
         "datasource_write_orders": f"SELECT {o_cols} FROM orders",
         "datasource_read_orders": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "

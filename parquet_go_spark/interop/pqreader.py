@@ -320,89 +320,112 @@ def _concat_values(parts: list, leaf: _Node):
     return np.concatenate(parts)
 
 
-def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
+def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
+                 dictionary_vals):
+    """Decode ONE page at pos. Returns (kind, payload, next_pos):
+    kind "dict" → payload = dictionary values;
+    kind "data" → payload = (defs, reps, values, nv)."""
+    max_def, max_rep = leaf.max_def, leaf.max_rep
+    hdr, body = read_struct(data, pos)
+    ptype = hdr[1]
+    raw = bytes(data[body:body + hdr[3]])
+    if len(raw) < hdr[3]:
+        raise ValueError("pqreader: truncated page")
+    next_pos = body + hdr[3]
+    if ptype == 2:  # dictionary page (PLAIN / PLAIN_DICTIONARY blob)
+        if codec:
+            raw = pa.Codec(codec).decompress(raw, hdr[2], asbytes=True)
+        ph = hdr[7]
+        return "dict", _decode_values(raw, ph[1], leaf, Codec.PLAIN,
+                                      None), next_pos
+    if ptype == 0:  # data page v1: levels + values compressed together
+        if codec:
+            raw = pa.Codec(codec).decompress(raw, hdr[2], asbytes=True)
+        ph = hdr[5]
+        nv, enc = ph[1], ph[2]
+        def_enc, rep_enc = ph.get(3, Codec.RLE), ph.get(4, Codec.RLE)
+        # v1 level sections: RLE streams carry a 4-byte LE length
+        # prefix; legacy BIT_PACKED streams have NO prefix — their
+        # size is exactly ceil(nv * width / 8)
+        def _v1_levels(buf, off, max_level, enc):
+            if enc == Codec.BIT_PACKED:
+                ln = (nv * _level_width(max_level) + 7) // 8
+                return (_decode_level_stream(
+                    buf[off:off + ln], nv, max_level, enc), off + ln)
+            ln = int.from_bytes(buf[off:off + 4], "little")
+            return (_decode_level_stream(
+                buf[off + 4:off + 4 + ln], nv, max_level, enc),
+                off + 4 + ln)
+
+        off = 0
+        reps = np.zeros(nv, dtype=np.int64)
+        if max_rep > 0:
+            reps, off = _v1_levels(raw, off, max_rep, rep_enc)
+        defs = np.full(nv, max_def, dtype=np.int64)
+        if max_def > 0:
+            defs, off = _v1_levels(raw, off, max_def, def_enc)
+        vals_buf = raw[off:]
+    elif ptype == 3:  # data page v2: level sections never compressed
+        ph = hdr[8]
+        nv, enc = ph[1], ph[4]
+        dlb, rlb = ph.get(5, 0), ph.get(6, 0)
+        lvl = rlb + dlb
+        vals_buf = raw[lvl:]
+        if codec and ph.get(7, True):
+            vals_buf = pa.Codec(codec).decompress(
+                vals_buf, hdr[2] - lvl, asbytes=True)
+        reps = (_decode_level_stream(raw[:rlb], nv, max_rep, Codec.RLE)
+                if max_rep > 0 else np.zeros(nv, dtype=np.int64))
+        defs = (_decode_level_stream(raw[rlb:lvl], nv, max_def,
+                                     Codec.RLE)
+                if max_def > 0 else np.full(nv, max_def, dtype=np.int64))
+    else:
+        raise ValueError(f"pqreader: unexpected page type {ptype}")
+    n_nonnull = int((defs == max_def).sum())
+    values = _decode_values(vals_buf, n_nonnull, leaf, enc,
+                            dictionary_vals)
+    return "data", (np.asarray(defs, dtype=np.int64),
+                    np.asarray(reps, dtype=np.int64), values, nv), next_pos
+
+
+def _chunk_codec(meta: dict) -> str | None:
     codec = _CODEC_NAMES.get(meta[4])
     if meta[4] and codec is None:
         raise ValueError(f"pqreader: unsupported compression {meta[4]}")
-    start = meta.get(11) or meta[9]
-    num_values = meta[5]
-    pos = start
-    seen = 0
-    dictionary_vals = None
-    defs_parts, reps_parts, val_parts = [], [], []
-    max_def, max_rep = leaf.max_def, leaf.max_rep
-    while seen < num_values:
-        hdr, body = read_struct(data, pos)
-        ptype = hdr[1]
-        raw = bytes(data[body:body + hdr[3]])
-        if len(raw) < hdr[3]:
-            raise ValueError("pqreader: truncated page")
-        if ptype == 2:  # dictionary page (PLAIN / PLAIN_DICTIONARY blob)
-            if codec:
-                raw = pa.Codec(codec).decompress(raw, hdr[2], asbytes=True)
-            ph = hdr[7]
-            dictionary_vals = _decode_values(
-                raw, ph[1], leaf, Codec.PLAIN, None)
-            pos = body + hdr[3]
-            continue
-        if ptype == 0:  # data page v1: levels + values compressed together
-            if codec:
-                raw = pa.Codec(codec).decompress(raw, hdr[2], asbytes=True)
-            ph = hdr[5]
-            nv, enc = ph[1], ph[2]
-            def_enc, rep_enc = ph.get(3, Codec.RLE), ph.get(4, Codec.RLE)
-            # v1 level sections: RLE streams carry a 4-byte LE length
-            # prefix; legacy BIT_PACKED streams have NO prefix — their
-            # size is exactly ceil(nv * width / 8)
-            def _v1_levels(buf, off, max_level, enc):
-                if enc == Codec.BIT_PACKED:
-                    ln = (nv * _level_width(max_level) + 7) // 8
-                    return (_decode_level_stream(
-                        buf[off:off + ln], nv, max_level, enc), off + ln)
-                ln = int.from_bytes(buf[off:off + 4], "little")
-                return (_decode_level_stream(
-                    buf[off + 4:off + 4 + ln], nv, max_level, enc),
-                    off + 4 + ln)
+    return codec
 
-            off = 0
-            reps = np.zeros(nv, dtype=np.int64)
-            if max_rep > 0:
-                reps, off = _v1_levels(raw, off, max_rep, rep_enc)
-            defs = np.full(nv, max_def, dtype=np.int64)
-            if max_def > 0:
-                defs, off = _v1_levels(raw, off, max_def, def_enc)
-            vals_buf = raw[off:]
-        elif ptype == 3:  # data page v2: level sections never compressed
-            ph = hdr[8]
-            nv, enc = ph[1], ph[4]
-            dlb, rlb = ph.get(5, 0), ph.get(6, 0)
-            lvl = rlb + dlb
-            vals_buf = raw[lvl:]
-            if codec and ph.get(7, True):
-                vals_buf = pa.Codec(codec).decompress(
-                    vals_buf, hdr[2] - lvl, asbytes=True)
-            reps = (_decode_level_stream(raw[:rlb], nv, max_rep, Codec.RLE)
-                    if max_rep > 0 else np.zeros(nv, dtype=np.int64))
-            defs = (_decode_level_stream(raw[rlb:lvl], nv, max_def,
-                                         Codec.RLE)
-                    if max_def > 0 else np.full(nv, max_def, dtype=np.int64))
-        else:
-            raise ValueError(f"pqreader: unexpected page type {ptype}")
-        n_nonnull = int((defs == max_def).sum())
-        val_parts.append(_decode_values(
-            vals_buf, n_nonnull, leaf, enc, dictionary_vals))
-        defs_parts.append(np.asarray(defs, dtype=np.int64))
-        reps_parts.append(np.asarray(reps, dtype=np.int64))
-        seen += nv
-        pos = body + hdr[3]
+
+def _leaf_data(defs_parts, reps_parts, val_parts, leaf) -> _LeafData:
     defs = np.concatenate(defs_parts) if defs_parts \
         else np.zeros(0, np.int64)
     reps = np.concatenate(reps_parts) if reps_parts \
         else np.zeros(0, np.int64)
     values = _concat_values(val_parts, leaf) if val_parts \
         else np.zeros(0, np.int64)
-    val_idx = np.cumsum(defs == max_def) - 1
+    val_idx = np.cumsum(defs == leaf.max_def) - 1
     return _LeafData(defs, reps, values, val_idx)
+
+
+def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
+    codec = _chunk_codec(meta)
+    start = meta.get(11) or meta[9]
+    num_values = meta[5]
+    pos = start
+    seen = 0
+    dictionary_vals = None
+    defs_parts, reps_parts, val_parts = [], [], []
+    while seen < num_values:
+        kind, payload, pos = _decode_page(
+            data, pos, leaf, codec, dictionary_vals)
+        if kind == "dict":
+            dictionary_vals = payload
+            continue
+        defs, reps, values, nv = payload
+        val_parts.append(values)
+        defs_parts.append(defs)
+        reps_parts.append(reps)
+        seen += nv
+    return _leaf_data(defs_parts, reps_parts, val_parts, leaf)
 
 
 # ------------------------------------------------------------- assembly
@@ -624,85 +647,589 @@ def _map_with_validity(offsets, keys, items, valid) -> pa.Array:
     return pa.MapArray.from_arrays(all_off, keys, items)
 
 
-def _read_footer(path: str) -> tuple[bytes, dict]:
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+def _read_footer_file(f, size: int, path: str) -> dict:
+    """FileMetaData from an open file via seeks — footer bytes only,
+    never the data pages (the point: schema reads and refuted row
+    groups cost KBs of metadata, not the file)."""
+    if size < 12:
         raise ValueError(f"pqreader: {path} is not a parquet file")
-    flen = int.from_bytes(data[-8:-4], "little")
-    if flen <= 0 or flen > len(data) - 8:
+    f.seek(0)
+    if f.read(4) != b"PAR1":
+        raise ValueError(f"pqreader: {path} is not a parquet file")
+    f.seek(size - 8)
+    tail = f.read(8)
+    if tail[4:] != b"PAR1":
+        raise ValueError(f"pqreader: {path} is not a parquet file")
+    flen = int.from_bytes(tail[:4], "little")
+    if flen <= 0 or flen > size - 8:
         raise ValueError("pqreader: corrupt footer length")
-    fmd, _ = read_struct(data, len(data) - 8 - flen)
-    return data, fmd
+    f.seek(size - 8 - flen)
+    fmd, _ = read_struct(f.read(flen), 0)
+    return fmd
 
 
 def read_schema(path: str) -> pa.Schema:
     """Footer-only schema (no data pages touched) — what spark_read
     uses on the driver."""
-    _, fmd = _read_footer(path)
+    import os
+
+    with open(path, "rb") as f:
+        fmd = _read_footer_file(f, os.path.getsize(path), path)
     root = _parse_schema(fmd[2])
     _annotate(root, 0, 0, ())
     return pa.schema(
         [pa.field(c.name, _node_arrow_type(c)) for c in root.children])
 
 
-def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Decode a .parquet file through our kernels → pyarrow Table."""
-    data, fmd = _read_footer(path)
-    root = _parse_schema(fmd[2])
-    _annotate(root, 0, 0, ())
-    top = [c for c in root.children
-           if columns is None or c.name in columns]
-    leaves = {lf.path: lf for c in top for lf in _leaves(c)}
-    batches = []
-    names = [c.name for c in top]
-    arrow_fields = [pa.field(c.name, _node_arrow_type(c)) for c in top]
-    for rg in fmd[4]:
-        chunk_by_path = {}
-        for cc in rg[1]:
-            meta = cc[3]
-            p = tuple(x.decode() if isinstance(x, bytes) else str(x)
-                      for x in meta[3])
-            chunk_by_path[p] = meta
-        leaf_data = {}
-        for p, lf in leaves.items():
-            if p not in chunk_by_path:
-                raise ValueError(f"pqreader: column {p} missing in footer")
-            leaf_data[p] = _read_leaf_chunk(data, chunk_by_path[p], lf)
-        n_rows = rg[3]
-        starts, ends = {}, {}
-        for p, ld in leaf_data.items():
-            s = np.flatnonzero(ld.reps == 0) if leaves[p].max_rep \
-                else np.arange(len(ld.defs))
-            if len(s) != n_rows:
-                raise ValueError(
-                    f"pqreader: column {p} has {len(s)} rows, footer "
-                    f"says {n_rows}")
-            e = np.empty_like(s)
-            e[:-1] = s[1:]
-            if len(s):
-                e[-1] = len(ld.defs)
-            starts[p], ends[p] = s, e
-        arrays = [_assemble(c, leaf_data, starts, ends, n_rows)
-                  for c in top]
-        batches.append(pa.record_batch(
-            [a.cast(f.type) if a.type != f.type else a
-             for a, f in zip(arrays, arrow_fields)],
-            schema=pa.schema(arrow_fields)))
+# ------------------------------------------------- predicate pruning
+
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+@dataclass
+class _Pred:
+    name: str
+    op: str                      # normalized: "==" → "="
+    leaf: _Node
+    value: object                # original literal (row-level filter)
+    stat_cmp: object = None      # comparable in stat space, or None
+    unsigned: bool = False
+    trust: bool = False          # column_orders declared → stats usable
+    bloom_args: tuple | None = None  # spec_hashes(values, kind, flba)
+
+
+def _ts_unit(leaf: _Node) -> str | None:
+    lg = leaf.logical or {}
+    ts = lg.get(8)
+    if ts is not None:
+        u = ts.get(2, {})
+        return "ms" if 1 in u else ("ns" if 3 in u else "us")
+    if leaf.converted == _CT_TS_MILLIS:
+        return "ms"
+    if leaf.converted == _CT_TS_MICROS:
+        return "us"
+    return None
+
+
+def _ts_micros(value) -> int | None:
+    """datetime → epoch micros. Aware datetimes convert via their tz;
+    NAIVE datetimes are read as UTC (documented API contract — unlike
+    Spark filter literals there is no session tz here)."""
+    import datetime as _dt
+
+    if not isinstance(value, _dt.datetime):
+        return None
+    if value.tzinfo is not None:
+        value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (value - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+        microseconds=1)
+
+
+def _dec_unscaled_exact(value, scale: int) -> int | None:
+    """Decimal/int literal → unscaled int at the column scale, or None
+    when the literal has more fractional digits than the scale (not
+    representable — pruning must then keep everything)."""
+    import decimal as _dec
+
+    if isinstance(value, bool) or not isinstance(value, (int, _dec.Decimal)):
+        return None
+    with _dec.localcontext() as ctx:
+        ctx.prec = 60
+        d = _dec.Decimal(value).scaleb(scale)
+        if d != d.to_integral_value():
+            return None
+        return int(d)
+
+
+def _pred_stat_value(leaf: _Node, value):
+    """Literal → (cmp in the column's stat space, unsigned) or None."""
+    import datetime as _dt
+
+    ph = leaf.physical
+    lg = leaf.logical or {}
+    ct = leaf.converted
+    is_dec = 5 in lg or ct == _CT_DECIMAL
+    if is_dec:
+        if ph not in (1, 2):  # BYTE_ARRAY/FLBA decimals: byte order
+            return None       # is not value order — stats unusable
+        dec = lg.get(5, {})
+        u = _dec_unscaled_exact(value, dec.get(1, leaf.scale))
+        return None if u is None else (u, False)
+    if ph == 0:
+        return (int(value), False) if isinstance(value, bool) else None
+    if ph == 1 and (6 in lg or ct == _CT_DATE):
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            return (value - _dt.date(1970, 1, 1)).days, False
+        return None
+    if ph == 2 and _ts_unit(leaf) is not None:
+        us = _ts_micros(value)
+        if us is None:
+            return None
+        unit = _ts_unit(leaf)
+        if unit == "ns":
+            return us * 1000, False
+        if unit == "ms":
+            return (us // 1000, False) if us % 1000 == 0 else None
+        return us, False
+    if ph in (1, 2):
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+        intl = lg.get(10)
+        unsigned = (intl is not None and not intl.get(2, True)) \
+            or ct in (11, 12, 13, 14)
+        return value, unsigned
+    if ph in (4, 5):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        v = float(value)
+        return None if v != v else (v, False)  # NaN never prunes
+    if ph == 6:
+        if isinstance(value, str):
+            return value.encode("utf-8"), False
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value), False
+        return None
+    if ph == 7:
+        if isinstance(value, (bytes, bytearray)) \
+                and len(value) == (leaf.type_length or 0):
+            return bytes(value), False
+        return None
+    return None  # INT96: no ordered stats
+
+
+_STAT_UNPACK = {1: ("<i", "<I"), 2: ("<q", "<Q"),
+                4: ("<f", "<f"), 5: ("<d", "<d")}
+
+
+def _stat_raw_to_cmp(raw: bytes, leaf: _Node, unsigned: bool):
+    """Footer min_value/max_value bytes → comparable, or None (keep)."""
+    import struct as _struct
+
+    ph = leaf.physical
+    if ph == 0:
+        return raw[0] if len(raw) == 1 else None
+    if ph in _STAT_UNPACK:
+        fmt = _STAT_UNPACK[ph][1 if unsigned else 0]
+        if len(raw) != _struct.calcsize(fmt):
+            return None
+        v = _struct.unpack(fmt, raw)[0]
+        return None if ph in (4, 5) and v != v else v
+    if ph in (6, 7):
+        return bytes(raw)
+    return None
+
+
+def _pred_bloom_args(leaf: _Node, stat_cmp, unsigned: bool, value):
+    """(values, kind, flba_size) for pqbloom.spec_hashes, or None.
+    Covers FLBA decimals too (stats are unusable there, but the spec
+    bloom hashes the big-endian physical bytes — a point probe works)."""
+    ph = leaf.physical
+    lg = leaf.logical or {}
+    is_dec = 5 in lg or leaf.converted == _CT_DECIMAL
+    if ph == 7 and is_dec:
+        w = leaf.type_length or 0
+        dec = lg.get(5, {})
+        u = _dec_unscaled_exact(value, dec.get(1, leaf.scale))
+        if u is None or w <= 0:
+            return None
+        try:
+            raw = u.to_bytes(w, "big", signed=True)
+        except OverflowError:
+            return None  # literal exceeds the column width: keep
+        return (np.frombuffer(raw, np.uint8).reshape(1, w),
+                Kind.FIXED_LEN_BYTE_ARRAY, w)
+    if stat_cmp is None:
+        return None
+    if ph == 1:
+        a = np.array([stat_cmp], dtype="<u4" if unsigned else "<i4")
+        return a, Kind.INT32, None
+    if ph == 2:
+        a = np.array([stat_cmp], dtype="<u8" if unsigned else "<i8")
+        return a, Kind.INT64, None
+    if ph == 4:
+        return np.array([stat_cmp], dtype="<f4"), Kind.FLOAT, None
+    if ph == 5:
+        return np.array([stat_cmp], dtype="<f8"), Kind.DOUBLE, None
+    if ph == 6:
+        return (ByteArrays.from_pylist([stat_cmp]), Kind.BYTE_ARRAY, None)
+    if ph == 7:
+        w = leaf.type_length or len(stat_cmp)
+        return (np.frombuffer(stat_cmp, np.uint8).reshape(1, w),
+                Kind.FIXED_LEN_BYTE_ARRAY, w)
+    return None
+
+
+def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
+    try:
+        name, op, value = predicate
+    except (TypeError, ValueError):
+        raise ValueError("pqreader: predicate must be (column, op, value)")
+    if op not in _PRED_OPS:
+        raise ValueError(f"pqreader: unsupported predicate op {op!r}")
+    op = "=" if op == "==" else op
+    node = next((c for c in root.children if c.name == name), None)
+    if node is None:
+        raise ValueError(f"pqreader: predicate column {name!r} not found")
+    if node.children or node.max_rep > 0:
+        raise ValueError(
+            f"pqreader: predicate column {name!r} must be a flat "
+            "scalar column")
+    pred = _Pred(name=name, op=op, leaf=node, value=value)
+    sv = _pred_stat_value(node, value)
+    if sv is not None:
+        pred.stat_cmp, pred.unsigned = sv
+    # min_value/max_value are only well-ordered when the footer declares
+    # column_orders (TypeDefinedOrder); legacy files get no stat pruning
+    pred.trust = bool(fmd.get(7))
+    if op == "=":
+        pred.bloom_args = _pred_bloom_args(
+            node, pred.stat_cmp, pred.unsigned, value)
+    return pred
+
+
+def _rg_survives(f, rg: dict, pred: _Pred) -> bool:
+    """False only when footer stats or the chunk bloom REFUTE the
+    predicate for this row group — no data pages are read either way."""
+    meta = None
+    for cc in rg[1]:
+        m = cc[3]
+        p = tuple(x.decode() if isinstance(x, bytes) else str(x)
+                  for x in m[3])
+        if p == (pred.name,):
+            meta = m
+            break
+    if meta is None:
+        return True
+    if pred.trust and pred.stat_cmp is not None:
+        st = meta.get(12)
+        if st is not None and st.get(5) is not None \
+                and st.get(6) is not None:
+            lo = _stat_raw_to_cmp(st[6], pred.leaf, pred.unsigned)
+            hi = _stat_raw_to_cmp(st[5], pred.leaf, pred.unsigned)
+            # BYTE_ARRAY bounds may be truncated: lo is a prefix
+            # (≤ true min), hi carries (≥ true max) — still sound
+            if lo is not None and hi is not None \
+                    and _bounds_refute(lo, hi, pred.op, pred.stat_cmp):
+                return False
+    if pred.bloom_args is not None and f is not None:
+        off = meta.get(14)
+        if off is not None:
+            from parquet_go_spark.interop import pqbloom
+
+            f.seek(off)
+            hdr, hlen = read_struct(f.read(64), 0)
+            f.seek(off + hlen)
+            bits = np.frombuffer(f.read(hdr[1]), dtype="<u4").reshape(-1, 8)
+            values, kind, flba = pred.bloom_args
+            hashes = pqbloom.spec_hashes(values, kind, flba_size=flba)
+            if not bool(pqbloom.might_contain(bits, hashes).any()):
+                return False
+    return True
+
+
+def _row_mask(arr, op: str, value, leaf: _Node):
+    """Exact row-level mask for the predicate on the assembled column.
+    Timestamps compare as integers in the column unit (tz-proof; naive
+    literals are UTC); everything else via a typed Arrow scalar."""
+    import pyarrow.compute as pc
+
+    ops = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+           ">": pc.greater, ">=": pc.greater_equal}
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        us = _ts_micros(value)
+        if us is None:
+            raise ValueError(
+                "pqreader: timestamp predicate needs a datetime literal")
+        per_us = {"s": None, "ms": None, "us": 1, "ns": 1000}[t.unit]
+        if t.unit == "ms":
+            q, r = divmod(us, 1000)
+        elif per_us is None:  # seconds
+            q, r = divmod(us, 1_000_000)
+        else:
+            q, r = us * per_us, 0
+        ints = arr.cast(pa.int64())
+        if r == 0:
+            return ops[op](ints, pa.scalar(q, pa.int64()))
+        if op == "=":  # stored values are integral: no row can equal
+            return pa.array(np.zeros(len(arr), dtype=bool))
+        # row OP v with v strictly between q and q+1:
+        #   row <  v ⟺ row <= q ;  row <= v ⟺ row <= q
+        #   row >  v ⟺ row >  q ;  row >= v ⟺ row >  q
+        return (pc.less_equal if op in ("<", "<=") else pc.greater)(
+            ints, pa.scalar(q, pa.int64()))
+    try:
+        scalar = pa.scalar(value, t)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as e:
+        raise ValueError(
+            f"pqreader: predicate value {value!r} is not representable "
+            f"in column type {t}: {e}") from None
+    return ops[op](arr, scalar)
+
+
+def _load_chunk(f, meta: dict) -> tuple[bytes, dict]:
+    """Read exactly one column chunk's byte range; offsets rebased so
+    _read_leaf_chunk decodes from position 0."""
+    start = meta.get(11) or meta[9]
+    f.seek(start)
+    buf = f.read(meta[7])
+    m2 = dict(meta)
+    m2.pop(11, None)
+    m2[9] = 0
+    return buf, m2
+
+
+# ------------------------------------------- page-level skipping
+# (ColumnIndex/OffsetIndex — the column_index.go search-path analog:
+#  inside a surviving row group, pages the page index refutes are
+#  never read, and the OTHER projected columns read only the pages
+#  overlapping the surviving rows)
+
+def _offset_index(f, cc: dict):
+    """[(offset, compressed_size, first_row_index)] or None."""
+    off, ln = cc.get(4), cc.get(5)
+    if off is None or ln is None:
+        return None
+    f.seek(off)
+    oi, _ = read_struct(f.read(ln), 0)
+    return [(pl[1], pl[2], pl[3]) for pl in oi[1]]
+
+
+def _column_index(f, cc: dict):
+    """(null_pages, min_values, max_values) or None."""
+    off, ln = cc.get(6), cc.get(7)
+    if off is None or ln is None:
+        return None
+    f.seek(off)
+    ci, _ = read_struct(f.read(ln), 0)
+    if 1 not in ci or 2 not in ci or 3 not in ci:
+        return None
+    return ci[1], ci[2], ci[3]
+
+
+def _bounds_refute(lo, hi, op: str, v) -> bool:
+    return not {"=": lo <= v <= hi, "<": lo < v, "<=": lo <= v,
+                ">": hi > v, ">=": hi >= v}[op]
+
+
+def _page_keep(ci, pred: _Pred) -> list[bool]:
+    """Per-page survival from the ColumnIndex (possibly-truncated
+    bounds stay sound, same as chunk Statistics). All-null pages never
+    satisfy a comparison predicate."""
+    null_pages, mins, maxs = ci
+    keep = []
+    for i, is_null in enumerate(null_pages):
+        if is_null:
+            keep.append(False)
+            continue
+        lo = _stat_raw_to_cmp(mins[i], pred.leaf, pred.unsigned)
+        hi = _stat_raw_to_cmp(maxs[i], pred.leaf, pred.unsigned)
+        if lo is None or hi is None:
+            keep.append(True)
+            continue
+        keep.append(not _bounds_refute(lo, hi, pred.op, pred.stat_cmp))
+    return keep
+
+
+def _rows_from_pages(locs, keep: list[bool], rg_rows: int):
+    """Kept pages → merged, disjoint row ranges within the row group."""
+    ranges = []
+    for i, k in enumerate(keep):
+        if not k:
+            continue
+        a = locs[i][2]
+        b = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
+        if ranges and ranges[-1][1] == a:
+            ranges[-1] = (ranges[-1][0], b)
+        else:
+            ranges.append((a, b))
+    return ranges
+
+
+def _slice_vals(vals, lo: int, hi: int):
+    if isinstance(vals, ByteArrays):
+        offs = vals.offsets[lo:hi + 1] - vals.offsets[lo]
+        return ByteArrays(
+            np.ascontiguousarray(
+                vals.data[vals.offsets[lo]:vals.offsets[hi]]),
+            np.asarray(offs, dtype=vals.offsets.dtype))
+    return vals[lo:hi]
+
+
+def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
+                    rg_rows: int) -> _LeafData:
+    """Decode only the pages of a FLAT leaf (max_rep == 0) overlapping
+    `ranges` (sorted, disjoint row intervals), trimmed to exactly those
+    rows. Refuted pages cost zero reads; the dictionary page (if any)
+    is read once."""
+    codec = _chunk_codec(meta)
+    dictionary_vals = None
+    dict_off = meta.get(11) or None  # 0 = legacy "absent" marker
+    if dict_off is not None:
+        f.seek(dict_off)
+        buf = f.read(locs[0][0] - dict_off)
+        kind, dictionary_vals, _ = _decode_page(buf, 0, leaf, codec, None)
+        if kind != "dict":
+            raise ValueError("pqreader: expected dictionary page")
+    max_def = leaf.max_def
+    defs_parts, reps_parts, val_parts = [], [], []
+    ri = 0  # ranges cursor (both ranges and pages are row-ordered)
+    for i, (off, size, row0) in enumerate(locs):
+        row1 = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
+        while ri < len(ranges) and ranges[ri][1] <= row0:
+            ri += 1
+        runs = []
+        for a, b in ranges[ri:]:
+            if a >= row1:
+                break
+            aa, bb = max(a, row0) - row0, min(b, row1) - row0
+            if aa < bb:
+                runs.append((aa, bb))
+        if not runs:
+            continue
+        f.seek(off)
+        buf = f.read(size)
+        kind, payload, _ = _decode_page(buf, 0, leaf, codec,
+                                        dictionary_vals)
+        if kind != "data":
+            raise ValueError("pqreader: page index points at a "
+                             "non-data page")
+        defs, _reps, values, nv = payload
+        if nv != row1 - row0:
+            raise ValueError(
+                f"pqreader: page row count {nv} != offset-index span "
+                f"{row1 - row0} for column {leaf.path}")
+        nn_cum = np.zeros(nv + 1, dtype=np.int64)
+        np.cumsum(defs == max_def, out=nn_cum[1:])
+        for aa, bb in runs:
+            defs_parts.append(defs[aa:bb])
+            reps_parts.append(np.zeros(bb - aa, dtype=np.int64))
+            val_parts.append(_slice_vals(
+                values, int(nn_cum[aa]), int(nn_cum[bb])))
+    return _leaf_data(defs_parts, reps_parts, val_parts, leaf)
+
+
+def read_table(path: str, columns: list[str] | None = None,
+               predicate=None) -> pa.Table:
+    """Decode a .parquet file through our kernels → pyarrow Table.
+
+    columns prunes the chunks READ (projection: skipped columns cost
+    zero data bytes). predicate = (column, op, literal) with op in
+    =, ==, <, <=, >, >= returns exactly the matching rows; row groups
+    that footer min/max statistics or a split-block bloom filter
+    refute are skipped without reading any data pages — the reader
+    analog of the engine's manifest stat/bloom pruning and of the
+    reference's ColumnIndex search path (column_index.go). Naive
+    datetime literals are interpreted as UTC."""
+    import os
+
+    with open(path, "rb") as f:
+        fmd = _read_footer_file(f, os.path.getsize(path), path)
+        root = _parse_schema(fmd[2])
+        _annotate(root, 0, 0, ())
+        pred = (_compile_predicate(root, fmd, predicate)
+                if predicate is not None else None)
+        top = [c for c in root.children
+               if columns is None or c.name in columns]
+        if pred is not None and pred.name not in (c.name for c in top):
+            raise ValueError(
+                f"pqreader: predicate column {pred.name!r} not in the "
+                "projected columns")
+        leaves = {lf.path: lf for c in top for lf in _leaves(c)}
+        batches = []
+        names = [c.name for c in top]
+        arrow_fields = [pa.field(c.name, _node_arrow_type(c)) for c in top]
+        flat = all(lf.max_rep == 0 and len(lf.path) == 1
+                   for lf in leaves.values())
+        for rg in fmd[4]:
+            if pred is not None and not _rg_survives(f, rg, pred):
+                continue
+            chunk_by_path, cc_by_path = {}, {}
+            for cc in rg[1]:
+                meta = cc[3]
+                p = tuple(x.decode() if isinstance(x, bytes) else str(x)
+                          for x in meta[3])
+                chunk_by_path[p] = meta
+                cc_by_path[p] = cc
+            for p in leaves:
+                if p not in chunk_by_path:
+                    raise ValueError(
+                        f"pqreader: column {p} missing in footer")
+            # page-level skipping inside a surviving row group (flat
+            # schemas; needs the predicate column's ColumnIndex and an
+            # OffsetIndex on every projected column)
+            page_ranges = page_ois = None
+            if pred is not None and pred.trust \
+                    and pred.stat_cmp is not None and flat:
+                pcc = cc_by_path.get((pred.name,))
+                ci = _column_index(f, pcc) if pcc is not None else None
+                locs = _offset_index(f, pcc) if pcc is not None else None
+                if ci is not None and locs is not None \
+                        and len(ci[0]) == len(locs):
+                    keep = _page_keep(ci, pred)
+                    if not any(keep):
+                        continue  # finer than chunk stats: whole rg out
+                    if not all(keep):
+                        ois = {p: _offset_index(f, cc_by_path[p])
+                               for p in leaves}
+                        if all(v is not None for v in ois.values()):
+                            page_ranges = _rows_from_pages(
+                                locs, keep, rg[3])
+                            page_ois = ois
+            leaf_data = {}
+            if page_ranges is not None:
+                for p, lf in leaves.items():
+                    leaf_data[p] = _read_leaf_rows(
+                        f, chunk_by_path[p], lf, page_ois[p],
+                        page_ranges, rg[3])
+                n_rows = sum(b - a for a, b in page_ranges)
+            else:
+                for p, lf in leaves.items():
+                    buf, meta2 = _load_chunk(f, chunk_by_path[p])
+                    leaf_data[p] = _read_leaf_chunk(buf, meta2, lf)
+                n_rows = rg[3]
+            starts, ends = {}, {}
+            for p, ld in leaf_data.items():
+                s = np.flatnonzero(ld.reps == 0) if leaves[p].max_rep \
+                    else np.arange(len(ld.defs))
+                if len(s) != n_rows:
+                    raise ValueError(
+                        f"pqreader: column {p} has {len(s)} rows, footer "
+                        f"says {n_rows}")
+                e = np.empty_like(s)
+                e[:-1] = s[1:]
+                if len(s):
+                    e[-1] = len(ld.defs)
+                starts[p], ends[p] = s, e
+            arrays = [_assemble(c, leaf_data, starts, ends, n_rows)
+                      for c in top]
+            batches.append(pa.record_batch(
+                [a.cast(fl.type) if a.type != fl.type else a
+                 for a, fl in zip(arrays, arrow_fields)],
+                schema=pa.schema(arrow_fields)))
     if not batches:
         return pa.schema(arrow_fields).empty_table()
-    return pa.Table.from_batches(batches)
+    tbl = pa.Table.from_batches(batches)
+    if pred is not None:
+        mask = _row_mask(tbl.column(pred.name).combine_chunks(),
+                         pred.op, pred.value, pred.leaf)
+        tbl = tbl.filter(mask)
+    return tbl
 
 
-def read_rows(path: str, columns: list[str] | None = None) -> list[dict]:
-    return read_table(path, columns).to_pylist()
+def read_rows(path: str, columns: list[str] | None = None,
+              predicate=None) -> list[dict]:
+    return read_table(path, columns, predicate=predicate).to_pylist()
 
 
-def spark_read(spark, dir_path: str):
+def spark_read(spark, dir_path: str, columns: list[str] | None = None,
+               predicate=None):
     """Distributed decode of a directory of parquet files through OUR
     kernels: one footer read on the driver for the schema, then one
     input slice per file decoded executor-side (mapInArrow) — the
-    OpenFile analog with no driver funnel."""
+    OpenFile analog with no driver funnel. columns/predicate push the
+    projection and the stat/bloom row-group pruning into each task
+    (read_table semantics: only matching rows come back)."""
     import os
 
     from pyspark.sql import functions as F  # noqa: N812
@@ -714,6 +1241,12 @@ def spark_read(spark, dir_path: str):
     if not files:
         raise ValueError(f"pqreader: no parquet files under {dir_path}")
     probe = read_schema(files[0])  # footer only — no driver-side decode
+    if columns is not None:
+        missing = sorted(set(columns) - set(probe.names))
+        if missing:
+            raise ValueError(f"pqreader: unknown columns {missing}")
+        probe = pa.schema(
+            [probe.field(n) for n in probe.names if n in columns])
     from pyspark.sql.pandas.types import from_arrow_schema
 
     out_schema = from_arrow_schema(probe)
@@ -725,7 +1258,7 @@ def spark_read(spark, dir_path: str):
     def decode(batches):
         for b in batches:
             for p in b.column(0).to_pylist():
-                tbl = read_table(p)
+                tbl = read_table(p, columns=columns, predicate=predicate)
                 yield from tbl.to_batches()
 
     return paths_df.mapInArrow(decode, out_schema)

@@ -891,3 +891,358 @@ def test_export_parquet_decimals_all_readers(spark, tmp_path):
                 assert st is None or not st.has_min_max
             if col.path_in_schema == "price":  # INT64-backed: stats kept
                 assert col.statistics.has_min_max
+
+
+# -------------------------------------- round-4: reader-side pruning
+def _count_chunk_reads(monkeypatch):
+    """Patch _read_leaf_chunk to count decoded chunks (pruned row
+    groups must never reach it)."""
+    from parquet_go_spark.interop import pqreader
+
+    calls = []
+    orig = pqreader._read_leaf_chunk
+
+    def spy(data, meta, leaf):
+        calls.append(leaf.path)
+        return orig(data, meta, leaf)
+
+    monkeypatch.setattr(pqreader, "_read_leaf_chunk", spy)
+    return calls
+
+
+def test_pqreader_predicate_prunes_row_groups(monkeypatch, tmp_path):
+    """predicate=(col, op, v) skips row groups refuted by footer
+    min/max stats WITHOUT reading their data pages, on an externally
+    written (pyarrow) file, and returns exactly the matching rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 8000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"row-{i:06d}" for i in range(n)]),
+        "price": pa.array([i / 7.0 for i in range(n)], pa.float64()),
+    })
+    p = str(tmp_path / "sorted.parquet")
+    pq.write_table(tbl, p, row_group_size=1000)  # 8 row groups
+    assert pq.ParquetFile(p).metadata.num_row_groups == 8
+
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("k", ">=", 7500))
+    assert got.num_rows == 500
+    assert got.column("k").to_pylist() == list(range(7500, 8000))
+    assert len(calls) == 3  # one surviving row group × 3 columns
+
+    calls.clear()
+    got = pqreader.read_table(p, columns=["k", "name"],
+                              predicate=("k", "=", 2500))
+    assert got.to_pylist() == [{"k": 2500, "name": "row-002500"}]
+    assert len(calls) == 2  # 1 rg × 2 projected columns
+
+    # string stats prune too (possibly-truncated bounds stay sound)
+    calls.clear()
+    got = pqreader.read_table(p, predicate=("name", "<", "row-000010"))
+    assert got.num_rows == 10
+    assert len(calls) == 3
+
+    # refuted everywhere: zero data bytes touched
+    calls.clear()
+    got = pqreader.read_table(p, predicate=("k", ">", 10**9))
+    assert got.num_rows == 0 and calls == []
+
+    # exactness: predicate inside a surviving group == pyarrow filter
+    exp = tbl.filter(pc.less(pc.field("price"), 3.0))
+    got = pqreader.read_table(p, predicate=("price", "<", 3.0))
+    assert got.to_pylist() == exp.to_pylist()
+
+
+def test_pqreader_bloom_prunes_within_stat_range(monkeypatch, tmp_path):
+    """An equality probe that stats cannot refute (value inside
+    [min, max]) still skips the row group via its split-block bloom."""
+    import numpy as np
+
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.codecs.kinds import Kind
+
+    evens = np.arange(0, 2000, 2, dtype=np.int64)  # 3 is inside [0,1998]
+    write_table(str(tmp_path / "ev.parquet"),
+                [ColumnSpec("k", Kind.INT64, evens)],
+                row_group_rows=500, bloom_columns=["k"])
+    p = str(tmp_path / "ev.parquet")
+
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("k", "=", 3))
+    assert got.num_rows == 0 and calls == []  # all 4 rgs bloom-refuted
+
+    got = pqreader.read_table(p, predicate=("k", "=", 1002))
+    assert got.column("k").to_pylist() == [1002]
+    assert len(calls) == 1  # only the owning row group decoded
+
+
+def test_pqreader_predicate_typed_columns(tmp_path):
+    """Timestamps (aware + naive-as-UTC literals), dates, and decimals
+    (int-backed stats; FLBA(16) via bloom) prune and filter exactly."""
+    import datetime as _dt
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    base = _dt.datetime(2024, 5, 1, tzinfo=_dt.timezone.utc)
+    n = 4000
+    tbl = pa.table({
+        "ts": pa.array([base + _dt.timedelta(minutes=i) for i in range(n)],
+                       pa.timestamp("us", tz="UTC")),
+        "day": pa.array([_dt.date(2024, 1, 1) + _dt.timedelta(days=i % 90)
+                         for i in range(n)]),
+        "amt": pa.array([decimal.Decimal(i) / 100 for i in range(n)],
+                        pa.decimal128(9, 2)),
+    })
+    p = str(tmp_path / "typed.parquet")
+    pq.write_table(tbl, p, row_group_size=1000)
+
+    cut_aware = base + _dt.timedelta(minutes=3990)
+    got = pqreader.read_table(p, predicate=("ts", ">=", cut_aware))
+    assert got.num_rows == 10
+    # naive literal == same instant read as UTC
+    cut_naive = cut_aware.replace(tzinfo=None)
+    same = pqreader.read_table(p, predicate=("ts", ">=", cut_naive))
+    assert same.num_rows == 10
+
+    got = pqreader.read_table(p, predicate=("day", "=", _dt.date(2024, 1, 5)))
+    assert got.num_rows == len(
+        [1 for i in range(n) if i % 90 == 4])
+
+    got = pqreader.read_table(
+        p, predicate=("amt", "<", decimal.Decimal("1.00")))
+    assert got.num_rows == 100
+
+    # INT64-backed decimals (DuckDB's physical form): stats PRUNE
+    import duckdb
+
+    p3 = str(tmp_path / "decint64.parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT (i/100.0)::decimal(18,2) AS amt FROM range(4000) "
+        "t(i) ORDER BY i) TO '" + p3
+        + "' (FORMAT parquet, ROW_GROUP_SIZE 1000)")
+    got = pqreader.read_table(
+        p3, predicate=("amt", ">=", decimal.Decimal("39.50")))
+    assert got.num_rows == 50
+
+    # FLBA(16) decimal: stats are unusable by design, bloom still prunes
+    from parquet_go_spark.interop.pqwriter import write_table
+
+    vals = [decimal.Decimal(i * 2) / 100 for i in range(2000)]  # evens
+    # build FLBA(16) big-endian rows the way the writer does
+    import numpy as np
+    ints = [int(v.scaleb(2)) for v in vals]
+    rows = np.frombuffer(
+        b"".join(i.to_bytes(16, "big", signed=True) for i in ints),
+        np.uint8).reshape(-1, 16)
+    from parquet_go_spark.interop.pqwriter import ColumnSpec
+    from parquet_go_spark.codecs.kinds import Kind
+    p2 = str(tmp_path / "flbadec.parquet")
+    write_table(p2, [ColumnSpec("amt", Kind.FIXED_LEN_BYTE_ARRAY, rows,
+                                flba_size=16, logical="decimal(38,2)")],
+                row_group_rows=500, bloom_columns=["amt"])
+    got = pqreader.read_table(
+        p2, predicate=("amt", "=", decimal.Decimal("0.03")))  # odd: absent
+    assert got.num_rows == 0
+    got = pqreader.read_table(
+        p2, predicate=("amt", "=", decimal.Decimal("10.02")))
+    assert got.num_rows == 1
+
+
+def test_pqreader_predicate_errors(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "tags": pa.array([[1], [2], [3]],
+                                     pa.list_(pa.int64()))})
+    p = str(tmp_path / "err.parquet")
+    pq.write_table(tbl, p)
+    with _pt.raises(ValueError, match="unsupported predicate op"):
+        pqreader.read_table(p, predicate=("k", "!=", 1))
+    with _pt.raises(ValueError, match="not found"):
+        pqreader.read_table(p, predicate=("zz", "=", 1))
+    with _pt.raises(ValueError, match="flat scalar"):
+        pqreader.read_table(p, predicate=("tags", "=", 1))
+    with _pt.raises(ValueError, match="not in the projected"):
+        pqreader.read_table(p, columns=["tags"], predicate=("k", "=", 1))
+    with _pt.raises(ValueError, match="not representable"):
+        pqreader.read_table(p, predicate=("k", "=", "abc"))
+
+
+def test_pqreader_spark_read_pushdown(spark, tmp_path):
+    """spark_read ships projection + predicate into every task; result
+    matches Spark's own parquet reader with the same filter."""
+    import glob
+
+    from parquet_go_spark.interop import pqreader
+
+    d = str(tmp_path / "sr")
+    spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n-"), F.col("id")).alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    ).repartition(4).write.parquet(d)
+    assert len(glob.glob(d + "/*.parquet")) == 4
+
+    ours = pqreader.spark_read(spark, d, columns=["k", "name"],
+                               predicate=("k", "<", 250))
+    assert [f.name for f in ours.schema.fields] == ["k", "name"]
+    exp = (spark.read.parquet(d).where(F.col("k") < 250)
+           .select("k", "name"))
+    assert sorted(map(str, ours.collect())) == sorted(map(str,
+                                                          exp.collect()))
+
+
+def test_pqreader_predicate_never_drops_rows_fuzz(tmp_path):
+    """Property: for ANY table/row-group split/op/literal, pruned+
+    filtered read_table equals pyarrow's unpruned read + compute
+    filter. Catches unsound stat comparisons (the failure mode that
+    silently loses rows)."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    pc_ops = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+              ">": pc.greater, ">=": pc.greater_equal}
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        data=st.data(),
+        kind=st.sampled_from(["i64", "f64", "str"]),
+        op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+        rg=st.integers(min_value=1, max_value=50),
+        sort=st.booleans(),
+        pageidx=st.booleans(),
+    )
+    def check(data, kind, op, rg, sort, pageidx):
+        n = data.draw(st.integers(min_value=1, max_value=120))
+        if kind == "i64":
+            elems = st.integers(min_value=-2**63, max_value=2**63 - 1)
+            typ = pa.int64()
+        elif kind == "f64":
+            elems = st.floats(allow_nan=False, width=64)
+            typ = pa.float64()
+        else:
+            elems = st.text(max_size=20)
+            typ = pa.string()
+        vals = data.draw(st.lists(
+            st.one_of(st.none(), elems), min_size=n, max_size=n))
+        lit = data.draw(elems)
+        if sort:
+            vals = sorted([v for v in vals if v is not None]) \
+                + [v for v in vals if v is None]
+        tbl = pa.table({"x": pa.array(vals, typ)})
+        p = str(tmp_path / f"fuzz-{kind}.parquet")
+        pq.write_table(tbl, p, row_group_size=rg,
+                       write_page_index=pageidx,
+                       data_page_size=64 if pageidx else None)
+        got = pqreader.read_table(p, predicate=("x", op, lit))
+        exp = tbl.filter(pc_ops[op](tbl.column("x"), pa.scalar(lit, typ)))
+        assert got.column("x").to_pylist() == exp.column("x").to_pylist()
+
+    check()
+
+
+def test_pqreader_page_level_skipping(monkeypatch, tmp_path):
+    """Inside a surviving row group, pages refuted by the ColumnIndex
+    never decode, and the other projected columns decode only the
+    pages overlapping the surviving rows (OffsetIndex alignment) —
+    the column_index.go search-path analog."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.codecs.bytearrays import ByteArrays
+
+    n = 20000
+    k = np.arange(n, dtype=np.int64)
+    names = ByteArrays.from_pylist(
+        [f"row-{i:07d}".encode() for i in range(n)])
+    price = (k % 977).astype(np.float64)
+    p = str(tmp_path / "paged.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, k),
+                    ColumnSpec("name", Kind.BYTE_ARRAY, names,
+                               logical="string"),
+                    ColumnSpec("price", Kind.DOUBLE, price)],
+                page_rows=1000, row_group_rows=n)  # 1 rg × 20 pages/col
+    assert pq.ParquetFile(p).metadata.num_row_groups == 1
+
+    pages = []
+    orig = pqreader._decode_page
+
+    def spy(data, pos, leaf, codec, dictionary_vals):
+        out = orig(data, pos, leaf, codec, dictionary_vals)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+
+    got = pqreader.read_table(p, predicate=("k", ">=", 18500))
+    assert got.column("k").to_pylist() == list(range(18500, n))
+    assert got.column("name").to_pylist()[0] == "row-0018500"
+    # 2 surviving pages (18000-18999, 19000-19999) × 3 columns
+    assert len(pages) == 6
+
+    pages.clear()
+    got = pqreader.read_table(p, columns=["k", "price"],
+                              predicate=("k", "=", 4242))
+    assert got.to_pylist() == [{"k": 4242, "price": float(4242 % 977)}]
+    assert len(pages) == 2  # one page per projected column
+
+    # rows with nulls in OTHER columns keep alignment across pages
+    valid = (k % 3 != 0)
+    p2 = str(tmp_path / "pagednull.parquet")
+    write_table(p2, [ColumnSpec("k", Kind.INT64, k),
+                     ColumnSpec("v", Kind.DOUBLE, price[valid],
+                                validity=valid)],
+                page_rows=1000, row_group_rows=n)
+    got = pqreader.read_table(p2, predicate=("k", ">=", 17777))
+    exp = [None if i % 3 == 0 else float(i % 977)
+           for i in range(17777, n)]
+    assert got.column("v").to_pylist() == exp
+
+
+def test_pqreader_page_skipping_external_pyarrow(tmp_path):
+    """Page skipping on a pyarrow-written file (write_page_index=True)
+    gives the same rows as pyarrow's own filtered read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 50000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "tag": pa.array([f"t{i % 17}" for i in range(n)]),
+    })
+    p = str(tmp_path / "pa_paged.parquet")
+    pq.write_table(tbl, p, row_group_size=n, data_page_size=4096,
+                   write_page_index=True, use_dictionary=False)
+    got = pqreader.read_table(p, predicate=("k", "<", 123))
+    exp = tbl.filter(pc.less(pc.field("k"), 123))
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    assert got.column("tag").to_pylist() == exp.column("tag").to_pylist()
