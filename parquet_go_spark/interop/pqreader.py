@@ -1109,8 +1109,23 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
     return _leaf_data(defs_parts, reps_parts, val_parts, leaf)
 
 
+def _intersect_ranges(a, b):
+    """Intersection of two sorted, disjoint range lists."""
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo, hi = max(a[i][0], b[j][0]), min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
 def read_table(path: str, columns: list[str] | None = None,
-               predicate=None) -> pa.Table:
+               predicate=None, row_range=None) -> pa.Table:
     """Decode a .parquet file through our kernels → pyarrow Table.
 
     columns prunes the chunks READ (projection: skipped columns cost
@@ -1120,9 +1135,20 @@ def read_table(path: str, columns: list[str] | None = None,
     refute are skipped without reading any data pages — the reader
     analog of the engine's manifest stat/bloom pruning and of the
     reference's ColumnIndex search path (column_index.go). Naive
-    datetime literals are interpreted as UTC."""
+    datetime literals are interpreted as UTC. row_range = (start,
+    stop) returns file rows [start, stop) — the SeekToRow analog
+    (reader.go): row groups outside the range read nothing, and with
+    page indexes a partially-covered group decodes only the
+    overlapping pages."""
     import os
 
+    if row_range is not None:
+        lo, hi = row_range
+        if not (isinstance(lo, int) and isinstance(hi, int)
+                and 0 <= lo <= hi):
+            raise ValueError(
+                f"pqreader: row_range must be 0 <= start <= stop, "
+                f"got {row_range!r}")
     with open(path, "rb") as f:
         fmd = _read_footer_file(f, os.path.getsize(path), path)
         root = _parse_schema(fmd[2])
@@ -1141,7 +1167,19 @@ def read_table(path: str, columns: list[str] | None = None,
         arrow_fields = [pa.field(c.name, _node_arrow_type(c)) for c in top]
         flat = all(lf.max_rep == 0 and len(lf.path) == 1
                    for lf in leaves.values())
+        base = 0
         for rg in fmd[4]:
+            rg_n = rg[3]
+            rg_lo = base
+            base += rg_n
+            local = None  # rows of THIS group wanted by row_range
+            if row_range is not None:
+                a = max(row_range[0] - rg_lo, 0)
+                b = min(row_range[1] - rg_lo, rg_n)
+                if a >= b:
+                    continue  # group entirely outside: nothing read
+                if (a, b) != (0, rg_n):
+                    local = (a, b)
             if pred is not None and not _rg_survives(f, rg, pred):
                 continue
             chunk_by_path, cc_by_path = {}, {}
@@ -1174,20 +1212,36 @@ def read_table(path: str, columns: list[str] | None = None,
                                for p in leaves}
                         if all(v is not None for v in ois.values()):
                             page_ranges = _rows_from_pages(
-                                locs, keep, rg[3])
+                                locs, keep, rg_n)
                             page_ois = ois
+            # combine the predicate's surviving pages with the
+            # row_range slice of this group
+            sub = page_ranges
+            if local is not None:
+                sub = _intersect_ranges(sub or [(0, rg_n)], [local])
+                if not sub:
+                    continue
+                if page_ois is None and flat:
+                    ois = {p: _offset_index(f, cc_by_path[p])
+                           for p in leaves}
+                    if all(v is not None for v in ois.values()):
+                        page_ois = ois
+            slice_after = None
             leaf_data = {}
-            if page_ranges is not None:
+            if sub is not None and page_ois is not None:
                 for p, lf in leaves.items():
                     leaf_data[p] = _read_leaf_rows(
                         f, chunk_by_path[p], lf, page_ois[p],
-                        page_ranges, rg[3])
-                n_rows = sum(b - a for a, b in page_ranges)
+                        sub, rg_n)
+                n_rows = sum(b - a for a, b in sub)
             else:
                 for p, lf in leaves.items():
                     buf, meta2 = _load_chunk(f, chunk_by_path[p])
                     leaf_data[p] = _read_leaf_chunk(buf, meta2, lf)
-                n_rows = rg[3]
+                n_rows = rg_n
+                # no page index (or nested schema): decode the whole
+                # group, then slice the assembled rows
+                slice_after = local
             starts, ends = {}, {}
             for p, ld in leaf_data.items():
                 s = np.flatnonzero(ld.reps == 0) if leaves[p].max_rep \
@@ -1203,10 +1257,14 @@ def read_table(path: str, columns: list[str] | None = None,
                 starts[p], ends[p] = s, e
             arrays = [_assemble(c, leaf_data, starts, ends, n_rows)
                       for c in top]
-            batches.append(pa.record_batch(
+            rb = pa.record_batch(
                 [a.cast(fl.type) if a.type != fl.type else a
                  for a, fl in zip(arrays, arrow_fields)],
-                schema=pa.schema(arrow_fields)))
+                schema=pa.schema(arrow_fields))
+            if slice_after is not None:
+                rb = rb.slice(slice_after[0],
+                              slice_after[1] - slice_after[0])
+            batches.append(rb)
     if not batches:
         return pa.schema(arrow_fields).empty_table()
     tbl = pa.Table.from_batches(batches)
@@ -1218,8 +1276,9 @@ def read_table(path: str, columns: list[str] | None = None,
 
 
 def read_rows(path: str, columns: list[str] | None = None,
-              predicate=None) -> list[dict]:
-    return read_table(path, columns, predicate=predicate).to_pylist()
+              predicate=None, row_range=None) -> list[dict]:
+    return read_table(path, columns, predicate=predicate,
+                      row_range=row_range).to_pylist()
 
 
 def spark_read(spark, dir_path: str, columns: list[str] | None = None,

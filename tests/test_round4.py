@@ -1246,3 +1246,57 @@ def test_pqreader_page_skipping_external_pyarrow(tmp_path):
     exp = tbl.filter(pc.less(pc.field("k"), 123))
     assert got.column("k").to_pylist() == exp.column("k").to_pylist()
     assert got.column("tag").to_pylist() == exp.column("tag").to_pylist()
+
+
+def test_pqreader_row_range_seek(monkeypatch, tmp_path):
+    """row_range=(start, stop) is the SeekToRow analog (reader.go):
+    row groups outside the range read zero chunks; with page indexes a
+    partially-covered group decodes only the overlapping pages; nested
+    schemas fall back to decode+slice but stay exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 10000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"r{i}" for i in range(n)]),
+    })
+    p = str(tmp_path / "seek.parquet")
+    pq.write_table(tbl, p, row_group_size=1000, data_page_size=2048,
+                   write_page_index=True, use_dictionary=False)
+
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, row_range=(4500, 4600))
+    assert got.to_pylist() == tbl.slice(4500, 100).to_pylist()
+    assert calls == []  # partial group went through the page path
+
+    # spanning a group boundary, mixing full and partial groups
+    got = pqreader.read_table(p, row_range=(2990, 5010))
+    assert got.to_pylist() == tbl.slice(2990, 2020).to_pylist()
+
+    # out-of-file tail clamps; empty range is empty
+    assert pqreader.read_table(p, row_range=(n - 5, n + 99)).num_rows == 5
+    assert pqreader.read_table(p, row_range=(42, 42)).num_rows == 0
+
+    # composes with a predicate (range first, then exact filter)
+    got = pqreader.read_table(p, row_range=(1000, 3000),
+                              predicate=("k", ">=", 2500))
+    assert got.column("k").to_pylist() == list(range(2500, 3000))
+
+    # nested fallback: list column, no page path — still exact
+    tbl2 = pa.table({
+        "k": pa.array(range(500), pa.int64()),
+        "tags": pa.array([[i, i + 1] if i % 5 else None
+                          for i in range(500)],
+                         pa.list_(pa.int64())),
+    })
+    p2 = str(tmp_path / "seeknested.parquet")
+    pq.write_table(tbl2, p2, row_group_size=100)
+    got = pqreader.read_table(p2, row_range=(150, 260))
+    assert got.to_pylist() == tbl2.slice(150, 110).to_pylist()
+
+    with pytest.raises(ValueError, match="row_range"):
+        pqreader.read_table(p, row_range=(5, 1))
