@@ -859,6 +859,16 @@ def _pred_bloom_args(leaf: _Node, stat_cmp, unsigned: bool, value):
     return None
 
 
+def _compile_predicates(root: _Node, fmd: dict, predicate) -> list[_Pred]:
+    """predicate is one (column, op, value) tuple or a list of them
+    (conjunction: a row must satisfy ALL of them)."""
+    if isinstance(predicate, list):
+        if not predicate:
+            raise ValueError("pqreader: empty predicate list")
+        return [_compile_predicate(root, fmd, p) for p in predicate]
+    return [_compile_predicate(root, fmd, predicate)]
+
+
 def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
     try:
         name, op, value = predicate
@@ -1130,16 +1140,18 @@ def read_table(path: str, columns: list[str] | None = None,
 
     columns prunes the chunks READ (projection: skipped columns cost
     zero data bytes). predicate = (column, op, literal) with op in
-    =, ==, <, <=, >, >= returns exactly the matching rows; row groups
-    that footer min/max statistics or a split-block bloom filter
-    refute are skipped without reading any data pages — the reader
-    analog of the engine's manifest stat/bloom pruning and of the
-    reference's ColumnIndex search path (column_index.go). Naive
-    datetime literals are interpreted as UTC. row_range = (start,
-    stop) returns file rows [start, stop) — the SeekToRow analog
-    (reader.go): row groups outside the range read nothing, and with
-    page indexes a partially-covered group decodes only the
-    overlapping pages."""
+    =, ==, <, <=, >, >= — or a LIST of such tuples, ANDed — returns
+    exactly the matching rows; row groups that footer min/max
+    statistics or a split-block bloom filter refute are skipped
+    without reading any data pages — the reader analog of the
+    engine's manifest stat/bloom pruning and of the reference's
+    ColumnIndex search path (column_index.go). Page-level survivors
+    intersect across conjuncts (each conjunct prunes on its own
+    column's page grid). Naive datetime literals are interpreted as
+    UTC. row_range = (start, stop) returns file rows [start, stop) —
+    the SeekToRow analog (reader.go): row groups outside the range
+    read nothing, and with page indexes a partially-covered group
+    decodes only the overlapping pages."""
     import os
 
     if row_range is not None:
@@ -1153,14 +1165,16 @@ def read_table(path: str, columns: list[str] | None = None,
         fmd = _read_footer_file(f, os.path.getsize(path), path)
         root = _parse_schema(fmd[2])
         _annotate(root, 0, 0, ())
-        pred = (_compile_predicate(root, fmd, predicate)
-                if predicate is not None else None)
+        preds = (_compile_predicates(root, fmd, predicate)
+                 if predicate is not None else [])
         top = [c for c in root.children
                if columns is None or c.name in columns]
-        if pred is not None and pred.name not in (c.name for c in top):
-            raise ValueError(
-                f"pqreader: predicate column {pred.name!r} not in the "
-                "projected columns")
+        top_names = {c.name for c in top}
+        for pr in preds:
+            if pr.name not in top_names:
+                raise ValueError(
+                    f"pqreader: predicate column {pr.name!r} not in "
+                    "the projected columns")
         leaves = {lf.path: lf for c in top for lf in _leaves(c)}
         batches = []
         names = [c.name for c in top]
@@ -1180,7 +1194,7 @@ def read_table(path: str, columns: list[str] | None = None,
                     continue  # group entirely outside: nothing read
                 if (a, b) != (0, rg_n):
                     local = (a, b)
-            if pred is not None and not _rg_survives(f, rg, pred):
+            if any(not _rg_survives(f, rg, pr) for pr in preds):
                 continue
             chunk_by_path, cc_by_path = {}, {}
             for cc in rg[1]:
@@ -1194,26 +1208,45 @@ def read_table(path: str, columns: list[str] | None = None,
                     raise ValueError(
                         f"pqreader: column {p} missing in footer")
             # page-level skipping inside a surviving row group (flat
-            # schemas; needs the predicate column's ColumnIndex and an
-            # OffsetIndex on every projected column)
+            # schemas; needs each conjunct column's ColumnIndex and an
+            # OffsetIndex on every projected column). Conjuncts prune
+            # on their own page grids; survivors intersect as row
+            # ranges.
             page_ranges = page_ois = None
-            if pred is not None and pred.trust \
-                    and pred.stat_cmp is not None and flat:
-                pcc = cc_by_path.get((pred.name,))
-                ci = _column_index(f, pcc) if pcc is not None else None
-                locs = _offset_index(f, pcc) if pcc is not None else None
-                if ci is not None and locs is not None \
-                        and len(ci[0]) == len(locs):
-                    keep = _page_keep(ci, pred)
+            rg_refuted = False
+            if flat:
+                for pr in preds:
+                    if not (pr.trust and pr.stat_cmp is not None):
+                        continue
+                    pcc = cc_by_path.get((pr.name,))
+                    if pcc is None:
+                        continue
+                    ci = _column_index(f, pcc)
+                    locs = _offset_index(f, pcc)
+                    if ci is None or locs is None \
+                            or len(ci[0]) != len(locs):
+                        continue
+                    keep = _page_keep(ci, pr)
                     if not any(keep):
-                        continue  # finer than chunk stats: whole rg out
-                    if not all(keep):
-                        ois = {p: _offset_index(f, cc_by_path[p])
-                               for p in leaves}
-                        if all(v is not None for v in ois.values()):
-                            page_ranges = _rows_from_pages(
-                                locs, keep, rg_n)
-                            page_ois = ois
+                        rg_refuted = True  # finer than chunk stats
+                        break
+                    if all(keep):
+                        continue
+                    r = _rows_from_pages(locs, keep, rg_n)
+                    page_ranges = (r if page_ranges is None
+                                   else _intersect_ranges(page_ranges, r))
+                    if not page_ranges:
+                        rg_refuted = True
+                        break
+            if rg_refuted:
+                continue
+            if page_ranges is not None:
+                ois = {p: _offset_index(f, cc_by_path[p])
+                       for p in leaves}
+                if all(v is not None for v in ois.values()):
+                    page_ois = ois
+                else:
+                    page_ranges = None
             # combine the predicate's surviving pages with the
             # row_range slice of this group
             sub = page_ranges
@@ -1268,9 +1301,15 @@ def read_table(path: str, columns: list[str] | None = None,
     if not batches:
         return pa.schema(arrow_fields).empty_table()
     tbl = pa.Table.from_batches(batches)
-    if pred is not None:
-        mask = _row_mask(tbl.column(pred.name).combine_chunks(),
-                         pred.op, pred.value, pred.leaf)
+    if preds:
+        import pyarrow.compute as pc
+
+        mask = None
+        for pr in preds:
+            m = _row_mask(tbl.column(pr.name).combine_chunks(),
+                          pr.op, pr.value, pr.leaf)
+            # Kleene AND: null & false = false — SQL conjunction
+            mask = m if mask is None else pc.and_kleene(mask, m)
         tbl = tbl.filter(mask)
     return tbl
 
@@ -1282,13 +1321,17 @@ def read_rows(path: str, columns: list[str] | None = None,
 
 
 def spark_read(spark, dir_path: str, columns: list[str] | None = None,
-               predicate=None):
+               predicate=None, bloom_prune_files: bool = True):
     """Distributed decode of a directory of parquet files through OUR
     kernels: one footer read on the driver for the schema, then one
     input slice per file decoded executor-side (mapInArrow) — the
     OpenFile analog with no driver funnel. columns/predicate push the
-    projection and the stat/bloom row-group pruning into each task
-    (read_table semantics: only matching rows come back)."""
+    projection and the stat/bloom row-group/page pruning into each
+    task (read_table semantics: only matching rows come back;
+    predicate may be one tuple or an ANDed list). Equality conjuncts
+    additionally prune whole FILES by their split-block blooms before
+    any task launches (footer+bitset reads only; distributed as a job
+    above 64 files) — disable with bloom_prune_files=False."""
     import os
 
     from pyspark.sql import functions as F  # noqa: N812
@@ -1309,6 +1352,24 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
     from pyspark.sql.pandas.types import from_arrow_schema
 
     out_schema = from_arrow_schema(probe)
+
+    if predicate is not None and bloom_prune_files:
+        from parquet_go_spark.interop import pqbloom
+
+        with open(files[0], "rb") as fh:
+            fmd = _read_footer_file(
+                fh, os.path.getsize(files[0]), files[0])
+        root = _parse_schema(fmd[2])
+        _annotate(root, 0, 0, ())
+        # also validates the predicate once, driver-side
+        for pr in _compile_predicates(root, fmd, predicate):
+            if pr.op == "=" and pr.bloom_args is not None and files:
+                values, kind, flba = pr.bloom_args
+                files = pqbloom.prune_files(
+                    files, pr.name, values, kind, flba_size=flba,
+                    spark=spark)
+        if not files:
+            return spark.createDataFrame([], out_schema)
 
     paths_df = spark.createDataFrame(
         [(p,) for p in files], "path string"

@@ -1300,3 +1300,86 @@ def test_pqreader_row_range_seek(monkeypatch, tmp_path):
 
     with pytest.raises(ValueError, match="row_range"):
         pqreader.read_table(p, row_range=(5, 1))
+
+
+def test_pqreader_conjunctive_predicates(monkeypatch, tmp_path):
+    """A list of predicates ANDs: row groups/pages must survive every
+    conjunct (each pruning on its own column's page grid), and the row
+    filter applies all of them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 20000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "rev": pa.array(range(n, 0, -1), pa.int64()),  # descending
+        "name": pa.array([f"x{i}" for i in range(n)]),
+    })
+    p = str(tmp_path / "conj.parquet")
+    pq.write_table(tbl, p, row_group_size=n, data_page_size=2048,
+                   write_page_index=True, use_dictionary=False)
+
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(
+        p, predicate=[("k", ">=", 5000), ("rev", ">=", n - 5250)])
+    exp = tbl.filter(
+        pc.and_kleene(pc.greater_equal(pc.field("k"), 5000),
+                      pc.greater_equal(pc.field("rev"), n - 5250)))
+    assert got.to_pylist() == exp.to_pylist()
+    assert got.num_rows == 251
+    assert calls == []  # page path: both conjuncts intersected
+
+    # contradictory conjuncts: refuted at the page level, zero decode
+    got = pqreader.read_table(
+        p, predicate=[("k", "<", 100), ("k", ">", 15000)])
+    assert got.num_rows == 0 and calls == []
+
+    with pytest.raises(ValueError, match="empty predicate"):
+        pqreader.read_table(p, predicate=[])
+
+
+def test_pqreader_spark_read_bloom_file_prune(spark, monkeypatch, tmp_path):
+    """spark_read equality conjuncts prune whole FILES via their
+    split-block blooms before any decode task launches."""
+    import numpy as np
+
+    from parquet_go_spark.interop import pqreader, pqbloom
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.codecs.kinds import Kind
+
+    d = tmp_path / "bfiles"
+    d.mkdir()
+    for fi in range(4):
+        k = np.arange(fi * 1000, fi * 1000 + 1000, 2, dtype=np.int64)
+        write_table(str(d / f"part-{fi}.parquet"),
+                    [ColumnSpec("k", Kind.INT64, k)],
+                    bloom_columns=["k"])
+
+    probed = []
+    orig = pqbloom.prune_files
+
+    def spy(paths, column, values, kind, flba_size=None, spark=None):
+        out = orig(paths, column, values, kind, flba_size=flba_size,
+                   spark=spark)
+        probed.append((len(list(paths)), len(out)))
+        return out
+
+    monkeypatch.setattr(pqbloom, "prune_files", spy)
+
+    got = pqreader.spark_read(spark, str(d), predicate=("k", "=", 2500))
+    assert [r["k"] for r in got.collect()] == [2500]
+    assert probed == [(4, 1)]  # 3 of 4 files never became tasks
+
+    probed.clear()
+    got = pqreader.spark_read(spark, str(d), predicate=("k", "=", 2501))
+    assert got.collect() == []  # odd: bloom-refuted everywhere
+    assert probed == [(4, 0)]
+
+    probed.clear()
+    got = pqreader.spark_read(spark, str(d), predicate=("k", "=", 2500),
+                              bloom_prune_files=False)
+    assert [r["k"] for r in got.collect()] == [2500]
+    assert probed == []
