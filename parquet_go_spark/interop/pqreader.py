@@ -840,12 +840,16 @@ def _pred_bloom_args(leaf: _Node, stat_cmp, unsigned: bool, value):
                 Kind.FIXED_LEN_BYTE_ARRAY, w)
     if stat_cmp is None:
         return None
-    if ph == 1:
-        a = np.array([stat_cmp], dtype="<u4" if unsigned else "<i4")
-        return a, Kind.INT32, None
-    if ph == 2:
-        a = np.array([stat_cmp], dtype="<u8" if unsigned else "<i8")
-        return a, Kind.INT64, None
+    if ph in (1, 2):
+        bits = 32 if ph == 1 else 64
+        lo, hi = (0, 2**bits - 1) if unsigned \
+            else (-2**(bits - 1), 2**(bits - 1) - 1)
+        if not lo <= stat_cmp <= hi:
+            return None  # literal outside the physical range: the
+            #              stats comparison already refutes everything
+        a = np.array([stat_cmp],
+                     dtype=("<u" if unsigned else "<i") + str(bits // 8))
+        return a, (Kind.INT32 if ph == 1 else Kind.INT64), None
     if ph == 4:
         return np.array([stat_cmp], dtype="<f4"), Kind.FLOAT, None
     if ph == 5:
@@ -968,6 +972,22 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         #   row >  v ⟺ row >  q ;  row >= v ⟺ row >  q
         return (pc.less_equal if op in ("<", "<=") else pc.greater)(
             ints, pa.scalar(q, pa.int64()))
+    if pa.types.is_integer(t) and isinstance(value, int) \
+            and not isinstance(value, bool):
+        # literal outside the column's range: comparisons are still
+        # well-defined constants, not errors
+        info = np.iinfo(t.to_pandas_dtype())
+        if not info.min <= value <= info.max:
+            if op == "=":
+                const = False
+            elif op in ("<", "<="):
+                const = value > info.max  # every stored row is smaller
+            else:
+                const = value < info.min
+            mask = np.full(len(arr), const, dtype=bool)
+            if const:  # nulls never satisfy a comparison
+                mask &= ~np.asarray(arr.is_null())
+            return pa.array(mask)
     try:
         scalar = pa.scalar(value, t)
     except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as e:

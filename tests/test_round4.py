@@ -1383,3 +1383,25 @@ def test_pqreader_spark_read_bloom_file_prune(spark, monkeypatch, tmp_path):
                               bloom_prune_files=False)
     assert [r["k"] for r in got.collect()] == [2500]
     assert probed == []
+
+
+def test_pqreader_out_of_range_int_literals(tmp_path):
+    """Integer literals outside the column's physical range are valid
+    constant comparisons, never errors or wrapped-value bloom probes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({"k": pa.array([1, None, 3, 2**31 - 1],
+                                  pa.int32())})
+    p = str(tmp_path / "oor.parquet")
+    pq.write_table(tbl, p)
+    assert pqreader.read_table(p, predicate=("k", "=", 2**40)).num_rows == 0
+    assert pqreader.read_table(
+        p, predicate=("k", "<", 2**40)).column("k").to_pylist() \
+        == [1, 3, 2**31 - 1]  # null never satisfies a comparison
+    assert pqreader.read_table(p, predicate=("k", ">", 2**40)).num_rows == 0
+    assert pqreader.read_table(
+        p, predicate=("k", ">=", -2**40)).num_rows == 3
+    assert pqreader.read_table(p, predicate=("k", "<", -2**40)).num_rows == 0
