@@ -782,7 +782,15 @@ def _pred_stat_value(leaf: _Node, value):
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
         v = float(value)
-        return None if v != v else (v, False)  # NaN never prunes
+        if v != v:
+            return None  # NaN never prunes
+        if ph == 4:
+            # the row mask compares in float32 (pa.scalar cast), so the
+            # stat space must round the literal identically — a double
+            # literal compared against float32 bounds silently prunes
+            # row groups whose rows DO match after the cast
+            v = float(np.float32(v))
+        return v, False
     if ph == 6:
         if isinstance(value, str):
             return value.encode("utf-8"), False
@@ -893,8 +901,13 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
     if sv is not None:
         pred.stat_cmp, pred.unsigned = sv
     # min_value/max_value are only well-ordered when the footer declares
-    # column_orders (TypeDefinedOrder); legacy files get no stat pruning
-    pred.trust = bool(fmd.get(7))
+    # column_orders AND every entry is the TYPE_ORDER union field
+    # (field 1, TypeDefinedOrder) — a future/unknown ColumnOrder must
+    # distrust the stats per the spec, or a skip could drop real rows.
+    # Legacy files (no column_orders) get no stat pruning either.
+    orders = fmd.get(7)
+    pred.trust = bool(orders) and all(
+        isinstance(o, dict) and set(o) == {1} for o in orders)
     if op == "=":
         pred.bloom_args = _pred_bloom_args(
             node, pred.stat_cmp, pred.unsigned, value)
@@ -962,6 +975,19 @@ def _row_mask(arr, op: str, value, leaf: _Node):
             q, r = divmod(us, 1_000_000)
         else:
             q, r = us * per_us, 0
+        if not -2**63 <= q <= 2**63 - 1:
+            # literal beyond the unit's int64 horizon (ns columns top
+            # out at year 2262): a constant comparison, not an overflow
+            if op == "=":
+                const = False
+            elif op in ("<", "<="):
+                const = q > 0  # every stored instant is below/above it
+            else:
+                const = q < 0
+            mask = np.full(len(arr), const, dtype=bool)
+            if const:
+                mask &= ~np.asarray(arr.is_null())
+            return pa.array(mask)
         ints = arr.cast(pa.int64())
         if r == 0:
             return ops[op](ints, pa.scalar(q, pa.int64()))
@@ -1094,10 +1120,14 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
     is read once."""
     codec = _chunk_codec(meta)
     dictionary_vals = None
-    dict_off = meta.get(11) or None  # 0 = legacy "absent" marker
-    if dict_off is not None:
-        f.seek(dict_off)
-        buf = f.read(locs[0][0] - dict_off)
+    # a dictionary page occupies [chunk start, first OffsetIndex page).
+    # Some writers leave dictionary_page_offset unset even when a
+    # dictionary page exists (data_page_offset then points at it), so
+    # detect by the gap, not the footer field.
+    start = meta.get(11) or meta[9]
+    if locs and locs[0][0] > start:
+        f.seek(start)
+        buf = f.read(locs[0][0] - start)
         kind, dictionary_vals, _ = _decode_page(buf, 0, leaf, codec, None)
         if kind != "dict":
             raise ValueError("pqreader: expected dictionary page")
@@ -1260,12 +1290,20 @@ def read_table(path: str, columns: list[str] | None = None,
                         break
             if rg_refuted:
                 continue
+            gathered = []  # memo: OffsetIndexes read at most once per rg
+
+            def all_ois():
+                if not gathered:
+                    ois = {p: _offset_index(f, cc_by_path[p])
+                           for p in leaves}
+                    gathered.append(
+                        ois if all(v is not None for v in ois.values())
+                        else None)
+                return gathered[0]
+
             if page_ranges is not None:
-                ois = {p: _offset_index(f, cc_by_path[p])
-                       for p in leaves}
-                if all(v is not None for v in ois.values()):
-                    page_ois = ois
-                else:
+                page_ois = all_ois()
+                if page_ois is None:
                     page_ranges = None
             # combine the predicate's surviving pages with the
             # row_range slice of this group
@@ -1275,10 +1313,7 @@ def read_table(path: str, columns: list[str] | None = None,
                 if not sub:
                     continue
                 if page_ois is None and flat:
-                    ois = {p: _offset_index(f, cc_by_path[p])
-                           for p in leaves}
-                    if all(v is not None for v in ois.values()):
-                        page_ois = ois
+                    page_ois = all_ois()
             slice_after = None
             leaf_data = {}
             if sub is not None and page_ois is not None:
@@ -1362,27 +1397,36 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
     )
     if not files:
         raise ValueError(f"pqreader: no parquet files under {dir_path}")
-    probe = read_schema(files[0])  # footer only — no driver-side decode
+    # ONE footer read/parse on the driver serves the schema probe, the
+    # predicate validation (so a bad predicate fails here, not in every
+    # task of a launched job), and the bloom file-pruning
+    with open(files[0], "rb") as fh:
+        fmd = _read_footer_file(fh, os.path.getsize(files[0]), files[0])
+    root = _parse_schema(fmd[2])
+    _annotate(root, 0, 0, ())
+    probe = pa.schema(
+        [pa.field(c.name, _node_arrow_type(c)) for c in root.children])
     if columns is not None:
         missing = sorted(set(columns) - set(probe.names))
         if missing:
             raise ValueError(f"pqreader: unknown columns {missing}")
         probe = pa.schema(
             [probe.field(n) for n in probe.names if n in columns])
+    preds = (_compile_predicates(root, fmd, predicate)
+             if predicate is not None else [])
+    for pr in preds:
+        if pr.name not in probe.names:
+            raise ValueError(
+                f"pqreader: predicate column {pr.name!r} not in the "
+                "projected columns")
     from pyspark.sql.pandas.types import from_arrow_schema
 
     out_schema = from_arrow_schema(probe)
 
-    if predicate is not None and bloom_prune_files:
+    if bloom_prune_files:
         from parquet_go_spark.interop import pqbloom
 
-        with open(files[0], "rb") as fh:
-            fmd = _read_footer_file(
-                fh, os.path.getsize(files[0]), files[0])
-        root = _parse_schema(fmd[2])
-        _annotate(root, 0, 0, ())
-        # also validates the predicate once, driver-side
-        for pr in _compile_predicates(root, fmd, predicate):
+        for pr in preds:
             if pr.op == "=" and pr.bloom_args is not None and files:
                 values, kind, flba = pr.bloom_args
                 files = pqbloom.prune_files(

@@ -1405,3 +1405,148 @@ def test_pqreader_out_of_range_int_literals(tmp_path):
     assert pqreader.read_table(
         p, predicate=("k", ">=", -2**40)).num_rows == 3
     assert pqreader.read_table(p, predicate=("k", "<", -2**40)).num_rows == 0
+
+
+def test_pqreader_float32_predicate_no_row_loss(tmp_path):
+    """A double literal on a FLOAT (float32) column must round through
+    float32 in STAT space exactly as the row mask does — comparing the
+    unrounded double against float32 bounds pruned matching rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({"x": pa.array(
+        np.full(100, np.float32(0.1)), pa.float32())})
+    p = str(tmp_path / "f32.parquet")
+    pq.write_table(tbl, p, row_group_size=10)
+    assert pqreader.read_table(p, predicate=("x", "=", 0.1)).num_rows == 100
+    assert pqreader.read_table(p, predicate=("x", "<=", 0.1)).num_rows == 100
+    assert pqreader.read_table(p, predicate=("x", ">=", 0.1)).num_rows == 100
+    big = pa.table({"x": pa.array(np.full(10, np.float32(1e20)),
+                                  pa.float32())})
+    p2 = str(tmp_path / "f32big.parquet")
+    pq.write_table(big, p2)
+    assert pqreader.read_table(p2, predicate=("x", "<=", 1e20)).num_rows == 10
+
+
+def test_pqreader_timestamp_beyond_ns_horizon(tmp_path):
+    """datetime literals past the int64-nanosecond horizon (year 2262)
+    on ns columns are constant comparisons, not OverflowErrors."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    base = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    tbl = pa.table({"ts": pa.array(
+        [base + _dt.timedelta(seconds=i) for i in range(10)],
+        pa.timestamp("ns", tz="UTC"))})
+    p = str(tmp_path / "ns.parquet")
+    pq.write_table(tbl, p)
+    far = _dt.datetime(2500, 1, 1, tzinfo=_dt.timezone.utc)
+    assert pqreader.read_table(p, predicate=("ts", "<", far)).num_rows == 10
+    assert pqreader.read_table(p, predicate=("ts", ">", far)).num_rows == 0
+    assert pqreader.read_table(p, predicate=("ts", "=", far)).num_rows == 0
+    old = _dt.datetime(1500, 1, 1, tzinfo=_dt.timezone.utc)
+    assert pqreader.read_table(p, predicate=("ts", ">=", old)).num_rows == 10
+
+
+def test_pqreader_unknown_column_order_distrusts_stats(tmp_path):
+    """Stats are trusted only when every column_orders entry is the
+    TYPE_ORDER union field; an unknown future order must not prune."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({"k": pa.array(range(100), pa.int64())})
+    p = str(tmp_path / "ord.parquet")
+    pq.write_table(tbl, p)
+    with open(p, "rb") as fh:
+        import os as _os
+        fmd = pqreader._read_footer_file(fh, _os.path.getsize(p), p)
+    root = pqreader._parse_schema(fmd[2])
+    pqreader._annotate(root, 0, 0, ())
+    assert pqreader._compile_predicate(root, fmd, ("k", "=", 5)).trust
+    fmd_future = dict(fmd)
+    fmd_future[7] = [{9: {}}]  # a ColumnOrder union we don't know
+    assert not pqreader._compile_predicate(
+        root, fmd_future, ("k", "=", 5)).trust
+    assert not pqreader._compile_predicate(
+        root, {k: v for k, v in fmd.items() if k != 7},
+        ("k", "=", 5)).trust
+
+
+def test_pqreader_spark_read_validates_on_driver(spark, tmp_path):
+    """A bad predicate fails at the driver footer parse — never as a
+    per-task error inside a launched job — regardless of
+    bloom_prune_files."""
+    d = str(tmp_path / "val")
+    spark.range(100).selectExpr("id AS k", "id + 1 AS v") \
+        .coalesce(1).write.parquet(d)
+
+    from parquet_go_spark.interop import pqreader
+
+    for bp in (True, False):
+        with pytest.raises(ValueError, match="unsupported predicate op"):
+            pqreader.spark_read(spark, d, predicate=("k", "!=", 1),
+                                bloom_prune_files=bp)
+        with pytest.raises(ValueError, match="not found"):
+            pqreader.spark_read(spark, d, predicate=("zz", "=", 1),
+                                bloom_prune_files=bp)
+        with pytest.raises(ValueError, match="not in the projected"):
+            pqreader.spark_read(spark, d, columns=["v"],
+                                predicate=("k", "=", 1),
+                                bloom_prune_files=bp)
+
+
+def test_pqreader_predicate_differential_over_corpus():
+    """Pruned+filtered reads over the ENTIRE reference corpus must
+    equal pyarrow's unpruned read + compute filter — every real-world
+    footer quirk (legacy stats, truncated bounds, INT96, dictionary
+    pages, v1/v2 levels) goes through the predicate path."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    pc_ops = {"=": pc.equal, ">=": pc.greater_equal, "<": pc.less}
+    files = sorted(_glob.glob("/root/reference/testdata/*.parquet"))
+    covered = 0
+    for path in files:
+        ref = pq.read_table(path)
+        # first flat scalar column with a usable literal
+        target = None
+        for fld in ref.schema:
+            t = fld.type
+            if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t)) \
+                    and ref.column(fld.name).null_count < ref.num_rows \
+                    and ref.num_rows > 0:
+                target = fld.name
+                break
+        if target is None:
+            continue
+        col = ref.column(target).combine_chunks()
+        lit = col.drop_null()[len(col.drop_null()) // 2].as_py()
+        if isinstance(lit, float) and lit != lit:
+            continue
+        for op in ("=", ">=", "<"):
+            got = pqreader.read_table(path, predicate=(target, op, lit))
+            exp = ref.filter(pc_ops[op](ref.column(target),
+                                        pa.scalar(lit, col.type)))
+            assert got.num_rows == exp.num_rows, (path, op, lit)
+            ga = got.column(target).combine_chunks()
+            ea = exp.column(target).combine_chunks()
+            if ga.type != ea.type:
+                ga = ga.cast(ea.type)
+            assert ga.equals(ea), (path, op, lit)
+        covered += 1
+    assert covered >= 25  # most of the corpus exercises the path
