@@ -1550,3 +1550,35 @@ def test_pqreader_predicate_differential_over_corpus():
             assert ga.equals(ea), (path, op, lit)
         covered += 1
     assert covered >= 25  # most of the corpus exercises the path
+
+
+def test_pqreader_spark_read_split_row_groups(spark, tmp_path):
+    """split_row_groups=True decodes one row GROUP per input slice —
+    parallelism scales with data, not file count — and stays exact
+    with projection + predicate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 40000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"n{i}" for i in range(n)]),
+    })
+    d = tmp_path / "split"
+    d.mkdir()
+    # TWO files, 8 row groups each: per-file parallelism would cap at 2
+    pq.write_table(tbl.slice(0, n // 2), str(d / "a.parquet"),
+                   row_group_size=2500)
+    pq.write_table(tbl.slice(n // 2), str(d / "b.parquet"),
+                   row_group_size=2500)
+
+    got = pqreader.spark_read(spark, str(d), split_row_groups=True)
+    assert got.rdd.getNumPartitions() == 16  # one slice per row group
+    assert sorted(r["k"] for r in got.collect()) == list(range(n))
+
+    filt = pqreader.spark_read(spark, str(d), columns=["k"],
+                               predicate=("k", "<", 100),
+                               split_row_groups=True)
+    assert sorted(r["k"] for r in filt.collect()) == list(range(100))
