@@ -683,7 +683,7 @@ def read_schema(path: str) -> pa.Schema:
 
 # ------------------------------------------------- predicate pruning
 
-_PRED_OPS = ("=", "==", "<", "<=", ">", ">=")
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
 
 
 @dataclass
@@ -896,10 +896,24 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         raise ValueError(
             f"pqreader: predicate column {name!r} must be a flat "
             "scalar column")
+    if op == "in":
+        if not isinstance(value, (list, tuple, set, frozenset)) \
+                or len(value) == 0:
+            raise ValueError(
+                "pqreader: 'in' predicate needs a non-empty list")
+        value = sorted(set(value), key=repr)
     pred = _Pred(name=name, op=op, leaf=node, value=value)
-    sv = _pred_stat_value(node, value)
-    if sv is not None:
-        pred.stat_cmp, pred.unsigned = sv
+    if op == "in":
+        svs = [_pred_stat_value(node, v) for v in value]
+        if all(s is not None for s in svs):
+            # the column could hold ANY of the values: stats refute the
+            # group only when every member is outside [min, max]
+            pred.stat_cmp = [s[0] for s in svs]
+            pred.unsigned = svs[0][1]
+    else:
+        sv = _pred_stat_value(node, value)
+        if sv is not None:
+            pred.stat_cmp, pred.unsigned = sv
     # min_value/max_value are only well-ordered when the footer declares
     # column_orders AND every entry is the TYPE_ORDER union field
     # (field 1, TypeDefinedOrder) — a future/unknown ColumnOrder must
@@ -911,7 +925,33 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
     if op == "=":
         pred.bloom_args = _pred_bloom_args(
             node, pred.stat_cmp, pred.unsigned, value)
+    elif op == "in":
+        pred.bloom_args = _in_bloom_args(node, pred, value)
     return pred
+
+
+def _in_bloom_args(node: _Node, pred: _Pred, values):
+    """Stack every member's single-value bloom encoding; a member that
+    cannot be encoded in the physical type can never match, so it is
+    sound to drop it from the probe (refutation needs ALL members
+    absent)."""
+    per_value = []
+    svs = pred.stat_cmp if isinstance(pred.stat_cmp, list) \
+        else [None] * len(values)
+    for v, s in zip(values, svs):
+        ba = _pred_bloom_args(node, s, pred.unsigned, v)
+        if ba is not None:
+            per_value.append(ba)
+    if not per_value:
+        return None
+    kind, flba = per_value[0][1], per_value[0][2]
+    vals = per_value[0][0]
+    if isinstance(vals, ByteArrays):
+        merged = ByteArrays.from_pylist(
+            [bytes(p[0][0]) for p in per_value])
+    else:
+        merged = np.concatenate([p[0] for p in per_value])
+    return merged, kind, flba
 
 
 def _rg_survives(f, rg: dict, pred: _Pred) -> bool:
@@ -963,6 +1003,34 @@ def _row_mask(arr, op: str, value, leaf: _Node):
     ops = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
            ">": pc.greater, ">=": pc.greater_equal}
     t = arr.type
+    if op == "in":
+        if pa.types.is_timestamp(t):
+            # members that don't land on a stored unit tick, or are
+            # past the int64 horizon, can never match — drop them
+            ints64 = []
+            for v in value:
+                m = _row_mask(arr, "=", v, leaf)
+                ints64.append(m)
+            mask = ints64[0]
+            for m in ints64[1:]:
+                mask = pc.or_kleene(mask, m)
+            return mask
+        keep = value
+        if pa.types.is_integer(t):
+            info = np.iinfo(t.to_pandas_dtype())
+            keep = [v for v in value
+                    if not (isinstance(v, int)
+                            and not isinstance(v, bool)
+                            and not info.min <= v <= info.max)]
+            if not keep:
+                return pa.array(np.zeros(len(arr), dtype=bool))
+        try:
+            vset = pa.array(keep, t)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as e:
+            raise ValueError(
+                f"pqreader: 'in' member not representable in column "
+                f"type {t}: {e}") from None
+        return pc.is_in(arr, value_set=vset)
     if pa.types.is_timestamp(t):
         us = _ts_micros(value)
         if us is None:
@@ -1064,6 +1132,8 @@ def _column_index(f, cc: dict):
 
 
 def _bounds_refute(lo, hi, op: str, v) -> bool:
+    if op == "in":  # refuted only when EVERY member is outside
+        return all(m < lo or m > hi for m in v)
     return not {"=": lo <= v <= hi, "<": lo < v, "<=": lo <= v,
                 ">": hi > v, ">=": hi >= v}[op]
 
@@ -1432,7 +1502,8 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
         from parquet_go_spark.interop import pqbloom
 
         for pr in preds:
-            if pr.op == "=" and pr.bloom_args is not None and files:
+            if pr.op in ("=", "in") and pr.bloom_args is not None \
+                    and files:
                 values, kind, flba = pr.bloom_args
                 files = pqbloom.prune_files(
                     files, pr.name, values, kind, flba_size=flba,

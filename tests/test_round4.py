@@ -1582,3 +1582,135 @@ def test_pqreader_spark_read_split_row_groups(spark, tmp_path):
                                predicate=("k", "<", 100),
                                split_row_groups=True)
     assert sorted(r["k"] for r in filt.collect()) == list(range(100))
+
+
+def test_pqreader_in_predicate(monkeypatch, tmp_path):
+    """op 'in': stats refute only when every member is outside
+    [min, max], blooms probe all members at once, the row mask is
+    exact is_in, and out-of-range/inexact members drop soundly."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.codecs.kinds import Kind
+
+    n = 8000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"w{i}" for i in range(n)]),
+    })
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, p, row_group_size=1000)
+
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("k", "in", [10, 4500, 4501]))
+    assert sorted(got.column("k").to_pylist()) == [10, 4500, 4501]
+    assert len(calls) == 4  # row groups 0 and 4 survive × 2 columns
+
+    calls.clear()
+    got = pqreader.read_table(
+        p, predicate=("k", "in", [10**12, -5]))  # out of data range
+    assert got.num_rows == 0 and calls == []
+
+    # strings + mixed members; duplicates collapse
+    got = pqreader.read_table(
+        p, predicate=("name", "in", ["w7", "w7", "w7999", "absent"]))
+    assert sorted(got.column("name").to_pylist()) == ["w7", "w7999"]
+
+    # bloom refutes an in-range member set (evens only, probe odds)
+    evens = np.arange(0, 2000, 2, dtype=np.int64)
+    p2 = str(tmp_path / "inev.parquet")
+    write_table(p2, [ColumnSpec("k", Kind.INT64, evens)],
+                row_group_rows=500, bloom_columns=["k"])
+    calls.clear()
+    got = pqreader.read_table(p2, predicate=("k", "in", [3, 777, 1999]))
+    assert got.num_rows == 0 and calls == []
+    got = pqreader.read_table(p2, predicate=("k", "in", [3, 1002]))
+    assert got.column("k").to_pylist() == [1002]
+    assert len(calls) == 1
+
+    # timestamps: per-member exact semantics OR together
+    base = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    ts = pa.table({"ts": pa.array(
+        [base + _dt.timedelta(hours=i) for i in range(50)],
+        pa.timestamp("us", tz="UTC"))})
+    p3 = str(tmp_path / "ints.parquet")
+    pq.write_table(ts, p3)
+    got = pqreader.read_table(p3, predicate=(
+        "ts", "in", [base + _dt.timedelta(hours=7),
+                     base + _dt.timedelta(hours=7, microseconds=1),
+                     _dt.datetime(2500, 1, 1, tzinfo=_dt.timezone.utc)]))
+    assert got.num_rows == 1
+
+    with pytest.raises(ValueError, match="non-empty list"):
+        pqreader.read_table(p, predicate=("k", "in", []))
+
+
+# ------------------------------------------ round-4: pqread data source
+def test_pqread_datasource_end_to_end(spark, tmp_path):
+    """spark.read.format('pqread') decodes arbitrary parquet through
+    our kernels and matches Spark's own reader, with WHERE clauses
+    pushed into the stat/bloom/page pruning."""
+    from parquet_go_spark.sources import pqread
+
+    pqread.register(spark)
+    d = str(tmp_path / "ds")
+    spark.range(30000).selectExpr(
+        "id AS k", "concat('n', id) AS name",
+        "CAST(id % 93 AS double) AS v",
+        "timestamp_micros(CAST(id * 1000000 AS long)) AS ts",
+    ).repartition(3).write.parquet(d)
+
+    ours = spark.read.format("pqread").load(d)
+    exp = spark.read.parquet(d)
+    assert set(ours.columns) == set(exp.columns)
+    assert ours.count() == 30000
+    q1 = ours.where((F.col("k") >= 29990) | (F.col("k") < 5))
+    e1 = exp.where((F.col("k") >= 29990) | (F.col("k") < 5))
+    assert sorted(map(str, q1.select(*sorted(ours.columns)).collect())) \
+        == sorted(map(str, e1.select(*sorted(exp.columns)).collect()))
+    q2 = ours.where((F.col("k") < 100) & F.col("name").isin("n7", "n42"))
+    assert sorted(r["k"] for r in q2.collect()) == [7, 42]
+    q3 = ours.where(F.col("ts") < F.lit("1970-01-01 00:00:10").cast(
+        "timestamp"))
+    assert q3.count() == 10
+
+
+def test_pqread_reader_pushes_only_safe_predicates(tmp_path):
+    """Driver-side unit check: float32 columns and uncompilable
+    predicates never push (read_table filters EXACTLY, so a semantic
+    mismatch with Spark would drop rows); everything else does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from parquet_go_spark.sources.pqread import PqreadReader
+
+    tbl = pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "f32": pa.array([float(i) for i in range(100)], pa.float32()),
+        "name": pa.array([f"s{i}" for i in range(100)]),
+    })
+    d = tmp_path / "safe"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "a.parquet"))
+
+    r = PqreadReader(str(d))
+    out = list(r.pushFilters([
+        EqualTo(("k",), 5),
+        GreaterThan(("f32",), 1.5),        # float32: never pushed
+        In(("name",), ("s1", "s2")),
+        EqualTo(("missing",), 1),          # unknown column: not pushed
+    ]))
+    assert len(out) == 4  # Spark re-applies everything
+    assert r._preds == [("k", "=", 5), ("name", "in", ["s1", "s2"])]
+
+    # read() applies the pushed predicates exactly
+    parts = r.partitions()
+    got = [b for p in parts for b in r.read(p)]
+    assert sum(b.num_rows for b in got) == 0  # k=5 AND name in = ∅
