@@ -901,15 +901,20 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
                 or len(value) == 0:
             raise ValueError(
                 "pqreader: 'in' predicate needs a non-empty list")
-        value = sorted(set(value), key=repr)
+        # SQL `x IN (..., NULL)` is never TRUE for the NULL member and
+        # pc.is_in would MATCH null rows against it — drop them. An
+        # all-None list matches nothing (empty member set downstream).
+        value = sorted({v for v in value if v is not None}, key=repr)
     pred = _Pred(name=name, op=op, leaf=node, value=value)
     if op == "in":
         svs = [_pred_stat_value(node, v) for v in value]
         if all(s is not None for s in svs):
+            # (vacuously true for the all-None-members empty list:
+            # stat_cmp = [] refutes every group, matching SQL)
             # the column could hold ANY of the values: stats refute the
             # group only when every member is outside [min, max]
             pred.stat_cmp = [s[0] for s in svs]
-            pred.unsigned = svs[0][1]
+            pred.unsigned = svs[0][1] if svs else False
     else:
         sv = _pred_stat_value(node, value)
         if sv is not None:
@@ -1005,25 +1010,32 @@ def _row_mask(arr, op: str, value, leaf: _Node):
     t = arr.type
     if op == "in":
         if pa.types.is_timestamp(t):
-            # members that don't land on a stored unit tick, or are
-            # past the int64 horizon, can never match — drop them
-            ints64 = []
+            # per-member exact "=" semantics (off-tick / beyond-horizon
+            # members match nothing), ORed together
+            mask = pa.array(np.zeros(len(arr), dtype=bool))
             for v in value:
-                m = _row_mask(arr, "=", v, leaf)
-                ints64.append(m)
-            mask = ints64[0]
-            for m in ints64[1:]:
-                mask = pc.or_kleene(mask, m)
+                mask = pc.or_kleene(mask, _row_mask(arr, "=", v, leaf))
             return mask
         keep = value
         if pa.types.is_integer(t):
             info = np.iinfo(t.to_pandas_dtype())
-            keep = [v for v in value
-                    if not (isinstance(v, int)
-                            and not isinstance(v, bool)
-                            and not info.min <= v <= info.max)]
-            if not keep:
-                return pa.array(np.zeros(len(arr), dtype=bool))
+            keep = []
+            for v in value:
+                # pa.array silently TRUNCATES 2.5 → 2: normalize float
+                # members ourselves; non-integral / NaN / inf / out of
+                # range can never equal a stored int
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    keep.append(v)  # let pa.array raise a clear error
+                    continue
+                if isinstance(v, float):
+                    if v != v or v in (float("inf"), float("-inf")) \
+                            or not v.is_integer():
+                        continue
+                    v = int(v)
+                if info.min <= v <= info.max:
+                    keep.append(v)
+        if not keep:
+            return pa.array(np.zeros(len(arr), dtype=bool))
         try:
             vset = pa.array(keep, t)
         except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as e:
@@ -1066,6 +1078,28 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         #   row >  v ⟺ row >  q ;  row >= v ⟺ row >  q
         return (pc.less_equal if op in ("<", "<=") else pc.greater)(
             ints, pa.scalar(q, pa.int64()))
+    if pa.types.is_integer(t) and isinstance(value, float):
+        # pa.scalar silently TRUNCATES 2.5 → 2 (matching wrong rows):
+        # evaluate float literals on int columns exactly instead
+        if value != value:  # NaN: no comparison is true
+            return pa.array(np.zeros(len(arr), dtype=bool))
+        if value in (float("inf"), float("-inf")):
+            const = (op in ("<", "<=")) if value > 0 \
+                else (op in (">", ">="))
+            mask = np.full(len(arr), const, dtype=bool)
+            if const:
+                mask &= ~np.asarray(arr.is_null())
+            return pa.array(mask)
+        if value.is_integer():
+            value = int(value)  # exact: fall through to the int path
+        else:
+            if op == "=":
+                return pa.array(np.zeros(len(arr), dtype=bool))
+            # v strictly between floor(v) and floor(v)+1 — same trick
+            # as off-tick timestamps
+            import math
+            return _row_mask(arr, "<=" if op in ("<", "<=") else ">",
+                             math.floor(value), leaf)
     if pa.types.is_integer(t) and isinstance(value, int) \
             and not isinstance(value, bool):
         # literal outside the column's range: comparisons are still
@@ -1445,6 +1479,21 @@ def read_rows(path: str, columns: list[str] | None = None,
                       row_range=row_range).to_pylist()
 
 
+def list_parquet_files(dir_path: str) -> list[str]:
+    """Data files of a directory: *.parquet, skipping underscore/dot
+    sidecars (the one file-discovery rule, shared by spark_read and
+    the pqread data source)."""
+    import os
+
+    files = sorted(
+        os.path.join(dir_path, f) for f in os.listdir(dir_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"pqreader: no parquet files under {dir_path}")
+    return files
+
+
 def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                predicate=None, bloom_prune_files: bool = True,
                split_row_groups: bool = False):
@@ -1466,12 +1515,7 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
 
     from pyspark.sql import functions as F  # noqa: N812
 
-    files = sorted(
-        os.path.join(dir_path, f) for f in os.listdir(dir_path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    if not files:
-        raise ValueError(f"pqreader: no parquet files under {dir_path}")
+    files = list_parquet_files(dir_path)
     # ONE footer read/parse on the driver serves the schema probe, the
     # predicate validation (so a bad predicate fails here, not in every
     # task of a launched job), and the bloom file-pruning
@@ -1517,7 +1561,10 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
         # METADATA pass turns each footer into (path, start, stop) row
         # spans; each task then decodes one row group via row_range
         # (exact byte-range reads, no overlap). 1000 executors stay
-        # busy on a 10-file 100 TB table.
+        # busy on a 10-file 100 TB table. Each task re-parses its
+        # file's footer (O(footer bytes)) — the same per-split cost
+        # Spark's own parquet reader pays; shipping pre-parsed chunk
+        # offsets in the slices would trade that for pickle weight.
         sc = spark.sparkContext
         slices = min(len(files), sc.defaultParallelism * 4)
 

@@ -16,10 +16,13 @@ semantics are pushed:
 - float32 columns are never pushed — Spark compares FLOAT promoted to
   double, while the reader (like pyarrow) compares in float32; a
   literal that rounds DOWN to a float32 tick would drop rows Spark
-  keeps. Everything else (ints, strings, binary, dates, timestamps,
-  double, decimal, bool-free ops) compares identically.
-- naive TimestampType literals anchor to UTC on the DRIVER (the
-  executor OS tz can differ), exactly like the colcodec source.
+  keeps. Everything else (ints, strings, binary, dates, doubles,
+  decimals) compares identically.
+- timestamp columns are never pushed — Spark interprets the stored
+  micros AND the filter literal in ``spark.sql.session.timeZone``,
+  which a DataSourceReader cannot see; any anchoring guess can drop
+  rows under a non-UTC session. Use ``pqreader.spark_read`` directly
+  (naive literals documented as UTC) when timestamp pruning matters.
 - any predicate the reader cannot compile against the footer is
   silently not pushed (Spark re-applies every filter regardless).
 """
@@ -42,65 +45,66 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from parquet_go_spark.sources.datasource import _anchor_tz
-
 
 @dataclass
 class _FileSlice(InputPartition):
     path: str
 
 
-def _files_of(path: str) -> list[str]:
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    if not files:
-        raise ValueError(f"pqread: no parquet files under {path}")
-    return files
-
-
-def _pushable_columns(probe) -> dict[str, str]:
-    """column → spark-ish tz class for _anchor_tz; float32 and nested
-    columns are excluded (see module docstring)."""
+def _us_type(t):
+    """Recursively map ns timestamps to µs (Spark's Arrow bridge has no
+    nanosecond type; Spark itself truncates INT96/ns to micros)."""
     import pyarrow as pa
 
-    out = {}
-    for field in probe:
-        t = field.type
-        if pa.types.is_float32(t):
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return pa.timestamp("us", t.tz)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_us_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_us_type(t.key_type), _us_type(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [f.with_type(_us_type(f.type)) for f in t])
+    return t
+
+
+def _pushable_columns(root) -> set[str]:
+    """Flat scalar columns with Spark-identical comparison semantics
+    (see module docstring: float32 and timestamps are excluded)."""
+    out = set()
+    for c in root.children:
+        if c.children or c.max_rep > 0:
             continue
-        if pa.types.is_nested(t):
+        if c.physical == 4:  # FLOAT: Spark promotes to double
             continue
-        if pa.types.is_timestamp(t):
-            out[field.name] = "timestamp" if t.tz else "timestamp_ntz"
-        else:
-            out[field.name] = "scalar"
+        lg = c.logical or {}
+        if c.physical == 3 or 8 in lg or c.converted in (9, 10):
+            continue  # INT96 / timestamp: session-tz semantics
+        out.add(c.name)
     return out
 
 
-def _translate(filters, cols: dict[str, str]):
+def _translate(filters, cols: set[str]):
     preds = []
     for f in filters:
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1 or attr[0] not in cols:
             continue
         col = attr[0]
-        t = cols[col]
         if isinstance(f, EqualTo):
-            preds.append((col, "=", _anchor_tz(t, f.value)))
+            preds.append((col, "=", f.value))
         elif isinstance(f, In):
-            vals = list(f.value)
+            vals = [v for v in f.value if v is not None]
             if vals:
-                preds.append((col, "in", _anchor_tz(t, vals)))
+                preds.append((col, "in", vals))
         elif isinstance(f, GreaterThan):
-            preds.append((col, ">", _anchor_tz(t, f.value)))
+            preds.append((col, ">", f.value))
         elif isinstance(f, GreaterThanOrEqual):
-            preds.append((col, ">=", _anchor_tz(t, f.value)))
+            preds.append((col, ">=", f.value))
         elif isinstance(f, LessThan):
-            preds.append((col, "<", _anchor_tz(t, f.value)))
+            preds.append((col, "<", f.value))
         elif isinstance(f, LessThanOrEqual):
-            preds.append((col, "<=", _anchor_tz(t, f.value)))
+            preds.append((col, "<=", f.value))
     return preds
 
 
@@ -113,22 +117,21 @@ class PqreadReader(DataSourceReader):
         from parquet_go_spark.interop import pqreader
 
         filters = list(filters)
-        files = _files_of(self._path)
-        probe = pqreader.read_schema(files[0])
-        candidates = _translate(filters, _pushable_columns(probe))
-        # compile once against the real footer: anything the reader
-        # would reject at task time is simply not pushed
-        with open(files[0], "rb") as fh:
+        first = pqreader.list_parquet_files(self._path)[0]
+        # ONE footer parse serves both the pushability classification
+        # and the compile check
+        with open(first, "rb") as fh:
             fmd = pqreader._read_footer_file(
-                fh, os.path.getsize(files[0]), files[0])
+                fh, os.path.getsize(first), first)
         root = pqreader._parse_schema(fmd[2])
         pqreader._annotate(root, 0, 0, ())
+        candidates = _translate(filters, _pushable_columns(root))
         self._preds = []
         for p in candidates:
             try:
                 pqreader._compile_predicate(root, fmd, p)
             except ValueError:
-                continue
+                continue  # the reader would reject it at task time
             self._preds.append(p)
         # Spark must still evaluate every filter exactly; eager assign
         # + plain iterator (a generator would disengage silently if a
@@ -136,25 +139,28 @@ class PqreadReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self):
-        return [_FileSlice(p) for p in _files_of(self._path)]
+        from parquet_go_spark.interop import pqreader
+
+        return [_FileSlice(p)
+                for p in pqreader.list_parquet_files(self._path)]
 
     def read(self, partition: _FileSlice | None):
         if partition is None:
             return
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from parquet_go_spark.interop import pqreader
 
         tbl = pqreader.read_table(
             partition.path, predicate=self._preds or None)
-        # Spark's Arrow bridge has no nanosecond timestamp: INT96 (and
-        # ns-annotated) columns surface as ns from the reader — cast to
-        # the µs Spark declares in schema()
         for i, fld in enumerate(tbl.schema):
-            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+            want = _us_type(fld.type)
+            if want != fld.type:
+                # Spark truncates sub-µs precision on read; so do we
                 tbl = tbl.set_column(
                     i, fld.name,
-                    tbl.column(i).cast(pa.timestamp("us", fld.type.tz)))
+                    pc.cast(tbl.column(i), want, safe=False))
         yield from tbl.to_batches()
 
 
@@ -174,14 +180,10 @@ class PqreadDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("pqread: .load(<parquet directory>) required")
-        probe = pqreader.read_schema(_files_of(path)[0])
-        fields = [
-            f.with_type(pa.timestamp("us", f.type.tz))
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-            else f
-            for f in probe
-        ]
-        return from_arrow_schema(pa.schema(fields))
+        probe = pqreader.read_schema(
+            pqreader.list_parquet_files(path)[0])
+        return from_arrow_schema(pa.schema(
+            [f.with_type(_us_type(f.type)) for f in probe]))
 
     def reader(self, schema: StructType) -> PqreadReader:
         return PqreadReader(self.options["path"])

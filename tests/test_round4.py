@@ -1714,3 +1714,106 @@ def test_pqread_reader_pushes_only_safe_predicates(tmp_path):
     parts = r.partitions()
     got = [b for p in parts for b in r.read(p)]
     assert sum(b.num_rows for b in got) == 0  # k=5 AND name in = ∅
+
+
+def test_pqreader_in_null_and_float_members(tmp_path):
+    """SQL semantics for odd 'in' members: NULL never matches (and
+    never resurrects null rows), non-integral / NaN / inf floats on an
+    int column match nothing, integral floats match exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({"k": pa.array([2, 5, None], pa.int64()),
+                    "s": pa.array(["x", "y", None])})
+    p = str(tmp_path / "innull.parquet")
+    pq.write_table(tbl, p)
+
+    got = pqreader.read_table(p, predicate=("s", "in", ["x", None]))
+    assert got.column("s").to_pylist() == ["x"]  # null rows stay out
+    got = pqreader.read_table(p, predicate=("s", "in", [None]))
+    assert got.num_rows == 0
+    got = pqreader.read_table(p, predicate=("k", "in", [2.5]))
+    assert got.num_rows == 0  # used to truncate 2.5 → 2 and match
+    got = pqreader.read_table(
+        p, predicate=("k", "in", [2.0, float("nan"), float("inf")]))
+    assert got.column("k").to_pylist() == [2]
+
+
+def test_pqreader_float_literal_on_int_column(tmp_path):
+    """Scalar float literals on integer columns evaluate exactly:
+    pa.scalar's silent 2.5 → 2 truncation matched the wrong rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({"k": pa.array([2, 3, 5, None], pa.int64())})
+    p = str(tmp_path / "fint.parquet")
+    pq.write_table(tbl, p)
+    rt = pqreader.read_table
+    assert rt(p, predicate=("k", "=", 2.5)).num_rows == 0
+    assert rt(p, predicate=("k", "<", 2.5)).column("k").to_pylist() == [2]
+    assert rt(p, predicate=("k", ">", 2.5)).column("k").to_pylist() == [3, 5]
+    assert rt(p, predicate=("k", ">=", 3.0)).column("k").to_pylist() == [3, 5]
+    assert rt(p, predicate=("k", "=", float("nan"))).num_rows == 0
+    assert rt(p, predicate=("k", "<", float("inf"))).num_rows == 3
+    assert rt(p, predicate=("k", ">", float("inf"))).num_rows == 0
+    assert rt(p, predicate=("k", ">", float("-inf"))).num_rows == 3
+    assert rt(p, predicate=("k", "<", 1e300)).num_rows == 3
+
+
+def test_pqread_handles_ns_and_session_tz(spark, tmp_path):
+    """INT96/ns files read through the data source without safe-cast
+    crashes (sub-µs truncates like Spark), nested ns casts too, and
+    timestamp filters are NEVER pushed (session-tz semantics are
+    invisible to a DataSourceReader) yet results stay exact under a
+    non-UTC session timezone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import GreaterThan
+
+    from parquet_go_spark.sources import pqread
+    from parquet_go_spark.sources.pqread import PqreadReader
+
+    pqread.register(spark)
+    d = tmp_path / "nsdir"
+    d.mkdir()
+    tbl = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1001, 2_000_000_000], pa.timestamp("ns")),
+        "s": pa.array([{"inner": 1001}, {"inner": 5000}],
+                      pa.struct([("inner", pa.timestamp("ns"))])),
+    })
+    pq.write_table(tbl, str(d / "a.parquet"))
+
+    df = spark.read.format("pqread").load(str(d))
+    rows = df.orderBy("k").collect()
+    assert len(rows) == 2  # 1001 ns truncates to 1 µs, no crash
+    assert rows[1]["ts"].second == 2
+
+    # timestamps never push; the k filter still does
+    r = PqreadReader(str(d))
+    r.pushFilters([GreaterThan(("ts",), dt.datetime(2024, 1, 1)),
+                   GreaterThan(("k",), 1)])
+    assert r._preds == [("k", ">", 1)]
+
+    # exactness under a non-UTC session tz (filters applied by
+    # Spark, never pushed): compare on a µs dir BOTH readers accept —
+    # spark.read.parquet itself rejects the ns-annotated file above
+    # (PARQUET_TYPE_ILLEGAL), which our reader decodes
+    d2 = str(tmp_path / "usdir")
+    spark.range(100).selectExpr(
+        "id AS k", "timestamp_micros(CAST(id * 1000000 AS long)) AS ts"
+    ).coalesce(1).write.parquet(d2)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = (spark.read.format("pqread").load(d2)
+               .where("ts >= timestamp'1969-12-31 19:00:50'").count())
+        exp = (spark.read.parquet(d2)
+               .where("ts >= timestamp'1969-12-31 19:00:50'").count())
+        assert got == exp > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
