@@ -358,10 +358,10 @@ def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
                 off + 4 + ln)
 
         off = 0
-        reps = np.zeros(nv, dtype=np.int64)
+        reps = None  # None ⟺ max_rep == 0: no per-page materialization
         if max_rep > 0:
             reps, off = _v1_levels(raw, off, max_rep, rep_enc)
-        defs = np.full(nv, max_def, dtype=np.int64)
+        defs = None  # None ⟺ max_def == 0 (all values present)
         if max_def > 0:
             defs, off = _v1_levels(raw, off, max_def, def_enc)
         vals_buf = raw[off:]
@@ -375,17 +375,18 @@ def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
             vals_buf = pa.Codec(codec).decompress(
                 vals_buf, hdr[2] - lvl, asbytes=True)
         reps = (_decode_level_stream(raw[:rlb], nv, max_rep, Codec.RLE)
-                if max_rep > 0 else np.zeros(nv, dtype=np.int64))
+                if max_rep > 0 else None)
         defs = (_decode_level_stream(raw[rlb:lvl], nv, max_def,
                                      Codec.RLE)
-                if max_def > 0 else np.full(nv, max_def, dtype=np.int64))
+                if max_def > 0 else None)
     else:
         raise ValueError(f"pqreader: unexpected page type {ptype}")
-    n_nonnull = int((defs == max_def).sum())
+    n_nonnull = nv if defs is None else int((defs == max_def).sum())
     values = _decode_values(vals_buf, n_nonnull, leaf, enc,
                             dictionary_vals)
-    return "data", (np.asarray(defs, dtype=np.int64),
-                    np.asarray(reps, dtype=np.int64), values, nv), next_pos
+    defs = None if defs is None else np.asarray(defs, dtype=np.int64)
+    reps = None if reps is None else np.asarray(reps, dtype=np.int64)
+    return "data", (defs, reps, values, nv), next_pos
 
 
 def _chunk_codec(meta: dict) -> str | None:
@@ -395,14 +396,31 @@ def _chunk_codec(meta: dict) -> str | None:
     return codec
 
 
-def _leaf_data(defs_parts, reps_parts, val_parts, leaf) -> _LeafData:
-    defs = np.concatenate(defs_parts) if defs_parts \
-        else np.zeros(0, np.int64)
-    reps = np.concatenate(reps_parts) if reps_parts \
-        else np.zeros(0, np.int64)
+def _leaf_data(defs_parts, reps_parts, val_parts, leaf,
+               total: int) -> _LeafData:
+    """Combine per-page payloads. A None defs/reps part means the page
+    had no such level stream (max_def/max_rep == 0) — materialized
+    once here (zeros), not per page."""
+    if leaf.max_def == 0:
+        defs = np.zeros(total, np.int64)
+        val_idx = np.arange(total, dtype=np.int64)
+    else:
+        defs = np.concatenate(defs_parts) if defs_parts \
+            else np.zeros(0, np.int64)
+        nn = defs == leaf.max_def
+        if nn.all():  # nullable column, no actual nulls: identity
+            val_idx = np.arange(len(defs), dtype=np.int64)
+        else:
+            val_idx = np.cumsum(nn) - 1
+    if leaf.max_rep == 0:
+        # flat column: reps are never consulted (row starts are the
+        # identity) — zero-length beats 8·total bytes of zeros
+        reps = np.zeros(0, np.int64)
+    else:
+        reps = np.concatenate(reps_parts) if reps_parts \
+            else np.zeros(0, np.int64)
     values = _concat_values(val_parts, leaf) if val_parts \
         else np.zeros(0, np.int64)
-    val_idx = np.cumsum(defs == leaf.max_def) - 1
     return _LeafData(defs, reps, values, val_idx)
 
 
@@ -425,7 +443,7 @@ def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
         defs_parts.append(defs)
         reps_parts.append(reps)
         seen += nv
-    return _leaf_data(defs_parts, reps_parts, val_parts, leaf)
+    return _leaf_data(defs_parts, reps_parts, val_parts, leaf, seen)
 
 
 # ------------------------------------------------------------- assembly
@@ -611,11 +629,15 @@ def _assemble(node: _Node, leaf_data: dict, starts: dict, ends: dict,
     if not node.children:
         ld: _LeafData = leaf_data[node.path]
         s = starts[node.path]
-        d = ld.defs[s]
+        # flat column: starts is the identity — skip the gather copies
+        flat = node.max_rep == 0 and len(s) == len(ld.defs)
+        d = ld.defs if flat else ld.defs[s]
         present = d == node.max_def
         vals = _values_to_arrow(node, ld.values)
-        idx = ld.val_idx[s]
+        idx = ld.val_idx if flat else ld.val_idx[s]
         if bool(present.all()):
+            if flat and len(vals) == len(idx):
+                return vals  # identity permutation: no take
             return vals.take(pa.array(idx, type=pa.int64()))
         nul_idx = pa.array(np.where(present, idx, None), type=pa.int64())
         return vals.take(nul_idx)
@@ -1263,14 +1285,21 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
             raise ValueError(
                 f"pqreader: page row count {nv} != offset-index span "
                 f"{row1 - row0} for column {leaf.path}")
-        nn_cum = np.zeros(nv + 1, dtype=np.int64)
-        np.cumsum(defs == max_def, out=nn_cum[1:])
+        if defs is None:  # all present: value index == row index
+            nn_cum = None
+        else:
+            nn_cum = np.zeros(nv + 1, dtype=np.int64)
+            np.cumsum(defs == max_def, out=nn_cum[1:])
         for aa, bb in runs:
-            defs_parts.append(defs[aa:bb])
-            reps_parts.append(np.zeros(bb - aa, dtype=np.int64))
+            defs_parts.append(None if defs is None else defs[aa:bb])
             val_parts.append(_slice_vals(
-                values, int(nn_cum[aa]), int(nn_cum[bb])))
-    return _leaf_data(defs_parts, reps_parts, val_parts, leaf)
+                values,
+                aa if nn_cum is None else int(nn_cum[aa]),
+                bb if nn_cum is None else int(nn_cum[bb])))
+    total = sum(len(v) for v in defs_parts if v is not None)
+    if leaf.max_def == 0:
+        total = sum(b - a for a, b in ranges)
+    return _leaf_data(defs_parts, reps_parts, val_parts, leaf, total)
 
 
 def _intersect_ranges(a, b):
@@ -1435,17 +1464,26 @@ def read_table(path: str, columns: list[str] | None = None,
                 # group, then slice the assembled rows
                 slice_after = local
             starts, ends = {}, {}
+            ident = None  # one shared identity for every flat leaf
             for p, ld in leaf_data.items():
-                s = np.flatnonzero(ld.reps == 0) if leaves[p].max_rep \
-                    else np.arange(len(ld.defs))
-                if len(s) != n_rows:
-                    raise ValueError(
-                        f"pqreader: column {p} has {len(s)} rows, footer "
-                        f"says {n_rows}")
-                e = np.empty_like(s)
-                e[:-1] = s[1:]
-                if len(s):
-                    e[-1] = len(ld.defs)
+                if leaves[p].max_rep:
+                    s = np.flatnonzero(ld.reps == 0)
+                    if len(s) != n_rows:
+                        raise ValueError(
+                            f"pqreader: column {p} has {len(s)} rows, "
+                            f"footer says {n_rows}")
+                    e = np.empty_like(s)
+                    e[:-1] = s[1:]
+                    if len(s):
+                        e[-1] = len(ld.defs)
+                else:
+                    if len(ld.defs) != n_rows:
+                        raise ValueError(
+                            f"pqreader: column {p} has {len(ld.defs)} "
+                            f"rows, footer says {n_rows}")
+                    if ident is None:
+                        ident = np.arange(n_rows + 1, dtype=np.int64)
+                    s, e = ident[:n_rows], ident[1:]
                 starts[p], ends[p] = s, e
             arrays = [_assemble(c, leaf_data, starts, ends, n_rows)
                       for c in top]
