@@ -321,16 +321,26 @@ def _concat_values(parts: list, leaf: _Node):
 
 
 def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
-                 dictionary_vals):
+                 dictionary_vals, verify: bool = False):
     """Decode ONE page at pos. Returns (kind, payload, next_pos):
     kind "dict" → payload = dictionary values;
-    kind "data" → payload = (defs, reps, values, nv)."""
+    kind "data" → payload = (defs, reps, values, nv).
+    verify=True checks the PageHeader CRC32 (computed over the page
+    bytes as stored, i.e. after compression) when the writer recorded
+    one — pages without a crc field pass (same as parquet-mr)."""
     max_def, max_rep = leaf.max_def, leaf.max_rep
     hdr, body = read_struct(data, pos)
     ptype = hdr[1]
     raw = bytes(data[body:body + hdr[3]])
     if len(raw) < hdr[3]:
         raise ValueError("pqreader: truncated page")
+    if verify and hdr.get(4) is not None:
+        import zlib
+
+        if zlib.crc32(raw) & 0xFFFFFFFF != hdr[4] & 0xFFFFFFFF:
+            raise ValueError(
+                f"pqreader: page CRC mismatch for column "
+                f"{'.'.join(leaf.path)} (corrupt page bytes)")
     next_pos = body + hdr[3]
     if ptype == 2:  # dictionary page (PLAIN / PLAIN_DICTIONARY blob)
         if codec:
@@ -424,7 +434,8 @@ def _leaf_data(defs_parts, reps_parts, val_parts, leaf,
     return _LeafData(defs, reps, values, val_idx)
 
 
-def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
+def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node,
+                     verify: bool = False) -> _LeafData:
     codec = _chunk_codec(meta)
     start = meta.get(11) or meta[9]
     num_values = meta[5]
@@ -434,7 +445,7 @@ def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node) -> _LeafData:
     defs_parts, reps_parts, val_parts = [], [], []
     while seen < num_values:
         kind, payload, pos = _decode_page(
-            data, pos, leaf, codec, dictionary_vals)
+            data, pos, leaf, codec, dictionary_vals, verify)
         if kind == "dict":
             dictionary_vals = payload
             continue
@@ -1239,7 +1250,7 @@ def _slice_vals(vals, lo: int, hi: int):
 
 
 def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
-                    rg_rows: int) -> _LeafData:
+                    rg_rows: int, verify: bool = False) -> _LeafData:
     """Decode only the pages of a FLAT leaf (max_rep == 0) overlapping
     `ranges` (sorted, disjoint row intervals), trimmed to exactly those
     rows. Refuted pages cost zero reads; the dictionary page (if any)
@@ -1254,7 +1265,8 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
     if locs and locs[0][0] > start:
         f.seek(start)
         buf = f.read(locs[0][0] - start)
-        kind, dictionary_vals, _ = _decode_page(buf, 0, leaf, codec, None)
+        kind, dictionary_vals, _ = _decode_page(
+            buf, 0, leaf, codec, None, verify)
         if kind != "dict":
             raise ValueError("pqreader: expected dictionary page")
     max_def = leaf.max_def
@@ -1276,7 +1288,7 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
         f.seek(off)
         buf = f.read(size)
         kind, payload, _ = _decode_page(buf, 0, leaf, codec,
-                                        dictionary_vals)
+                                        dictionary_vals, verify)
         if kind != "data":
             raise ValueError("pqreader: page index points at a "
                              "non-data page")
@@ -1318,7 +1330,8 @@ def _intersect_ranges(a, b):
 
 
 def read_table(path: str, columns: list[str] | None = None,
-               predicate=None, row_range=None) -> pa.Table:
+               predicate=None, row_range=None,
+               verify_checksums: bool = False) -> pa.Table:
     """Decode a .parquet file through our kernels → pyarrow Table.
 
     columns prunes the chunks READ (projection: skipped columns cost
@@ -1334,7 +1347,9 @@ def read_table(path: str, columns: list[str] | None = None,
     UTC. row_range = (start, stop) returns file rows [start, stop) —
     the SeekToRow analog (reader.go): row groups outside the range
     read nothing, and with page indexes a partially-covered group
-    decodes only the overlapping pages."""
+    decodes only the overlapping pages. verify_checksums=True checks
+    each page's recorded CRC32 before decoding (pages without one
+    pass, as in parquet-mr)."""
     import os
 
     if row_range is not None:
@@ -1453,12 +1468,13 @@ def read_table(path: str, columns: list[str] | None = None,
                 for p, lf in leaves.items():
                     leaf_data[p] = _read_leaf_rows(
                         f, chunk_by_path[p], lf, page_ois[p],
-                        sub, rg_n)
+                        sub, rg_n, verify_checksums)
                 n_rows = sum(b - a for a, b in sub)
             else:
                 for p, lf in leaves.items():
                     buf, meta2 = _load_chunk(f, chunk_by_path[p])
-                    leaf_data[p] = _read_leaf_chunk(buf, meta2, lf)
+                    leaf_data[p] = _read_leaf_chunk(
+                        buf, meta2, lf, verify_checksums)
                 n_rows = rg_n
                 # no page index (or nested schema): decode the whole
                 # group, then slice the assembled rows

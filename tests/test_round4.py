@@ -902,9 +902,9 @@ def _count_chunk_reads(monkeypatch):
     calls = []
     orig = pqreader._read_leaf_chunk
 
-    def spy(data, meta, leaf):
+    def spy(data, meta, leaf, *a, **kw):
         calls.append(leaf.path)
-        return orig(data, meta, leaf)
+        return orig(data, meta, leaf, *a, **kw)
 
     monkeypatch.setattr(pqreader, "_read_leaf_chunk", spy)
     return calls
@@ -1192,8 +1192,8 @@ def test_pqreader_page_level_skipping(monkeypatch, tmp_path):
     pages = []
     orig = pqreader._decode_page
 
-    def spy(data, pos, leaf, codec, dictionary_vals):
-        out = orig(data, pos, leaf, codec, dictionary_vals)
+    def spy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
         if out[0] == "data":
             pages.append(leaf.path)
         return out
@@ -1817,3 +1817,34 @@ def test_pqread_handles_ns_and_session_tz(spark, tmp_path):
         assert got == exp > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_pqreader_verify_checksums(tmp_path):
+    """verify_checksums=True accepts intact pages and rejects a
+    corrupted page byte with a clear error (negative control mirrors
+    the writer-side pyarrow CRC oracle)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.codecs.kinds import Kind
+
+    k = np.arange(50000, dtype=np.int64)
+    p = str(tmp_path / "crc.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, k)], page_rows=5000)
+    good = pqreader.read_table(p, verify_checksums=True)
+    assert good.num_rows == 50000
+
+    md = pq.ParquetFile(p).metadata
+    off = md.row_group(0).column(0).data_page_offset
+    data = bytearray(open(p, "rb").read())
+    data[off + 500] ^= 0xFF  # flip a byte inside the first data page body
+    bad = str(tmp_path / "crcbad.parquet")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        pqreader.read_table(bad, verify_checksums=True)
+    # without verification the corruption surfaces later (or decodes
+    # to garbage) — the point of the flag is the CLEAR early error
+    with pytest.raises(Exception):
+        pqreader.read_table(bad)
