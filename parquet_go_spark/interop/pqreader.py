@@ -413,7 +413,8 @@ def _leaf_data(defs_parts, reps_parts, val_parts, leaf,
     once here (zeros), not per page."""
     if leaf.max_def == 0:
         defs = np.zeros(total, np.int64)
-        val_idx = np.arange(total, dtype=np.int64)
+        val_idx = None  # identity; _assemble's required-flat path
+        #                 returns the values directly, never an index
     else:
         defs = np.concatenate(defs_parts) if defs_parts \
             else np.zeros(0, np.int64)
@@ -642,6 +643,9 @@ def _assemble(node: _Node, leaf_data: dict, starts: dict, ends: dict,
         s = starts[node.path]
         # flat column: starts is the identity — skip the gather copies
         flat = node.max_rep == 0 and len(s) == len(ld.defs)
+        if flat and node.max_def == 0:
+            # required all the way down: values ARE the rows
+            return _values_to_arrow(node, ld.values)
         d = ld.defs if flat else ld.defs[s]
         present = d == node.max_def
         vals = _values_to_arrow(node, ld.values)
@@ -1270,7 +1274,7 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
         if kind != "dict":
             raise ValueError("pqreader: expected dictionary page")
     max_def = leaf.max_def
-    defs_parts, reps_parts, val_parts = [], [], []
+    defs_parts, val_parts = [], []
     ri = 0  # ranges cursor (both ranges and pages are row-ordered)
     for i, (off, size, row0) in enumerate(locs):
         row1 = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
@@ -1308,10 +1312,10 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
                 values,
                 aa if nn_cum is None else int(nn_cum[aa]),
                 bb if nn_cum is None else int(nn_cum[bb])))
-    total = sum(len(v) for v in defs_parts if v is not None)
-    if leaf.max_def == 0:
-        total = sum(b - a for a, b in ranges)
-    return _leaf_data(defs_parts, reps_parts, val_parts, leaf, total)
+    total = (sum(b - a for a, b in ranges) if leaf.max_def == 0
+             else sum(len(v) for v in defs_parts))
+    # flat-only function (max_rep == 0): reps are never materialized
+    return _leaf_data(defs_parts, [], val_parts, leaf, total)
 
 
 def _intersect_ranges(a, b):
