@@ -1275,6 +1275,9 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
             raise ValueError("pqreader: expected dictionary page")
     max_def = leaf.max_def
     defs_parts, val_parts = [], []
+    n_decoded = 0  # actual rows decoded — NOT the requested ranges:
+    #                a malformed OffsetIndex (head gap) must trip the
+    #                rows-vs-footer guard, not silently truncate
     ri = 0  # ranges cursor (both ranges and pages are row-ordered)
     for i, (off, size, row0) in enumerate(locs):
         row1 = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
@@ -1307,15 +1310,14 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
             nn_cum = np.zeros(nv + 1, dtype=np.int64)
             np.cumsum(defs == max_def, out=nn_cum[1:])
         for aa, bb in runs:
+            n_decoded += bb - aa
             defs_parts.append(None if defs is None else defs[aa:bb])
             val_parts.append(_slice_vals(
                 values,
                 aa if nn_cum is None else int(nn_cum[aa]),
                 bb if nn_cum is None else int(nn_cum[bb])))
-    total = (sum(b - a for a, b in ranges) if leaf.max_def == 0
-             else sum(len(v) for v in defs_parts))
     # flat-only function (max_rep == 0): reps are never materialized
-    return _leaf_data(defs_parts, [], val_parts, leaf, total)
+    return _leaf_data(defs_parts, [], val_parts, leaf, n_decoded)
 
 
 def _intersect_ranges(a, b):

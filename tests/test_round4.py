@@ -1849,3 +1849,34 @@ def test_pqreader_verify_checksums(tmp_path):
     open(bad, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="CRC mismatch"):
         pqreader.read_table(bad, verify_checksums=True)
+
+
+def test_pqreader_offset_index_head_gap_raises(monkeypatch, tmp_path):
+    """An OffsetIndex whose pages all claim to start 50 rows late (head
+    gap; spans between pages stay mutually consistent) must trip the
+    decoded-rows-vs-footer guard, not silently truncate. Regression:
+    required (max_def == 0) columns once derived their row count from
+    the REQUESTED ranges, making the guard vacuous exactly when every
+    projected column was required."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    n = 10000
+    p = str(tmp_path / "headgap.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64,
+                               np.arange(n, dtype=np.int64))],
+                page_rows=1024)
+
+    real = pqreader._offset_index
+
+    def shifted(f, cc):
+        locs = real(f, cc)
+        return None if locs is None else [
+            (o, s, r + 50) for o, s, r in locs]
+
+    monkeypatch.setattr(pqreader, "_offset_index", shifted)
+    with pytest.raises(ValueError, match="rows, footer says"):
+        pqreader.read_table(p, row_range=(0, 60))
