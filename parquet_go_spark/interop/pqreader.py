@@ -1669,3 +1669,240 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                 yield from tbl.to_batches()
 
     return paths_df.mapInArrow(decode, out_schema)
+
+
+# ------------------------------------------------- footer aggregates
+# min/max/count answered from footer bytes alone — the metadata-scan
+# fast path (the reference exposes the same Statistics through
+# ColumnChunk.Statistics, file.go footer walk): at fleet scale a
+# MIN/MAX/COUNT over 10^5 files is KBs of footer per file, zero data
+# pages. Soundness mirrors the predicate path: min/max only when
+# column_orders declares TypeDefinedOrder for every column, and for
+# variable-length BYTE_ARRAY only when the writer recorded
+# is_min/max_value_exact (truncated bounds are NOT the extreme values;
+# fixed-width kinds can never be truncated). Float min/max are over
+# non-NaN values (parquet statistics semantics). Counts need no trust:
+# num_rows is authoritative and null_count is order-free.
+
+_AGG_KEYS = ("count", "null_count", "min", "max")
+
+
+def _footer_trusted(fmd: dict) -> bool:
+    orders = fmd.get(7)
+    return bool(orders) and all(
+        isinstance(o, dict) and set(o) == {1} for o in orders)
+
+
+def _leaf_is_unsigned(leaf: _Node) -> bool:
+    intl = (leaf.logical or {}).get(10)
+    return (intl is not None and not intl.get(2, True)) \
+        or leaf.converted in (11, 12, 13, 14)
+
+
+def _cmp_to_logical(leaf: _Node, v):
+    """Merge-space stat → Python value in the column's logical space
+    (what read_table surfaces for the same cell)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    lg = leaf.logical or {}
+    ct = leaf.converted
+    ph = leaf.physical
+    if 5 in lg or ct == _CT_DECIMAL:
+        dec = lg.get(5, {})
+        scale = dec.get(1, leaf.scale)
+        with _dec.localcontext() as ctx:
+            ctx.prec = 60  # decimal(38) unscaled ints overflow default
+            return _dec.Decimal(int(v)).scaleb(-scale)
+    if ph == 0:
+        return bool(v)
+    if ph == 1 and (6 in lg or ct == _CT_DATE):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    typ = _leaf_arrow_type(leaf)
+    if pa.types.is_timestamp(typ):
+        return pa.array([int(v)], pa.int64()).cast(typ)[0].as_py()
+    if ph == 6 and (1 in lg or ct == _CT_UTF8):
+        return v.decode("utf-8")
+    return v
+
+
+def _agg_bound(leaf: _Node, st: dict, which: str):
+    """One chunk's min/max in MERGE space (mutually comparable across
+    chunks), or None when unusable. `which` is "min" or "max"."""
+    raw = st.get(6 if which == "min" else 5)
+    if raw is None:
+        return None
+    ph = leaf.physical
+    lg = leaf.logical or {}
+    exact = st.get(8 if which == "min" else 7)
+    if 5 in lg or leaf.converted == _CT_DECIMAL:
+        if ph in (1, 2):
+            return _stat_raw_to_cmp(raw, leaf, False)
+        if ph == 7 and len(raw) == (leaf.type_length or 0):
+            # FLBA decimal: big-endian two's complement — value order
+            # under TypeDefinedOrder, so decode before merging (byte
+            # order would mis-merge across signs)
+            return int.from_bytes(raw, "big", signed=True)
+        return None
+    if ph == 6:
+        # variable length: the bound may be truncated; only the
+        # writer's exactness flag proves it IS the extreme value
+        return bytes(raw) if exact is True else None
+    if ph == 7:
+        if exact is False or len(raw) != (leaf.type_length or 0):
+            return None
+        if 15 in lg or leaf.converted == 21:
+            # FLOAT16 / INTERVAL: byte order is not value order
+            return None
+        return bytes(raw)
+    if ph == 3:
+        return None  # INT96: no ordered stats
+    return _stat_raw_to_cmp(raw, leaf, _leaf_is_unsigned(leaf))
+
+
+def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:
+    """{"rows": N, "columns": {name: {"count", "null_count", "min",
+    "max"}}} from the footer alone — no data page is ever read.
+
+    Covers flat scalar top-level columns; `count` is the non-null
+    count. A field is None when the footer cannot prove it (untrusted
+    column order, truncated/absent bounds, missing null_count); an
+    all-null row group contributes no bounds without poisoning the
+    column. Values come back in logical space (Decimal, date,
+    datetime, str, ...) — exactly read_table's cell values."""
+    import os
+
+    with open(path, "rb") as f:
+        fmd = _read_footer_file(f, os.path.getsize(path), path)
+    root = _parse_schema(fmd[2])
+    _annotate(root, 0, 0, ())
+    flat = {c.name: c for c in root.children
+            if not c.children and c.max_rep == 0}
+    if columns is not None:
+        missing = [c for c in columns if c not in flat]
+        if missing:
+            raise ValueError(
+                f"pqreader: no flat scalar column(s) {missing} in {path}")
+        flat = {c: flat[c] for c in columns}
+    trusted = _footer_trusted(fmd)
+    agg = {name: {"count": 0, "null_count": 0, "min": None, "max": None,
+                  "_no_bounds": True} for name in flat}
+    for rg in fmd.get(4) or []:
+        by_path = {}
+        for cc in rg[1]:
+            m = cc[3]
+            p = tuple(x.decode() if isinstance(x, bytes) else str(x)
+                      for x in m[3])
+            if len(p) == 1:
+                by_path[p[0]] = m
+        for name, leaf in flat.items():
+            a = agg[name]
+            m = by_path.get(name)
+            if m is None:  # chunk absent: column unreadable — poison
+                a["count"] = a["null_count"] = None
+                a["_no_bounds"] = False
+                a["min"] = a["max"] = None
+                continue
+            nv = m[5]
+            st = m.get(12) or {}
+            nulls = st.get(3)
+            if nulls is None:
+                a["count"] = a["null_count"] = None
+            else:
+                if a["count"] is not None:
+                    a["count"] += nv - nulls
+                    a["null_count"] += nulls
+            all_null = nulls is not None and nulls == nv
+            if nv == 0 or all_null:
+                continue  # no non-null values: no bound contribution
+            if not trusted:
+                a["_no_bounds"] = False
+                continue
+            lo = _agg_bound(leaf, st, "min")
+            hi = _agg_bound(leaf, st, "max")
+            if lo is None or hi is None:
+                a["_no_bounds"] = False  # unusable chunk: poison
+                a["min"] = a["max"] = None
+                continue
+            if a["_no_bounds"]:
+                a["_no_bounds"] = False
+                a["min"], a["max"] = lo, hi
+            else:
+                if a["min"] is not None and lo < a["min"]:
+                    a["min"] = lo
+                if a["max"] is not None and hi > a["max"]:
+                    a["max"] = hi
+    out = {}
+    for name, a in agg.items():
+        leaf = flat[name]
+        out[name] = {
+            "count": a["count"],
+            "null_count": a["null_count"],
+            "min": None if a["min"] is None
+            else _cmp_to_logical(leaf, a["min"]),
+            "max": None if a["max"] is None
+            else _cmp_to_logical(leaf, a["max"]),
+        }
+    return {"rows": fmd[3], "columns": out}
+
+
+def merge_aggregates(parts: list[dict]) -> dict:
+    """Combine per-file footer_aggregates results. None-poisoning per
+    field; a file whose column is entirely null (count == 0) skips the
+    bounds merge instead of poisoning it."""
+    if not parts:
+        return {"rows": 0, "columns": {}}
+    names = list(parts[0]["columns"])
+    for p in parts[1:]:
+        if list(p["columns"]) != names:
+            raise ValueError("pqreader: aggregate parts disagree on "
+                             "columns — same projection required")
+    out = {}
+    for name in names:
+        acc = {"count": 0, "null_count": 0, "min": None, "max": None}
+        seen_bounds = False
+        poisoned = False
+        for p in parts:
+            c = p["columns"][name]
+            for k in ("count", "null_count"):
+                if acc[k] is None or c[k] is None:
+                    acc[k] = None
+                else:
+                    acc[k] += c[k]
+            if c["count"] == 0:
+                continue  # provably no non-null values in this file
+            if c["min"] is None or c["max"] is None:
+                poisoned = True
+                continue
+            if not seen_bounds:
+                acc["min"], acc["max"] = c["min"], c["max"]
+                seen_bounds = True
+            else:
+                acc["min"] = min(acc["min"], c["min"])
+                acc["max"] = max(acc["max"], c["max"])
+        if poisoned:
+            acc["min"] = acc["max"] = None
+        out[name] = acc
+    return {"rows": sum(p["rows"] for p in parts), "columns": out}
+
+
+def spark_footer_aggregates(spark, dir_path: str,
+                            columns: list[str] | None = None) -> dict:
+    """footer_aggregates over a directory, distributed as a Spark job
+    above 64 files (the prune_files shape: each task reads only footer
+    bytes; results are metadata-sized, merged on the driver)."""
+    files = list_parquet_files(dir_path)
+    if spark is not None and len(files) > 64:
+        cols = columns
+
+        def agg_partition(it):
+            for p in it:
+                yield footer_aggregates(p, cols)
+
+        slices = min(len(files),
+                     spark.sparkContext.defaultParallelism * 4)
+        parts = (spark.sparkContext.parallelize(files, slices)
+                 .mapPartitions(agg_partition).collect())
+    else:
+        parts = [footer_aggregates(p, columns) for p in files]
+    return merge_aggregates(parts)

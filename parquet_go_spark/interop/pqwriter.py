@@ -209,24 +209,35 @@ _STAT_FMT = {Kind.INT32: "<i", Kind.INT64: "<q",
              Kind.FLOAT: "<f", Kind.DOUBLE: "<d"}
 
 
-def _stat_bounds(vals, kind: int,
-                 logical: str | None = None) -> tuple[bytes | None, bytes | None]:
+def _stat_bounds(vals, kind: int, logical: str | None = None,
+                 ) -> tuple[bytes | None, bytes | None]:
     """(min_value, max_value) plain-encoded, or (None, None).
 
     FLBA decimals (see _dec_flba) always get (None, None): byte order
     is not value order across signs, and null bounds are never
     prunable — safer than a reader pruning away real matches."""
+    lo, hi, _, _ = _stat_bounds_exact(vals, kind, logical)
+    return lo, hi
+
+
+def _stat_bounds_exact(vals, kind: int, logical: str | None = None,
+                       ) -> tuple[bytes | None, bytes | None, bool, bool]:
+    """(min_value, max_value, min_exact, max_exact). The exact flags
+    say whether the bound IS the actual extreme value (fixed-width
+    kinds always; BYTE_ARRAY only when no truncation happened) — they
+    become Statistics.is_min/max_value_exact (fields 8/7), which is
+    what lets a footer-only aggregate report min/max for strings."""
     if len(vals) == 0 or _dec_flba(kind, logical):
-        return None, None
+        return None, None, False, False
     if kind == Kind.BOOLEAN:
         a = np.asarray(vals, dtype=bool)
-        return bytes([int(a.min())]), bytes([int(a.max())])
+        return bytes([int(a.min())]), bytes([int(a.max())]), True, True
     if kind in _STAT_FMT:
         a = np.asarray(vals)
         if kind in (Kind.FLOAT, Kind.DOUBLE):
             a = a[~np.isnan(a)]
             if a.size == 0:
-                return None, None
+                return None, None, False, False
         lo, hi = a.min(), a.max()
         if kind in (Kind.FLOAT, Kind.DOUBLE):
             # spec-recommended zero normalization: min -0.0, max +0.0
@@ -235,11 +246,11 @@ def _stat_bounds(vals, kind: int,
             if hi == 0:
                 hi = 0.0
         f = _STAT_FMT[kind]
-        return _struct.pack(f, lo), _struct.pack(f, hi)
+        return _struct.pack(f, lo), _struct.pack(f, hi), True, True
     if kind == Kind.FIXED_LEN_BYTE_ARRAY:
         a = np.ascontiguousarray(vals, dtype=np.uint8)
         idx = np.lexsort(a.T[::-1])
-        return a[idx[0]].tobytes(), a[idx[-1]].tobytes()
+        return a[idx[0]].tobytes(), a[idx[-1]].tobytes(), True, True
     # BYTE_ARRAY: unsigned lexicographic, truncated with carry
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -247,16 +258,19 @@ def _stat_bounds(vals, kind: int,
                     else pa.array(list(vals), pa.binary()))
     lo = mm["min"].as_py() or b""
     hi = mm["max"].as_py() or b""
-    return lo[:STAT_TRUNCATE], _truncate_max_bytes(hi)
+    return (lo[:STAT_TRUNCATE], _truncate_max_bytes(hi),
+            len(lo) <= STAT_TRUNCATE, len(hi) <= STAT_TRUNCATE)
 
 
 def _statistics_struct(vals, kind: int, null_count: int,
                        logical: str | None = None) -> bytes:
-    lo, hi = _stat_bounds(vals, kind, logical)
+    lo, hi, lo_ex, hi_ex = _stat_bounds_exact(vals, kind, logical)
     return tc.struct([
         (3, tc.I64, null_count),
         (5, tc.BINARY, hi),
         (6, tc.BINARY, lo),
+        (7, tc.BOOL, None if hi is None else hi_ex),
+        (8, tc.BOOL, None if lo is None else lo_ex),
     ])
 
 

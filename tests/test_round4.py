@@ -1880,3 +1880,195 @@ def test_pqreader_offset_index_head_gap_raises(monkeypatch, tmp_path):
     monkeypatch.setattr(pqreader, "_offset_index", shifted)
     with pytest.raises(ValueError, match="rows, footer says"):
         pqreader.read_table(p, row_range=(0, 60))
+
+
+# ------------------------------------------------- footer aggregates
+
+
+def _write_agg_fixture(path: str, seed: int = 7, n: int = 5000,
+                       all_null_v: bool = False) -> dict:
+    """Mixed-type file via OUR writer (5 row groups, small pages):
+    returns the expected per-column python aggregates."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.delta import ByteArrays
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    rng = np.random.default_rng(seed)
+    k = rng.permutation(n).astype(np.int64)
+    fvalid = rng.random(n) > 0.1
+    fv = rng.normal(size=int(fvalid.sum()))
+    if all_null_v:
+        fvalid = np.zeros(n, dtype=bool)
+        fv = np.zeros(0, dtype=np.float64)
+    svalid = rng.random(n) > 0.2
+    s = [f"s{i % 97:02d}" for i in range(int(svalid.sum()))]
+    ls = ["x" * 30 + f"{i % 13:04d}" for i in range(n)]  # > 16 B: truncated
+    d = rng.integers(10000, 20000, n).astype(np.int32)
+    t = rng.integers(0, 10**15, n).astype(np.int64)
+    dec = rng.integers(-10**7, 10**7, n).astype(np.int32)
+    write_table(path, [
+        ColumnSpec("k", Kind.INT64, k),
+        ColumnSpec("v", Kind.DOUBLE, fv, validity=fvalid),
+        ColumnSpec("s", Kind.BYTE_ARRAY, ByteArrays.from_pylist(
+            [x.encode() for x in s]), validity=svalid, logical="string"),
+        ColumnSpec("ls", Kind.BYTE_ARRAY, ByteArrays.from_pylist(
+            [x.encode() for x in ls]), logical="string"),
+        ColumnSpec("d", Kind.INT32, d, logical="date"),
+        ColumnSpec("t", Kind.INT64, t, logical="timestamp_micros"),
+        ColumnSpec("dec", Kind.INT32, dec, logical="decimal(9,2)"),
+    ], page_rows=512, row_group_rows=1024)
+    return {"n": n}
+
+
+def _dt_us(dt):
+    import datetime as _dt
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (dt - epoch) // _dt.timedelta(microseconds=1)
+
+
+def test_footer_aggregates_matches_duckdb(tmp_path):
+    """min/max/count/null_count from footer bytes equal DuckDB's full
+    scan on the same file — incl. date/timestamp/decimal logical
+    values; truncated string bounds honestly report None."""
+    import duckdb
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "agg.parquet")
+    info = _write_agg_fixture(p)
+    fa = pqreader.footer_aggregates(p)
+    assert fa["rows"] == info["n"]
+
+    con = duckdb.connect()
+    for col in ("k", "v", "s", "d", "t", "dec"):
+        cnt, lo, hi = con.execute(
+            f"SELECT count({col}), min({col}), max({col}) "
+            f"FROM read_parquet('{p}')").fetchone()
+        a = fa["columns"][col]
+        assert a["count"] == cnt, col
+        assert a["null_count"] == info["n"] - cnt, col
+        if col == "t":
+            assert _dt_us(a["min"]) == _dt_us(lo)
+            assert _dt_us(a["max"]) == _dt_us(hi)
+        else:
+            assert a["min"] == lo, (col, a["min"], lo)
+            assert a["max"] == hi, (col, a["max"], hi)
+    # long strings: bounds were truncated at 16 B → not the extreme
+    # values → None (count still exact)
+    a = fa["columns"]["ls"]
+    assert a["count"] == info["n"] and a["min"] is None and a["max"] is None
+
+
+def test_footer_aggregates_reads_no_data_pages(monkeypatch, tmp_path):
+    """The whole point: no page is ever decoded, no chunk loaded."""
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "agg.parquet")
+    _write_agg_fixture(p, n=2000)
+
+    def boom(*a, **k):
+        raise AssertionError("footer_aggregates touched a data page")
+
+    monkeypatch.setattr(pqreader, "_decode_page", boom)
+    monkeypatch.setattr(pqreader, "_load_chunk", boom)
+    fa = pqreader.footer_aggregates(p)
+    assert fa["columns"]["k"]["max"] == 1999
+
+
+def test_footer_aggregates_pyarrow_file(tmp_path):
+    """Interop: pyarrow writes no exactness flags, so variable-length
+    string bounds stay None while fixed-width columns aggregate."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 3000
+    tbl = pa.table({
+        "i": pa.array([(i * 37) % n for i in range(n)], pa.int64()),
+        "f": pa.array([float(i % 101) / 7 for i in range(n)]),
+        "name": pa.array([f"n{i % 55}" for i in range(n)]),
+    })
+    p = str(tmp_path / "pa_agg.parquet")
+    pq.write_table(tbl, p, row_group_size=700)
+    fa = pqreader.footer_aggregates(p, columns=["i", "f", "name"])
+    con = duckdb.connect()
+    for col in ("i", "f"):
+        cnt, lo, hi = con.execute(
+            f"SELECT count({col}), min({col}), max({col}) "
+            f"FROM read_parquet('{p}')").fetchone()
+        a = fa["columns"][col]
+        assert (a["count"], a["min"], a["max"]) == (cnt, lo, hi), col
+    nm = fa["columns"]["name"]
+    assert nm["count"] == n and nm["min"] is None and nm["max"] is None
+
+
+def test_footer_aggregates_untrusted_order(monkeypatch, tmp_path):
+    """No declared TypeDefinedOrder → bounds unusable (None), counts
+    unaffected — the same trust rule as predicate pruning."""
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "agg.parquet")
+    _write_agg_fixture(p, n=1000)
+    monkeypatch.setattr(pqreader, "_footer_trusted", lambda fmd: False)
+    fa = pqreader.footer_aggregates(p)
+    a = fa["columns"]["k"]
+    assert a["min"] is None and a["max"] is None
+    assert a["count"] == 1000 and a["null_count"] == 0
+
+
+def test_footer_aggregates_merge_all_null_file(tmp_path):
+    """A file whose column is entirely null contributes its counts but
+    must NOT poison the merged min/max."""
+    from parquet_go_spark.interop import pqreader
+
+    pa_ = str(tmp_path / "a.parquet")
+    pb_ = str(tmp_path / "b.parquet")
+    _write_agg_fixture(pa_, n=1000, all_null_v=True)
+    _write_agg_fixture(pb_, n=1000, seed=11)
+    merged = pqreader.merge_aggregates([
+        pqreader.footer_aggregates(pa_), pqreader.footer_aggregates(pb_)])
+    only_b = pqreader.footer_aggregates(pb_)["columns"]["v"]
+    v = merged["columns"]["v"]
+    assert merged["rows"] == 2000
+    assert v["null_count"] == 1000 + only_b["null_count"]
+    assert v["min"] == only_b["min"] and v["max"] == only_b["max"]
+
+
+def test_spark_footer_aggregates_many_files(spark, tmp_path):
+    """Distributed path (> 64 files): per-file footers aggregate in
+    tasks and merge to exactly DuckDB's answer over the glob."""
+    import duckdb
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    d = tmp_path / "many"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(70):
+        k = rng.integers(-10**9, 10**9, 40).astype(np.int64)
+        valid = rng.random(40) > 0.3
+        x = rng.normal(size=int(valid.sum()))
+        write_table(str(d / f"f{i:03d}.parquet"), [
+            ColumnSpec("k", Kind.INT64, k),
+            ColumnSpec("x", Kind.DOUBLE, x, validity=valid),
+        ])
+    got = pqreader.spark_footer_aggregates(spark, str(d))
+    con = duckdb.connect()
+    rows, ck, lok, hik, cx, lox, hix = con.execute(
+        "SELECT count(*), count(k), min(k), max(k), count(x), min(x), "
+        f"max(x) FROM read_parquet('{d}/*.parquet')").fetchone()
+    assert got["rows"] == rows
+    assert got["columns"]["k"] == {
+        "count": ck, "null_count": rows - ck, "min": lok, "max": hik}
+    assert got["columns"]["x"] == {
+        "count": cx, "null_count": rows - cx, "min": lox, "max": hix}
