@@ -720,7 +720,8 @@ def read_schema(path: str) -> pa.Schema:
 
 # ------------------------------------------------- predicate pruning
 
-_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in",
+             "isnull", "notnull")
 
 
 @dataclass
@@ -919,6 +920,9 @@ def _compile_predicates(root: _Node, fmd: dict, predicate) -> list[_Pred]:
 
 
 def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
+    if isinstance(predicate, (tuple, list)) and len(predicate) == 2 \
+            and predicate[1] in ("isnull", "notnull"):
+        predicate = (*predicate, None)  # null tests carry no literal
     try:
         name, op, value = predicate
     except (TypeError, ValueError):
@@ -943,6 +947,10 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         # all-None list matches nothing (empty member set downstream).
         value = sorted({v for v in value if v is not None}, key=repr)
     pred = _Pred(name=name, op=op, leaf=node, value=value)
+    if op in ("isnull", "notnull"):
+        # no literal, no ordered-stats / bloom machinery: pruning runs
+        # on null_count alone (order-free, so no trust needed either)
+        return pred
     if op == "in":
         svs = [_pred_stat_value(node, v) for v in value]
         if all(s is not None for s in svs):
@@ -1009,6 +1017,15 @@ def _rg_survives(f, rg: dict, pred: _Pred) -> bool:
             break
     if meta is None:
         return True
+    if pred.op in ("isnull", "notnull"):
+        # null_count is order-free: usable without column_orders trust
+        st = meta.get(12)
+        nulls = None if st is None else st.get(3)
+        if pred.op == "isnull":
+            if pred.leaf.max_def == 0:
+                return False  # required column: no NULL can exist
+            return nulls is None or nulls > 0
+        return nulls is None or nulls < meta[5]
     if pred.trust and pred.stat_cmp is not None:
         st = meta.get(12)
         if st is not None and st.get(5) is not None \
@@ -1045,6 +1062,10 @@ def _row_mask(arr, op: str, value, leaf: _Node):
     ops = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
            ">": pc.greater, ">=": pc.greater_equal}
     t = arr.type
+    if op == "isnull":
+        return pc.is_null(arr)
+    if op == "notnull":
+        return pc.is_valid(arr)
     if op == "in":
         if pa.types.is_timestamp(t):
             # per-member exact "=" semantics (off-tick / beyond-horizon
@@ -1191,7 +1212,7 @@ def _offset_index(f, cc: dict):
 
 
 def _column_index(f, cc: dict):
-    """(null_pages, min_values, max_values) or None."""
+    """(null_pages, min_values, max_values, null_counts|None) or None."""
     off, ln = cc.get(6), cc.get(7)
     if off is None or ln is None:
         return None
@@ -1199,7 +1220,7 @@ def _column_index(f, cc: dict):
     ci, _ = read_struct(f.read(ln), 0)
     if 1 not in ci or 2 not in ci or 3 not in ci:
         return None
-    return ci[1], ci[2], ci[3]
+    return ci[1], ci[2], ci[3], ci.get(5)
 
 
 def _bounds_refute(lo, hi, op: str, v) -> bool:
@@ -1209,11 +1230,29 @@ def _bounds_refute(lo, hi, op: str, v) -> bool:
                 ">": hi > v, ">=": hi >= v}[op]
 
 
+def _page_keep_null(ci, pred: _Pred) -> list[bool]:
+    """Per-page survival for isnull/notnull: null_pages is definitive
+    (True ⟺ every value in the page is null); per-page null_counts
+    (optional ColumnIndex field 5) refine isnull when present."""
+    null_pages, _, _, ncs = ci
+    if pred.op == "notnull":
+        return [not is_null for is_null in null_pages]
+    keep = []
+    for i, is_null in enumerate(null_pages):
+        if is_null:
+            keep.append(True)
+        elif ncs is not None and i < len(ncs):
+            keep.append(ncs[i] > 0)
+        else:
+            keep.append(True)  # unknown: never skip
+    return keep
+
+
 def _page_keep(ci, pred: _Pred) -> list[bool]:
     """Per-page survival from the ColumnIndex (possibly-truncated
     bounds stay sound, same as chunk Statistics). All-null pages never
     satisfy a comparison predicate."""
-    null_pages, mins, maxs = ci
+    null_pages, mins, maxs, _ = ci
     keep = []
     for i, is_null in enumerate(null_pages):
         if is_null:
@@ -1342,9 +1381,11 @@ def read_table(path: str, columns: list[str] | None = None,
 
     columns prunes the chunks READ (projection: skipped columns cost
     zero data bytes). predicate = (column, op, literal) with op in
-    =, ==, <, <=, >, >= — or a LIST of such tuples, ANDed — returns
-    exactly the matching rows; row groups that footer min/max
-    statistics or a split-block bloom filter refute are skipped
+    =, ==, <, <=, >, >=, in, isnull, notnull — or a LIST of such
+    tuples, ANDed — returns exactly the matching rows (null tests
+    take no literal and prune on null_count alone, trust-free); row
+    groups that footer min/max statistics, null counts, or a
+    split-block bloom filter refute are skipped
     without reading any data pages — the reader analog of the
     engine's manifest stat/bloom pruning and of the reference's
     ColumnIndex search path (column_index.go). Page-level survivors
@@ -1420,7 +1461,9 @@ def read_table(path: str, columns: list[str] | None = None,
             rg_refuted = False
             if flat:
                 for pr in preds:
-                    if not (pr.trust and pr.stat_cmp is not None):
+                    null_op = pr.op in ("isnull", "notnull")
+                    if not null_op \
+                            and not (pr.trust and pr.stat_cmp is not None):
                         continue
                     pcc = cc_by_path.get((pr.name,))
                     if pcc is None:
@@ -1430,7 +1473,8 @@ def read_table(path: str, columns: list[str] | None = None,
                     if ci is None or locs is None \
                             or len(ci[0]) != len(locs):
                         continue
-                    keep = _page_keep(ci, pr)
+                    keep = (_page_keep_null(ci, pr) if null_op
+                            else _page_keep(ci, pr))
                     if not any(keep):
                         rg_refuted = True  # finer than chunk stats
                         break

@@ -40,6 +40,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -68,6 +70,14 @@ def _us_type(t):
     return t
 
 
+def _flat_columns(root) -> set[str]:
+    """Flat scalar top-level columns — the set IS NULL / IS NOT NULL
+    may push on: nullness has no literal, so the float32/timestamp
+    comparison caveats don't apply."""
+    return {c.name for c in root.children
+            if not c.children and c.max_rep == 0}
+
+
 def _pushable_columns(root) -> set[str]:
     """Flat scalar columns with Spark-identical comparison semantics
     (see module docstring: float32 and timestamps are excluded)."""
@@ -84,13 +94,21 @@ def _pushable_columns(root) -> set[str]:
     return out
 
 
-def _translate(filters, cols: set[str]):
+def _translate(filters, cols: set[str], null_cols: set[str] = frozenset()):
     preds = []
     for f in filters:
         attr = getattr(f, "attribute", None)
-        if not attr or len(attr) != 1 or attr[0] not in cols:
+        if not attr or len(attr) != 1:
             continue
         col = attr[0]
+        if isinstance(f, (IsNull, IsNotNull)):
+            if col in null_cols:
+                preds.append(
+                    (col, "isnull" if isinstance(f, IsNull)
+                     else "notnull", None))
+            continue
+        if col not in cols:
+            continue
         if isinstance(f, EqualTo):
             preds.append((col, "=", f.value))
         elif isinstance(f, In):
@@ -125,7 +143,8 @@ class PqreadReader(DataSourceReader):
                 fh, os.path.getsize(first), first)
         root = pqreader._parse_schema(fmd[2])
         pqreader._annotate(root, 0, 0, ())
-        candidates = _translate(filters, _pushable_columns(root))
+        candidates = _translate(filters, _pushable_columns(root),
+                                _flat_columns(root))
         self._preds = []
         for p in candidates:
             try:

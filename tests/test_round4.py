@@ -1548,6 +1548,10 @@ def test_pqreader_predicate_differential_over_corpus():
             if ga.type != ea.type:
                 ga = ga.cast(ea.type)
             assert ga.equals(ea), (path, op, lit)
+        for op, fn in (("isnull", pc.is_null), ("notnull", pc.is_valid)):
+            got = pqreader.read_table(path, predicate=(target, op))
+            exp = ref.filter(fn(ref.column(target)))
+            assert got.num_rows == exp.num_rows, (path, op)
         covered += 1
     assert covered >= 25  # most of the corpus exercises the path
 
@@ -2072,3 +2076,151 @@ def test_spark_footer_aggregates_many_files(spark, tmp_path):
         "count": ck, "null_count": rows - ck, "min": lok, "max": hik}
     assert got["columns"]["x"] == {
         "count": cx, "null_count": rows - cx, "min": lox, "max": hix}
+
+
+# ------------------------------------------- isnull / notnull predicates
+
+
+def _write_null_fixture(path: str):
+    """4 row groups × 1000 rows: v is null-free in groups 0/2, ALL null
+    in group 1, half null in group 3. k is required throughout."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    n = 4000
+    k = np.arange(n, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    valid[1000:2000] = False
+    valid[3000:4000:2] = False
+    v = (k * 3)[valid].astype(np.float64)
+    write_table(path, [
+        ColumnSpec("k", Kind.INT64, k),
+        ColumnSpec("v", Kind.DOUBLE, v, validity=valid),
+    ], row_group_rows=1000, page_rows=250)
+    return valid
+
+
+def test_pqreader_isnull_prunes_null_free_groups(monkeypatch, tmp_path):
+    """('v','isnull') decodes no chunk of the null-free row groups —
+    null_count pruning needs NO column-order trust — and returns
+    exactly pyarrow's is_null rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("v", "isnull"))
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.is_null(ref.column("v")))
+    assert got.num_rows == exp.num_rows == 1500
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    # groups 0 and 2 are refuted by null_count == 0: with the page
+    # index engaged the surviving groups decode via the page reader,
+    # so NO whole chunk is ever loaded; without it, at most the two
+    # surviving groups' chunks appear
+    assert all(c == ("k",) or c == ("v",) for c in calls)
+    assert len(calls) <= 4  # ≤ 2 columns × 2 surviving groups
+
+
+def test_pqreader_notnull_skips_all_null_group(monkeypatch, tmp_path):
+    """('v','notnull') refutes the all-null row group and the all-null
+    pages inside the half-null group."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    got = pqreader.read_table(p, predicate=[("v", "notnull")])
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.is_valid(ref.column("v")))
+    assert got.num_rows == exp.num_rows == 2500
+    assert got.column("v").to_pylist() == exp.column("v").to_pylist()
+
+
+def test_pqreader_isnull_required_column_reads_nothing(
+        monkeypatch, tmp_path):
+    """IS NULL on a REQUIRED column is refuted from the schema alone:
+    zero chunks decode, zero rows return."""
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("k", "isnull"))
+    assert got.num_rows == 0
+    assert calls == []
+
+
+def test_pqreader_isnull_composes_with_comparison(tmp_path):
+    """['v' isnull] AND ['k' >= lit] — mixed conjunction through both
+    pruning paths stays exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    got = pqreader.read_table(
+        p, predicate=[("v", "isnull"), ("k", ">=", 3000)])
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.and_kleene(
+        pc.is_null(ref.column("v")),
+        pc.greater_equal(ref.column("k"), 3000)))
+    assert got.num_rows == exp.num_rows == 500
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+
+
+def test_pqread_ds_pushes_null_filters(spark, tmp_path):
+    """WHERE v IS NULL / IS NOT NULL through the pqread data source
+    equals spark.read.parquet, and the filters actually translate —
+    including on float32/timestamp columns (no literal, so the
+    comparison-semantics exclusions don't apply)."""
+    import numpy as np
+    from pyspark.sql.datasource import EqualTo, IsNotNull, IsNull
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.sources import pqread
+    from parquet_go_spark.interop import pqreader
+
+    d = tmp_path / "store"
+    d.mkdir()
+    _write_null_fixture(str(d / "part-0.parquet"))
+
+    pqread.register(spark)
+    ours = (spark.read.format("pqread").load(str(d))
+            .where("v IS NULL").orderBy("k"))
+    ref = (spark.read.parquet(str(d))
+           .where("v IS NULL").orderBy("k"))
+    assert ours.collect() == ref.collect()
+    ours2 = (spark.read.format("pqread").load(str(d))
+             .where("v IS NOT NULL AND k < 500").orderBy("k"))
+    ref2 = (spark.read.parquet(str(d))
+            .where("v IS NOT NULL AND k < 500").orderBy("k"))
+    assert ours2.collect() == ref2.collect()
+
+    # unit: translation includes null tests on comparison-excluded
+    # columns (float32), but never on unknown columns
+    f32 = str(tmp_path / "f32.parquet")
+    write_table(f32, [ColumnSpec(
+        "x", Kind.FLOAT, np.zeros(5, np.float32),
+        validity=np.ones(5, bool))])
+    import os as _os
+    with open(f32, "rb") as fh:
+        fmd = pqreader._read_footer_file(
+            fh, _os.path.getsize(f32), f32)
+    root = pqreader._parse_schema(fmd[2])
+    pqreader._annotate(root, 0, 0, ())
+    got = pqread._translate(
+        [IsNull(("x",)), IsNotNull(("x",)), EqualTo(("x",), 1.0),
+         IsNull(("nope",))],
+        pqread._pushable_columns(root), pqread._flat_columns(root))
+    assert got == [("x", "isnull", None), ("x", "notnull", None)]
