@@ -909,14 +909,67 @@ def _pred_bloom_args(leaf: _Node, stat_cmp, unsigned: bool, value):
     return None
 
 
-def _compile_predicates(root: _Node, fmd: dict, predicate) -> list[_Pred]:
-    """predicate is one (column, op, value) tuple or a list of them
-    (conjunction: a row must satisfy ALL of them)."""
+@dataclass
+class _BoolPred:
+    """AND/OR over predicate subtrees (leaves are _Pred)."""
+
+    kind: str  # "and" | "or"
+    parts: list
+
+
+def _compile_pred_tree(root: _Node, fmd: dict, predicate):
+    """Grammar: (col, op, value) | (col, "isnull"/"notnull") |
+    ("and"|"or", [pred, ...]) | bare list = conjunction (legacy form).
+    A 2-tuple is a boolean node only when its second element is a
+    list, so a column literally named "or" still works."""
+    if isinstance(predicate, tuple) and len(predicate) == 2 \
+            and predicate[0] in ("and", "or") \
+            and isinstance(predicate[1], (list, tuple)):
+        kind, parts = predicate
+        if not parts:
+            raise ValueError(f"pqreader: empty {kind!r} predicate")
+        return _BoolPred(kind, [_compile_pred_tree(root, fmd, p)
+                                for p in parts])
     if isinstance(predicate, list):
         if not predicate:
             raise ValueError("pqreader: empty predicate list")
-        return [_compile_predicate(root, fmd, p) for p in predicate]
-    return [_compile_predicate(root, fmd, predicate)]
+        return _BoolPred("and", [_compile_pred_tree(root, fmd, p)
+                                 for p in predicate])
+    return _compile_predicate(root, fmd, predicate)
+
+
+def _tree_leaves(node) -> list[_Pred]:
+    if node is None:
+        return []
+    if isinstance(node, _Pred):
+        return [node]
+    return [lf for p in node.parts for lf in _tree_leaves(p)]
+
+
+def _tree_survives(f, rg: dict, node) -> bool:
+    """Row-group survival over the tree: a group dies only when the
+    whole boolean combination is refuted by stats/blooms/null counts
+    (AND dies with any dead conjunct, OR only with ALL disjuncts)."""
+    if isinstance(node, _Pred):
+        return _rg_survives(f, rg, node)
+    it = (_tree_survives(f, rg, p) for p in node.parts)
+    return all(it) if node.kind == "and" else any(it)
+
+
+def _tree_mask(tbl, node):
+    """Exact row mask over the tree (Kleene AND/OR — SQL three-valued
+    logic; a top-level null mask row is dropped by Table.filter)."""
+    import pyarrow.compute as pc
+
+    if isinstance(node, _Pred):
+        return _row_mask(tbl.column(node.name).combine_chunks(),
+                         node.op, node.value, node.leaf)
+    combine = pc.and_kleene if node.kind == "and" else pc.or_kleene
+    masks = [_tree_mask(tbl, p) for p in node.parts]
+    out = masks[0]
+    for m in masks[1:]:
+        out = combine(out, m)
+    return out
 
 
 def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
@@ -1374,6 +1427,61 @@ def _intersect_ranges(a, b):
     return out
 
 
+def _union_ranges(a, b):
+    """Union of two sorted, disjoint range lists (coalesced)."""
+    out = []
+    for lo, hi in sorted(a + b):
+        if out and lo <= out[-1][1]:
+            if hi > out[-1][1]:
+                out[-1] = (out[-1][0], hi)
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _tree_page_ranges(f, cc_by_path: dict, node, rg_n: int):
+    """Surviving row ranges of ONE row group from the page indexes,
+    over the whole predicate tree. Returns None (no page information
+    — read everything), [] (every row refuted — skip the group), or a
+    non-empty sorted range list. AND intersects informed children; OR
+    unions them, but any uninformed disjunct makes the OR uninformed
+    (its rows could be anywhere)."""
+    if isinstance(node, _Pred):
+        null_op = node.op in ("isnull", "notnull")
+        if not null_op \
+                and not (node.trust and node.stat_cmp is not None):
+            return None
+        pcc = cc_by_path.get((node.name,))
+        if pcc is None:
+            return None
+        ci = _column_index(f, pcc)
+        locs = _offset_index(f, pcc)
+        if ci is None or locs is None or len(ci[0]) != len(locs):
+            return None
+        keep = _page_keep_null(ci, node) if null_op \
+            else _page_keep(ci, node)
+        if all(keep):
+            return None  # nothing refuted: no information gained
+        return _rows_from_pages(locs, keep, rg_n)
+    parts = [_tree_page_ranges(f, cc_by_path, p, rg_n)
+             for p in node.parts]
+    if node.kind == "and":
+        acc = None
+        for r in parts:
+            if r is None:
+                continue
+            acc = r if acc is None else _intersect_ranges(acc, r)
+            if not acc:
+                return []
+        return acc
+    if any(r is None for r in parts):
+        return None
+    acc = []
+    for r in parts:
+        acc = _union_ranges(acc, r)
+    return acc
+
+
 def read_table(path: str, columns: list[str] | None = None,
                predicate=None, row_range=None,
                verify_checksums: bool = False) -> pa.Table:
@@ -1382,8 +1490,11 @@ def read_table(path: str, columns: list[str] | None = None,
     columns prunes the chunks READ (projection: skipped columns cost
     zero data bytes). predicate = (column, op, literal) with op in
     =, ==, <, <=, >, >=, in, isnull, notnull — or a LIST of such
-    tuples, ANDed — returns exactly the matching rows (null tests
-    take no literal and prune on null_count alone, trust-free); row
+    tuples, ANDed — or an arbitrarily nested boolean tree
+    ("and"|"or", [pred, ...]) — returns exactly the matching rows
+    (null tests take no literal and prune on null_count alone,
+    trust-free; OR prunes a row group only when EVERY disjunct is
+    refuted, and unions page survivors); row
     groups that footer min/max statistics, null counts, or a
     split-block bloom filter refute are skipped
     without reading any data pages — the reader analog of the
@@ -1410,8 +1521,9 @@ def read_table(path: str, columns: list[str] | None = None,
         fmd = _read_footer_file(f, os.path.getsize(path), path)
         root = _parse_schema(fmd[2])
         _annotate(root, 0, 0, ())
-        preds = (_compile_predicates(root, fmd, predicate)
-                 if predicate is not None else [])
+        tree = (_compile_pred_tree(root, fmd, predicate)
+                if predicate is not None else None)
+        preds = _tree_leaves(tree)
         top = [c for c in root.children
                if columns is None or c.name in columns]
         top_names = {c.name for c in top}
@@ -1439,7 +1551,7 @@ def read_table(path: str, columns: list[str] | None = None,
                     continue  # group entirely outside: nothing read
                 if (a, b) != (0, rg_n):
                     local = (a, b)
-            if any(not _rg_survives(f, rg, pr) for pr in preds):
+            if tree is not None and not _tree_survives(f, rg, tree):
                 continue
             chunk_by_path, cc_by_path = {}, {}
             for cc in rg[1]:
@@ -1458,36 +1570,12 @@ def read_table(path: str, columns: list[str] | None = None,
             # on their own page grids; survivors intersect as row
             # ranges.
             page_ranges = page_ois = None
-            rg_refuted = False
-            if flat:
-                for pr in preds:
-                    null_op = pr.op in ("isnull", "notnull")
-                    if not null_op \
-                            and not (pr.trust and pr.stat_cmp is not None):
-                        continue
-                    pcc = cc_by_path.get((pr.name,))
-                    if pcc is None:
-                        continue
-                    ci = _column_index(f, pcc)
-                    locs = _offset_index(f, pcc)
-                    if ci is None or locs is None \
-                            or len(ci[0]) != len(locs):
-                        continue
-                    keep = (_page_keep_null(ci, pr) if null_op
-                            else _page_keep(ci, pr))
-                    if not any(keep):
-                        rg_refuted = True  # finer than chunk stats
-                        break
-                    if all(keep):
-                        continue
-                    r = _rows_from_pages(locs, keep, rg_n)
-                    page_ranges = (r if page_ranges is None
-                                   else _intersect_ranges(page_ranges, r))
-                    if not page_ranges:
-                        rg_refuted = True
-                        break
-            if rg_refuted:
-                continue
+            if flat and tree is not None:
+                r = _tree_page_ranges(f, cc_by_path, tree, rg_n)
+                if r is not None and not r:
+                    continue  # every row page-refuted: finer than
+                    #           chunk stats, still zero data reads
+                page_ranges = r
             gathered = []  # memo: OffsetIndexes read at most once per rg
 
             def all_ois():
@@ -1564,16 +1652,9 @@ def read_table(path: str, columns: list[str] | None = None,
     if not batches:
         return pa.schema(arrow_fields).empty_table()
     tbl = pa.Table.from_batches(batches)
-    if preds:
-        import pyarrow.compute as pc
-
-        mask = None
-        for pr in preds:
-            m = _row_mask(tbl.column(pr.name).combine_chunks(),
-                          pr.op, pr.value, pr.leaf)
-            # Kleene AND: null & false = false — SQL conjunction
-            mask = m if mask is None else pc.and_kleene(mask, m)
-        tbl = tbl.filter(mask)
+    if tree is not None:
+        # Kleene AND/OR over the tree — SQL three-valued logic
+        tbl = tbl.filter(_tree_mask(tbl, tree))
     return tbl
 
 
@@ -1635,8 +1716,9 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
             raise ValueError(f"pqreader: unknown columns {missing}")
         probe = pa.schema(
             [probe.field(n) for n in probe.names if n in columns])
-    preds = (_compile_predicates(root, fmd, predicate)
-             if predicate is not None else [])
+    tree = (_compile_pred_tree(root, fmd, predicate)
+            if predicate is not None else None)
+    preds = _tree_leaves(tree)
     for pr in preds:
         if pr.name not in probe.names:
             raise ValueError(
@@ -1649,7 +1731,13 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
     if bloom_prune_files:
         from parquet_go_spark.interop import pqbloom
 
-        for pr in preds:
+        # only top-level conjuncts may veto whole files: a leaf under
+        # an OR is satisfiable by its siblings' rows
+        conjuncts = ([tree] if isinstance(tree, _Pred) else
+                     [p for p in tree.parts if isinstance(p, _Pred)]
+                     if isinstance(tree, _BoolPred)
+                     and tree.kind == "and" else [])
+        for pr in conjuncts:
             if pr.op in ("=", "in") and pr.bloom_args is not None \
                     and files:
                 values, kind, flba = pr.bloom_args

@@ -2224,3 +2224,145 @@ def test_pqread_ds_pushes_null_filters(spark, tmp_path):
          IsNull(("nope",))],
         pqread._pushable_columns(root), pqread._flat_columns(root))
     assert got == [("x", "isnull", None), ("x", "notnull", None)]
+
+
+# ------------------------------------------------------ OR predicates
+
+
+def test_pqreader_or_cross_column(monkeypatch, tmp_path):
+    """("or", [k<100, v isnull]) — a row group where BOTH disjuncts
+    are refuted (k out of range AND null_count 0) is skipped; rows
+    satisfying either branch come back exactly (Kleene OR)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)  # 4 rgs; rg2 (k 2000-2999) null-free
+    got = pqreader.read_table(
+        p, predicate=("or", [("k", "<", 100), ("v", "isnull")]))
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.or_kleene(
+        pc.less(ref.column("k"), 100), pc.is_null(ref.column("v"))))
+    assert got.num_rows == exp.num_rows == 1600
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    # group-level: rg2 satisfies neither branch → must never decode.
+    # spy AFTER the positive check so the first read is unobserved
+    calls = _count_chunk_reads(monkeypatch)
+    pages = []
+    orig = pqreader._decode_page
+
+    def pspy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", pspy)
+    pqreader.read_table(
+        p, predicate=("or", [("k", "<", 100), ("v", "isnull")]))
+    assert len(calls) + len(pages) > 0  # something was read...
+    # ...but nothing from rg2: its k-range is 2000-2999, so no decoded
+    # k page/chunk may contain those values
+    got2 = pqreader.read_table(
+        p, predicate=("or", [("k", "<", 100), ("v", "isnull")]))
+    assert not any(2000 <= v < 3000 for v in got2.column("k").to_pylist())
+
+
+def test_pqreader_or_page_union(monkeypatch, tmp_path):
+    """Same-column OR unions the surviving page sets: k<100 OR
+    k>=19900 on a 20-page group decodes exactly the first and last
+    pages of each projected column."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    n = 20000
+    k = np.arange(n, dtype=np.int64)
+    price = (k % 977).astype(np.float64)
+    p = str(tmp_path / "orpages.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, k),
+                    ColumnSpec("price", Kind.DOUBLE, price)],
+                page_rows=1000, row_group_rows=n)
+
+    pages = []
+    orig = pqreader._decode_page
+
+    def spy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+    got = pqreader.read_table(
+        p, predicate=("or", [("k", "<", 100), ("k", ">=", 19900)]))
+    assert got.column("k").to_pylist() == (
+        list(range(100)) + list(range(19900, n)))
+    assert len(pages) == 4  # (first + last page) × 2 columns
+
+
+def test_pqreader_nested_and_or(tmp_path):
+    """("and", [("or", [...]), notnull]) — nesting composes, and an
+    uninformed OR disjunct soundly disables page pruning for that
+    subtree without changing results."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    pred = ("and", [("or", [("k", "<", 1200), ("k", ">=", 3500)]),
+                    ("v", "notnull")])
+    got = pqreader.read_table(p, predicate=pred)
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.and_kleene(
+        pc.or_kleene(pc.less(ref.column("k"), 1200),
+                     pc.greater_equal(ref.column("k"), 3500)),
+        pc.is_valid(ref.column("v"))))
+    assert got.num_rows == exp.num_rows
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+
+
+def test_pqreader_or_kleene_null_semantics(tmp_path):
+    """NULL OR TRUE = TRUE (row kept), NULL OR FALSE = NULL (row
+    dropped) — matches SQL exactly, pinned against pyarrow Kleene."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    pred = ("or", [("v", ">", 1e12), ("k", "<", 1010)])
+    got = pqreader.read_table(p, predicate=pred)
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.or_kleene(
+        pc.greater(ref.column("v"), 1e12),
+        pc.less(ref.column("k"), 1010)))
+    # rows 1000-1009 have v NULL but k<1010 TRUE → kept;
+    # rows 1010-1999 have v NULL and k<1010 FALSE → dropped
+    assert got.num_rows == exp.num_rows == 1010
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+
+
+def test_spark_read_or_predicate(spark, tmp_path):
+    """spark_read with an OR tree equals Spark's own parquet reader
+    with the same WHERE clause."""
+    from parquet_go_spark.interop import pqreader
+
+    d = tmp_path / "ordir"
+    d.mkdir()
+    _write_null_fixture(str(d / "part-0.parquet"))
+    _write_null_fixture(str(d / "part-1.parquet"))
+    ours = pqreader.spark_read(
+        spark, str(d),
+        predicate=("or", [("k", "<", 100), ("v", "isnull")]),
+    ).orderBy("k").collect()
+    ref = (spark.read.parquet(str(d))
+           .where("k < 100 OR v IS NULL").orderBy("k").collect())
+    assert ours == ref
