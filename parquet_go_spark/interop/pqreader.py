@@ -721,7 +721,7 @@ def read_schema(path: str) -> pa.Schema:
 # ------------------------------------------------- predicate pruning
 
 _PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in",
-             "isnull", "notnull")
+             "isnull", "notnull", "startswith", "endswith", "contains")
 
 
 @dataclass
@@ -1004,6 +1004,23 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         # no literal, no ordered-stats / bloom machinery: pruning runs
         # on null_count alone (order-free, so no trust needed either)
         return pred
+    if op in ("startswith", "endswith", "contains"):
+        if node.physical != 6:
+            raise ValueError(
+                f"pqreader: {op} needs a BYTE_ARRAY/string column")
+        if not isinstance(value, (str, bytes, bytearray)):
+            raise ValueError(f"pqreader: {op} literal must be str/bytes")
+        if op == "startswith":
+            # every prefixed value sits in [prefix, upper(prefix)):
+            # stat_cmp carries the prefix and _bounds_refute compares
+            # it as that RANGE — truncated bounds stay sound (lo is a
+            # prefix of the true min, hi carries above the true max)
+            pred.stat_cmp = (value.encode("utf-8")
+                             if isinstance(value, str) else bytes(value))
+        orders = fmd.get(7)
+        pred.trust = bool(orders) and all(
+            isinstance(o, dict) and set(o) == {1} for o in orders)
+        return pred
     if op == "in":
         svs = [_pred_stat_value(node, v) for v in value]
         if all(s is not None for s in svs):
@@ -1119,6 +1136,16 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         return pc.is_null(arr)
     if op == "notnull":
         return pc.is_valid(arr)
+    if op in ("startswith", "endswith", "contains"):
+        if isinstance(value, (bytes, bytearray)):
+            try:
+                value = bytes(value).decode("utf-8")
+            except UnicodeDecodeError:
+                raise ValueError(
+                    f"pqreader: {op} byte literal must be valid UTF-8")
+        fn = {"startswith": pc.starts_with, "endswith": pc.ends_with,
+              "contains": pc.match_substring}[op]
+        return fn(arr, pattern=value)
     if op == "in":
         if pa.types.is_timestamp(t):
             # per-member exact "=" semantics (off-tick / beyond-horizon
@@ -1276,9 +1303,27 @@ def _column_index(f, cc: dict):
     return ci[1], ci[2], ci[3], ci.get(5)
 
 
+def _prefix_upper(prefix: bytes) -> bytes | None:
+    """Least byte string greater than every prefix-extension, or None
+    (all-0xFF prefix has no representable upper bound)."""
+    b = bytearray(prefix)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] < 0xFF:
+            b[i] += 1
+            return bytes(b[: i + 1])
+    return None
+
+
 def _bounds_refute(lo, hi, op: str, v) -> bool:
     if op == "in":  # refuted only when EVERY member is outside
         return all(m < lo or m > hi for m in v)
+    if op == "startswith":
+        # prefixed values live in [v, upper(v)): hi < v means every
+        # value sorts below them all, lo >= upper above them all
+        if hi < v:
+            return True
+        up = _prefix_upper(v)
+        return up is not None and lo >= up
     return not {"=": lo <= v <= hi, "<": lo < v, "<=": lo <= v,
                 ">": hi > v, ">=": hi >= v}[op]
 

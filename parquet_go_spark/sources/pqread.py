@@ -44,6 +44,9 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -123,6 +126,16 @@ def _translate(filters, cols: set[str], null_cols: set[str] = frozenset()):
             preds.append((col, "<", f.value))
         elif isinstance(f, LessThanOrEqual):
             preds.append((col, "<=", f.value))
+        elif isinstance(f, StringStartsWith):
+            # byte-wise UTF-8 prefix == Spark's code-point prefix;
+            # gets range-style stat/page pruning in the reader
+            preds.append((col, "startswith", f.value))
+        elif isinstance(f, StringEndsWith):
+            preds.append((col, "endswith", f.value))
+        elif isinstance(f, StringContains):
+            # no pruning, but rows drop reader-side before crossing
+            # the Python Data Source boundary
+            preds.append((col, "contains", f.value))
     return preds
 
 

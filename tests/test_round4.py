@@ -2366,3 +2366,147 @@ def test_spark_read_or_predicate(spark, tmp_path):
     ref = (spark.read.parquet(str(d))
            .where("k < 100 OR v IS NULL").orderBy("k").collect())
     assert ours == ref
+
+
+# -------------------------------------------------- string predicates
+
+
+def _write_sorted_names(path: str, n: int = 20000, width: int = 7):
+    import numpy as np
+
+    from parquet_go_spark.codecs.bytearrays import ByteArrays
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    names = ByteArrays.from_pylist(
+        [f"row-{i:0{width}d}".encode() for i in range(n)])
+    write_table(path, [
+        ColumnSpec("name", Kind.BYTE_ARRAY, names, logical="string"),
+        ColumnSpec("k", Kind.INT64, np.arange(n, dtype=np.int64)),
+    ], page_rows=1000, row_group_rows=5000)
+
+
+def test_pqreader_startswith_prunes(monkeypatch, tmp_path):
+    """startswith on a sorted string column: row groups and pages
+    outside the prefix range never decode; rows come back exactly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "names.parquet")
+    _write_sorted_names(p)  # 4 rgs × 5 pages; "row-0012xxx" in rg 2
+
+    pages = []
+    orig = pqreader._decode_page
+
+    def spy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+    got = pqreader.read_table(p, predicate=("name", "startswith",
+                                            "row-0012"))
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.starts_with(ref.column("name"),
+                                    pattern="row-0012"))
+    assert got.num_rows == exp.num_rows == 1000
+    assert got.column("k").to_pylist() == list(range(12000, 13000))
+    # rows 12000-12999 = page 2 of rg 2 (pages are 1000 rows): one
+    # page per projected column; every other rg refuted by stats
+    assert len(pages) == 2
+
+
+def test_pqreader_startswith_truncated_stats_sound(tmp_path):
+    """Strings and prefixes LONGER than the 16-byte stat truncation:
+    pruning must never drop a matching row (lo is a prefix of the true
+    min, hi carries above the true max — both sides stay sound)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "long.parquet")
+    _write_sorted_names(p, n=8000, width=20)  # 24-char values
+    for prefix in ("row-", "row-0000000000000004",  # 20 chars > 16
+                   "row-00000000000000049", "nope"):
+        got = pqreader.read_table(
+            p, predicate=("name", "startswith", prefix))
+        ref = pq.read_table(p)
+        exp = ref.filter(pc.starts_with(ref.column("name"),
+                                        pattern=prefix))
+        assert got.num_rows == exp.num_rows, prefix
+        assert (got.column("name").to_pylist()
+                == exp.column("name").to_pylist()), prefix
+
+
+def test_pqreader_prefix_upper_edges():
+    from parquet_go_spark.interop import pqreader
+
+    assert pqreader._prefix_upper(b"abc") == b"abd"
+    assert pqreader._prefix_upper(b"ab\xff") == b"ac"
+    assert pqreader._prefix_upper(b"\xff\xff") is None
+    assert pqreader._prefix_upper(b"") is None
+    # all-0xFF prefix: only the hi-side test applies, nothing breaks
+    assert not pqreader._bounds_refute(b"\xff\xfe", b"\xff\xff\x01",
+                                       "startswith", b"\xff\xff")
+    assert pqreader._bounds_refute(b"a", b"b", "startswith", b"c")
+    assert pqreader._bounds_refute(b"d", b"e", "startswith", b"c")
+
+
+def test_pqreader_endswith_contains(tmp_path):
+    """Mask-only string ops return exactly pyarrow's rows (no pruning
+    claimed, full correctness required) and compose under OR."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "names.parquet")
+    _write_sorted_names(p, n=3000)
+    ref = pq.read_table(p)
+    got = pqreader.read_table(p, predicate=("name", "endswith", "99"))
+    exp = ref.filter(pc.ends_with(ref.column("name"), pattern="99"))
+    assert got.column("name").to_pylist() == exp.column("name").to_pylist()
+    got = pqreader.read_table(p, predicate=("name", "contains", "002"))
+    exp = ref.filter(pc.match_substring(ref.column("name"),
+                                        pattern="002"))
+    assert got.num_rows == exp.num_rows > 0
+    got = pqreader.read_table(p, predicate=(
+        "or", [("name", "startswith", "row-00001"),
+               ("name", "endswith", "7")]))
+    exp = ref.filter(pc.or_kleene(
+        pc.starts_with(ref.column("name"), pattern="row-00001"),
+        pc.ends_with(ref.column("name"), pattern="7")))
+    assert got.column("name").to_pylist() == exp.column("name").to_pylist()
+
+
+def test_pqread_ds_pushes_string_filters(spark, tmp_path):
+    """LIKE 'prefix%' / endswith / contains through the pqread data
+    source equal spark.read.parquet, and translation maps them."""
+    from pyspark.sql.datasource import (
+        StringContains, StringEndsWith, StringStartsWith)
+
+    from parquet_go_spark.sources import pqread
+
+    d = tmp_path / "store"
+    d.mkdir()
+    _write_sorted_names(str(d / "part-0.parquet"), n=4000)
+    pqread.register(spark)
+    for cond in ("name LIKE 'row-00012%'", "name LIKE '%7'",
+                 "name LIKE '%-002%'"):
+        ours = (spark.read.format("pqread").load(str(d))
+                .where(cond).orderBy("k").collect())
+        ref = (spark.read.parquet(str(d))
+               .where(cond).orderBy("k").collect())
+        assert ours == ref, cond
+    got = pqread._translate(
+        [StringStartsWith(("name",), "ab"),
+         StringEndsWith(("name",), "cd"),
+         StringContains(("name",), "ef")],
+        {"name"}, {"name"})
+    assert got == [("name", "startswith", "ab"),
+                   ("name", "endswith", "cd"),
+                   ("name", "contains", "ef")]
