@@ -724,6 +724,18 @@ _PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in",
              "isnull", "notnull", "startswith", "endswith", "contains")
 
 
+def _footer_trusted(fmd: dict) -> bool:
+    """min_value/max_value are only well-ordered when the footer
+    declares column_orders AND every entry is the TYPE_ORDER union
+    field (field 1, TypeDefinedOrder) — a future/unknown ColumnOrder
+    must distrust the stats per the spec, or a skip could drop real
+    rows. Legacy files (no column_orders) get no stat pruning either.
+    Shared by predicate compilation and footer_aggregates."""
+    orders = fmd.get(7)
+    return bool(orders) and all(
+        isinstance(o, dict) and set(o) == {1} for o in orders)
+
+
 @dataclass
 class _Pred:
     name: str
@@ -933,6 +945,11 @@ def _compile_pred_tree(root: _Node, fmd: dict, predicate):
     if isinstance(predicate, list):
         if not predicate:
             raise ValueError("pqreader: empty predicate list")
+        if len(predicate) == 2 and isinstance(predicate[0], str) \
+                and predicate[1] in ("isnull", "notnull"):
+            # ['col', 'isnull'] is the list spelling of the null-test
+            # LEAF, not a 2-element conjunction of strings
+            return _compile_predicate(root, fmd, tuple(predicate))
         return _BoolPred("and", [_compile_pred_tree(root, fmd, p)
                                  for p in predicate])
     return _compile_predicate(root, fmd, predicate)
@@ -1010,6 +1027,14 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
                 f"pqreader: {op} needs a BYTE_ARRAY/string column")
         if not isinstance(value, (str, bytes, bytearray)):
             raise ValueError(f"pqreader: {op} literal must be str/bytes")
+        if op != "startswith" and isinstance(value, (bytes, bytearray)):
+            try:  # reject BEFORE any page is read, not in the mask
+                bytes(value).decode("utf-8")
+            except UnicodeDecodeError:
+                raise ValueError(
+                    f"pqreader: {op} byte literal must be valid UTF-8 "
+                    "(arbitrary-bytes matching is only defined for "
+                    "startswith)") from None
         if op == "startswith":
             # every prefixed value sits in [prefix, upper(prefix)):
             # stat_cmp carries the prefix and _bounds_refute compares
@@ -1017,9 +1042,7 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
             # prefix of the true min, hi carries above the true max)
             pred.stat_cmp = (value.encode("utf-8")
                              if isinstance(value, str) else bytes(value))
-        orders = fmd.get(7)
-        pred.trust = bool(orders) and all(
-            isinstance(o, dict) and set(o) == {1} for o in orders)
+        pred.trust = _footer_trusted(fmd)
         return pred
     if op == "in":
         svs = [_pred_stat_value(node, v) for v in value]
@@ -1035,13 +1058,9 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         if sv is not None:
             pred.stat_cmp, pred.unsigned = sv
     # min_value/max_value are only well-ordered when the footer declares
-    # column_orders AND every entry is the TYPE_ORDER union field
-    # (field 1, TypeDefinedOrder) — a future/unknown ColumnOrder must
-    # distrust the stats per the spec, or a skip could drop real rows.
-    # Legacy files (no column_orders) get no stat pruning either.
-    orders = fmd.get(7)
-    pred.trust = bool(orders) and all(
-        isinstance(o, dict) and set(o) == {1} for o in orders)
+    # column_orders AND every entry is the TYPE_ORDER union field —
+    # _footer_trusted, shared with startswith and footer_aggregates
+    pred.trust = _footer_trusted(fmd)
     if op == "=":
         pred.bloom_args = _pred_bloom_args(
             node, pred.stat_cmp, pred.unsigned, value)
@@ -1138,11 +1157,16 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         return pc.is_valid(arr)
     if op in ("startswith", "endswith", "contains"):
         if isinstance(value, (bytes, bytearray)):
+            b = bytes(value)
             try:
-                value = bytes(value).decode("utf-8")
+                value = b.decode("utf-8")
             except UnicodeDecodeError:
-                raise ValueError(
-                    f"pqreader: {op} byte literal must be valid UTF-8")
+                # arbitrary-bytes prefix (BINARY columns): compare the
+                # leading slice — equal length + equal bytes ⟺ prefix
+                barr = arr if pa.types.is_binary(t) \
+                    else pc.cast(arr, pa.binary())
+                sl = pc.binary_slice(barr, 0, len(b))
+                return pc.equal(sl, pa.scalar(b, pa.binary()))
         fn = {"startswith": pc.starts_with, "endswith": pc.ends_with,
               "contains": pc.match_substring}[op]
         return fn(arr, pattern=value)
@@ -1484,23 +1508,30 @@ def _union_ranges(a, b):
     return out
 
 
-def _tree_page_ranges(f, cc_by_path: dict, node, rg_n: int):
+def _tree_page_ranges(f, cc_by_path: dict, node, rg_n: int,
+                      memo: dict | None = None):
     """Surviving row ranges of ONE row group from the page indexes,
     over the whole predicate tree. Returns None (no page information
     — read everything), [] (every row refuted — skip the group), or a
-    non-empty sorted range list. AND intersects informed children; OR
-    unions them, but any uninformed disjunct makes the OR uninformed
-    (its rows could be anywhere)."""
+    non-empty sorted range list. AND intersects informed children and
+    stops at the first empty intersection; OR unions them, but any
+    uninformed disjunct makes the whole OR uninformed (its rows could
+    be anywhere). memo caches each column's (ColumnIndex, OffsetIndex)
+    so several leaves on one column cost one metadata read."""
+    if memo is None:
+        memo = {}
     if isinstance(node, _Pred):
         null_op = node.op in ("isnull", "notnull")
         if not null_op \
                 and not (node.trust and node.stat_cmp is not None):
             return None
-        pcc = cc_by_path.get((node.name,))
-        if pcc is None:
-            return None
-        ci = _column_index(f, pcc)
-        locs = _offset_index(f, pcc)
+        if node.name in memo:
+            ci, locs = memo[node.name]
+        else:
+            pcc = cc_by_path.get((node.name,))
+            ci = _column_index(f, pcc) if pcc is not None else None
+            locs = _offset_index(f, pcc) if pcc is not None else None
+            memo[node.name] = (ci, locs)
         if ci is None or locs is None or len(ci[0]) != len(locs):
             return None
         keep = _page_keep_null(ci, node) if null_op \
@@ -1508,21 +1539,21 @@ def _tree_page_ranges(f, cc_by_path: dict, node, rg_n: int):
         if all(keep):
             return None  # nothing refuted: no information gained
         return _rows_from_pages(locs, keep, rg_n)
-    parts = [_tree_page_ranges(f, cc_by_path, p, rg_n)
-             for p in node.parts]
     if node.kind == "and":
         acc = None
-        for r in parts:
+        for p in node.parts:
+            r = _tree_page_ranges(f, cc_by_path, p, rg_n, memo)
             if r is None:
                 continue
             acc = r if acc is None else _intersect_ranges(acc, r)
             if not acc:
-                return []
+                return []  # short-circuit: remaining conjuncts unread
         return acc
-    if any(r is None for r in parts):
-        return None
     acc = []
-    for r in parts:
+    for p in node.parts:
+        r = _tree_page_ranges(f, cc_by_path, p, rg_n, memo)
+        if r is None:
+            return None  # short-circuit: the union is unbounded
         acc = _union_ranges(acc, r)
     return acc
 
@@ -1534,8 +1565,9 @@ def read_table(path: str, columns: list[str] | None = None,
 
     columns prunes the chunks READ (projection: skipped columns cost
     zero data bytes). predicate = (column, op, literal) with op in
-    =, ==, <, <=, >, >=, in, isnull, notnull — or a LIST of such
-    tuples, ANDed — or an arbitrarily nested boolean tree
+    =, ==, <, <=, >, >=, in, isnull, notnull, startswith, endswith,
+    contains — or a LIST of such tuples, ANDed — or an arbitrarily
+    nested boolean tree
     ("and"|"or", [pred, ...]) — returns exactly the matching rows
     (null tests take no literal and prune on null_count alone,
     trust-free; OR prunes a row group only when EVERY disjunct is
@@ -1861,15 +1893,6 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
 # non-NaN values (parquet statistics semantics). Counts need no trust:
 # num_rows is authoritative and null_count is order-free.
 
-_AGG_KEYS = ("count", "null_count", "min", "max")
-
-
-def _footer_trusted(fmd: dict) -> bool:
-    orders = fmd.get(7)
-    return bool(orders) and all(
-        isinstance(o, dict) and set(o) == {1} for o in orders)
-
-
 def _leaf_is_unsigned(leaf: _Node) -> bool:
     intl = (leaf.logical or {}).get(10)
     return (intl is not None and not intl.get(2, True)) \
@@ -1962,8 +1985,11 @@ def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:
                 f"pqreader: no flat scalar column(s) {missing} in {path}")
         flat = {c: flat[c] for c in columns}
     trusted = _footer_trusted(fmd)
-    agg = {name: {"count": 0, "null_count": 0, "min": None, "max": None,
-                  "_no_bounds": True} for name in flat}
+    # min and max poison INDEPENDENTLY: a truncated min must not lose
+    # a provable max (e.g. one >16-byte extreme string in one chunk)
+    agg = {name: {"count": 0, "null_count": 0,
+                  "min": None, "max": None,
+                  "min_ok": True, "max_ok": True} for name in flat}
     for rg in fmd.get(4) or []:
         by_path = {}
         for cc in rg[1]:
@@ -1977,8 +2003,7 @@ def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:
             m = by_path.get(name)
             if m is None:  # chunk absent: column unreadable — poison
                 a["count"] = a["null_count"] = None
-                a["_no_bounds"] = False
-                a["min"] = a["max"] = None
+                a["min_ok"] = a["max_ok"] = False
                 continue
             nv = m[5]
             st = m.get(12) or {}
@@ -1993,32 +2018,28 @@ def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:
             if nv == 0 or all_null:
                 continue  # no non-null values: no bound contribution
             if not trusted:
-                a["_no_bounds"] = False
+                a["min_ok"] = a["max_ok"] = False
                 continue
             lo = _agg_bound(leaf, st, "min")
+            if lo is None:
+                a["min_ok"] = False
+            elif a["min_ok"]:
+                a["min"] = lo if a["min"] is None else min(a["min"], lo)
             hi = _agg_bound(leaf, st, "max")
-            if lo is None or hi is None:
-                a["_no_bounds"] = False  # unusable chunk: poison
-                a["min"] = a["max"] = None
-                continue
-            if a["_no_bounds"]:
-                a["_no_bounds"] = False
-                a["min"], a["max"] = lo, hi
-            else:
-                if a["min"] is not None and lo < a["min"]:
-                    a["min"] = lo
-                if a["max"] is not None and hi > a["max"]:
-                    a["max"] = hi
+            if hi is None:
+                a["max_ok"] = False
+            elif a["max_ok"]:
+                a["max"] = hi if a["max"] is None else max(a["max"], hi)
     out = {}
     for name, a in agg.items():
         leaf = flat[name]
+        lo = a["min"] if a["min_ok"] else None
+        hi = a["max"] if a["max_ok"] else None
         out[name] = {
             "count": a["count"],
             "null_count": a["null_count"],
-            "min": None if a["min"] is None
-            else _cmp_to_logical(leaf, a["min"]),
-            "max": None if a["max"] is None
-            else _cmp_to_logical(leaf, a["max"]),
+            "min": None if lo is None else _cmp_to_logical(leaf, lo),
+            "max": None if hi is None else _cmp_to_logical(leaf, hi),
         }
     return {"rows": fmd[3], "columns": out}
 
@@ -2037,8 +2058,8 @@ def merge_aggregates(parts: list[dict]) -> dict:
     out = {}
     for name in names:
         acc = {"count": 0, "null_count": 0, "min": None, "max": None}
-        seen_bounds = False
-        poisoned = False
+        ok = {"min": True, "max": True}  # poison per FIELD: one file's
+        #     truncated min must not lose everyone's provable max
         for p in parts:
             c = p["columns"][name]
             for k in ("count", "null_count"):
@@ -2048,17 +2069,14 @@ def merge_aggregates(parts: list[dict]) -> dict:
                     acc[k] += c[k]
             if c["count"] == 0:
                 continue  # provably no non-null values in this file
-            if c["min"] is None or c["max"] is None:
-                poisoned = True
-                continue
-            if not seen_bounds:
-                acc["min"], acc["max"] = c["min"], c["max"]
-                seen_bounds = True
-            else:
-                acc["min"] = min(acc["min"], c["min"])
-                acc["max"] = max(acc["max"], c["max"])
-        if poisoned:
-            acc["min"] = acc["max"] = None
+            for k, pick in (("min", min), ("max", max)):
+                if c[k] is None:
+                    ok[k] = False
+                elif ok[k]:
+                    acc[k] = c[k] if acc[k] is None else pick(acc[k], c[k])
+        for k in ("min", "max"):
+            if not ok[k]:
+                acc[k] = None
         out[name] = acc
     return {"rows": sum(p["rows"] for p in parts), "columns": out}
 

@@ -2510,3 +2510,66 @@ def test_pqread_ds_pushes_string_filters(spark, tmp_path):
     assert got == [("name", "startswith", "ab"),
                    ("name", "endswith", "cd"),
                    ("name", "contains", "ef")]
+
+
+def test_footer_aggregates_per_field_poisoning(tmp_path):
+    """A truncated (inexact) MIN must not lose the provable MAX —
+    bounds poison independently, through the merge too."""
+    from parquet_go_spark.codecs.bytearrays import ByteArrays
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    pa_ = str(tmp_path / "a.parquet")
+    write_table(pa_, [ColumnSpec("s", Kind.BYTE_ARRAY,
+                                 ByteArrays.from_pylist(
+                                     [b"a" * 30 + b"x", b"b", b"charlie"]),
+                                 logical="string")])
+    fa = pqreader.footer_aggregates(pa_)["columns"]["s"]
+    assert fa["min"] is None          # 31-byte min was truncated
+    assert fa["max"] == "charlie"     # short max stays provable
+    pb_ = str(tmp_path / "b.parquet")
+    write_table(pb_, [ColumnSpec("s", Kind.BYTE_ARRAY,
+                                 ByteArrays.from_pylist([b"dog", b"ant"]),
+                                 logical="string")])
+    merged = pqreader.merge_aggregates([
+        pqreader.footer_aggregates(pa_), pqreader.footer_aggregates(pb_)])
+    assert merged["columns"]["s"]["min"] is None
+    assert merged["columns"]["s"]["max"] == "dog"
+
+
+def test_pqreader_startswith_binary_bytes(tmp_path):
+    """Arbitrary (non-UTF-8) byte prefixes work on BINARY columns via
+    the slice-compare mask; endswith/contains reject undecodable bytes
+    at COMPILE time, before any page is read."""
+    from parquet_go_spark.codecs.bytearrays import ByteArrays
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    vals = [b"\xff\x01\x02", b"\xff\x01", b"\xfe\x00", b"plain", b"\xff"]
+    p = str(tmp_path / "bin.parquet")
+    write_table(p, [ColumnSpec("b", Kind.BYTE_ARRAY,
+                               ByteArrays.from_pylist(vals))])
+    got = pqreader.read_table(p, predicate=("b", "startswith",
+                                            b"\xff\x01"))
+    assert sorted(got.column("b").to_pylist()) == [b"\xff\x01",
+                                                  b"\xff\x01\x02"]
+    with pytest.raises(ValueError, match="valid UTF-8"):
+        pqreader.read_table(p, predicate=("b", "contains", b"\xff"))
+
+
+def test_pqreader_list_form_null_leaf(tmp_path):
+    """['col', 'isnull'] — the list spelling of the null-test leaf —
+    parses as a leaf, not a 2-element conjunction of strings."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    p = str(tmp_path / "nulls.parquet")
+    _write_null_fixture(p)
+    got = pqreader.read_table(p, predicate=["v", "isnull"])
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.is_null(ref.column("v")))
+    assert got.num_rows == exp.num_rows == 1500
