@@ -720,7 +720,7 @@ def read_schema(path: str) -> pa.Schema:
 
 # ------------------------------------------------- predicate pruning
 
-_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in",
+_PRED_OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in",
              "isnull", "notnull", "startswith", "endswith", "contains")
 
 
@@ -1057,6 +1057,10 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         sv = _pred_stat_value(node, value)
         if sv is not None:
             pred.stat_cmp, pred.unsigned = sv
+        if op == "!=" and node.physical in (4, 5):
+            # float stats skip NaN, but NaN rows DO satisfy != v — a
+            # constant [v, v] chunk could still hold matching NaNs
+            pred.stat_cmp = None
     # min_value/max_value are only well-ordered when the footer declares
     # column_orders AND every entry is the TYPE_ORDER union field —
     # _footer_trusted, shared with startswith and footer_aggregates
@@ -1148,8 +1152,8 @@ def _row_mask(arr, op: str, value, leaf: _Node):
     literals are UTC); everything else via a typed Arrow scalar."""
     import pyarrow.compute as pc
 
-    ops = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
-           ">": pc.greater, ">=": pc.greater_equal}
+    ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
     t = arr.type
     if op == "isnull":
         return pc.is_null(arr)
@@ -1222,6 +1226,8 @@ def _row_mask(arr, op: str, value, leaf: _Node):
             # out at year 2262): a constant comparison, not an overflow
             if op == "=":
                 const = False
+            elif op == "!=":
+                const = True  # every stored instant differs from it
             elif op in ("<", "<="):
                 const = q > 0  # every stored instant is below/above it
             else:
@@ -1235,6 +1241,8 @@ def _row_mask(arr, op: str, value, leaf: _Node):
             return ops[op](ints, pa.scalar(q, pa.int64()))
         if op == "=":  # stored values are integral: no row can equal
             return pa.array(np.zeros(len(arr), dtype=bool))
+        if op == "!=":  # ...so every non-null row differs
+            return pc.is_valid(arr)
         # row OP v with v strictly between q and q+1:
         #   row <  v ⟺ row <= q ;  row <= v ⟺ row <= q
         #   row >  v ⟺ row >  q ;  row >= v ⟺ row >  q
@@ -1243,11 +1251,12 @@ def _row_mask(arr, op: str, value, leaf: _Node):
     if pa.types.is_integer(t) and isinstance(value, float):
         # pa.scalar silently TRUNCATES 2.5 → 2 (matching wrong rows):
         # evaluate float literals on int columns exactly instead
-        if value != value:  # NaN: no comparison is true
-            return pa.array(np.zeros(len(arr), dtype=bool))
+        if value != value:  # NaN (IEEE): only != is ever true
+            return pc.is_valid(arr) if op == "!=" \
+                else pa.array(np.zeros(len(arr), dtype=bool))
         if value in (float("inf"), float("-inf")):
-            const = (op in ("<", "<=")) if value > 0 \
-                else (op in (">", ">="))
+            const = op == "!=" or ((op in ("<", "<=")) if value > 0
+                                   else (op in (">", ">=")))
             mask = np.full(len(arr), const, dtype=bool)
             if const:
                 mask &= ~np.asarray(arr.is_null())
@@ -1257,6 +1266,8 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         else:
             if op == "=":
                 return pa.array(np.zeros(len(arr), dtype=bool))
+            if op == "!=":  # non-integral literal: all ints differ
+                return pc.is_valid(arr)
             # v strictly between floor(v) and floor(v)+1 — same trick
             # as off-tick timestamps
             import math
@@ -1270,6 +1281,8 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         if not info.min <= value <= info.max:
             if op == "=":
                 const = False
+            elif op == "!=":
+                const = True  # every representable row differs
             elif op in ("<", "<="):
                 const = value > info.max  # every stored row is smaller
             else:
@@ -1348,6 +1361,12 @@ def _bounds_refute(lo, hi, op: str, v) -> bool:
             return True
         up = _prefix_upper(v)
         return up is not None and lo >= up
+    if op == "!=":
+        # refutable only when the chunk is provably constant == v
+        # (lo == hi == v; a truncated BYTE_ARRAY bound can never
+        # produce lo == hi unless it is exact). Float columns never
+        # compile a != stat_cmp — NaN rows hide outside the bounds.
+        return lo == v and hi == v
     return not {"=": lo <= v <= hi, "<": lo < v, "<=": lo <= v,
                 ">": hi > v, ">=": hi >= v}[op]
 

@@ -235,7 +235,15 @@ def _stat_bounds_exact(vals, kind: int, logical: str | None = None,
     if kind in _STAT_FMT:
         a = np.asarray(vals)
         if kind in (Kind.FLOAT, Kind.DOUBLE):
-            a = a[~np.isnan(a)]
+            # parquet-mr parity (PARQUET-1222): a float chunk/page
+            # containing ANY NaN writes NO bounds. Readers prune with
+            # NaN-blind comparators (Spark orders NaN above every
+            # double), so NaN-skipping bounds let `x = NaN` prune away
+            # the very group holding the matching rows — silent row
+            # loss in parquet-mr/Spark, reproduced before this rule.
+            nan = np.isnan(a)
+            if nan.any():
+                return None, None, False, False
             if a.size == 0:
                 return None, None, False, False
         lo, hi = a.min(), a.max()

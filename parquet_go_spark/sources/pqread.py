@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -44,10 +45,15 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringContains,
     StringEndsWith,
     StringStartsWith,
 )
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
 from pyspark.sql.types import StructType
 
 
@@ -100,6 +106,27 @@ def _pushable_columns(root) -> set[str]:
 def _translate(filters, cols: set[str], null_cols: set[str] = frozenset()):
     preds = []
     for f in filters:
+        if isinstance(f, Not):
+            # only negations with provably Spark-identical semantics:
+            # NOT(= v) → != (null rows FALSE both sides). NOT over
+            # EqualNullSafe(non-null) is NOT pushable — null <=> v is
+            # FALSE, so its negation KEEPS null rows, unlike !=.
+            c = f.child
+            cattr = getattr(c, "attribute", None)
+            if not cattr or len(cattr) != 1:
+                continue
+            ccol = cattr[0]
+            if isinstance(c, EqualTo) and ccol in cols \
+                    and c.value is not None and not _is_nan(c.value):
+                preds.append((ccol, "!=", c.value))
+            elif isinstance(c, IsNull) and ccol in null_cols:
+                preds.append((ccol, "notnull", None))
+            elif isinstance(c, IsNotNull) and ccol in null_cols:
+                preds.append((ccol, "isnull", None))
+            elif isinstance(c, EqualNullSafe) and c.value is None \
+                    and ccol in null_cols:
+                preds.append((ccol, "notnull", None))
+            continue
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             continue
@@ -110,22 +137,41 @@ def _translate(filters, cols: set[str], null_cols: set[str] = frozenset()):
                     (col, "isnull" if isinstance(f, IsNull)
                      else "notnull", None))
             continue
+        if isinstance(f, EqualNullSafe):
+            # <=> NULL ⟺ IS NULL; <=> v filters the same rows as = v
+            # (null rows dropped either way)
+            if f.value is None:
+                if col in null_cols:
+                    preds.append((col, "isnull", None))
+            elif col in cols and not _is_nan(f.value):
+                preds.append((col, "=", f.value))
+            continue
         if col not in cols:
             continue
+        # Spark's NaN orders ABOVE every double and equals itself;
+        # Arrow/IEEE NaN compares false — never push a NaN literal
+        # (e.g. `x < NaN` is TRUE for every non-NaN row in Spark but
+        # FALSE in the reader: silent row loss)
         if isinstance(f, EqualTo):
-            preds.append((col, "=", f.value))
+            if not _is_nan(f.value):
+                preds.append((col, "=", f.value))
         elif isinstance(f, In):
-            vals = [v for v in f.value if v is not None]
-            if vals:
+            vals = [v for v in f.value
+                    if v is not None and not _is_nan(v)]
+            if vals and not any(_is_nan(v) for v in f.value):
                 preds.append((col, "in", vals))
         elif isinstance(f, GreaterThan):
-            preds.append((col, ">", f.value))
+            if not _is_nan(f.value):
+                preds.append((col, ">", f.value))
         elif isinstance(f, GreaterThanOrEqual):
-            preds.append((col, ">=", f.value))
+            if not _is_nan(f.value):
+                preds.append((col, ">=", f.value))
         elif isinstance(f, LessThan):
-            preds.append((col, "<", f.value))
+            if not _is_nan(f.value):
+                preds.append((col, "<", f.value))
         elif isinstance(f, LessThanOrEqual):
-            preds.append((col, "<=", f.value))
+            if not _is_nan(f.value):
+                preds.append((col, "<=", f.value))
         elif isinstance(f, StringStartsWith):
             # byte-wise UTF-8 prefix == Spark's code-point prefix;
             # gets range-style stat/page pruning in the reader

@@ -1072,7 +1072,7 @@ def test_pqreader_predicate_errors(tmp_path):
     p = str(tmp_path / "err.parquet")
     pq.write_table(tbl, p)
     with _pt.raises(ValueError, match="unsupported predicate op"):
-        pqreader.read_table(p, predicate=("k", "!=", 1))
+        pqreader.read_table(p, predicate=("k", "~", 1))
     with _pt.raises(ValueError, match="not found"):
         pqreader.read_table(p, predicate=("zz", "=", 1))
     with _pt.raises(ValueError, match="flat scalar"):
@@ -1493,7 +1493,7 @@ def test_pqreader_spark_read_validates_on_driver(spark, tmp_path):
 
     for bp in (True, False):
         with pytest.raises(ValueError, match="unsupported predicate op"):
-            pqreader.spark_read(spark, d, predicate=("k", "!=", 1),
+            pqreader.spark_read(spark, d, predicate=("k", "~", 1),
                                 bloom_prune_files=bp)
         with pytest.raises(ValueError, match="not found"):
             pqreader.spark_read(spark, d, predicate=("zz", "=", 1),
@@ -2573,3 +2573,145 @@ def test_pqreader_list_form_null_leaf(tmp_path):
     ref = pq.read_table(p)
     exp = ref.filter(pc.is_null(ref.column("v")))
     assert got.num_rows == exp.num_rows == 1500
+
+
+# ------------------------------------------------------- != predicate
+
+
+def test_pqreader_not_equal(monkeypatch, tmp_path):
+    """!= refutes a row group only when it is provably constant == v;
+    rows match pyarrow's not_equal exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    # rg0: constant 7s, rg1: mixed, rg2: constant 9s
+    k = np.concatenate([np.full(1000, 7), np.arange(1000),
+                        np.full(1000, 9)]).astype(np.int64)
+    p = str(tmp_path / "ne.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, k)],
+                row_group_rows=1000, page_index=False)
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("k", "!=", 7))
+    ref = pq.read_table(p)
+    exp = ref.filter(pc.not_equal(ref.column("k"), 7))
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    assert len(calls) == 2  # constant-7 group refuted without a read
+
+
+def test_pqreader_not_equal_float_nan_sound(tmp_path):
+    """A float chunk whose stats read constant [v, v] can still hold
+    NaN rows that satisfy != v — float columns must never stat-refute
+    a != (NaN is invisible to parquet bounds)."""
+    import math
+
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    x = np.array([5.0, 5.0, np.nan, 5.0, np.nan], dtype=np.float64)
+    p = str(tmp_path / "nan.parquet")
+    write_table(p, [ColumnSpec("x", Kind.DOUBLE, x)])
+    got = pqreader.read_table(p, predicate=("x", "!=", 5.0))
+    vals = got.column("x").to_pylist()
+    assert len(vals) == 2 and all(math.isnan(v) for v in vals)
+
+
+def test_pqread_ds_not_equal_and_null_safe(spark, tmp_path):
+    """Translation of Not/EqualNullSafe: NOT(= v) → !=, NOT(IS NULL) →
+    notnull, <=> NULL → isnull, <=> v → =; NOT(<=> v) is NOT pushed
+    (it keeps null rows, unlike !=). End-to-end != equals Spark."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe, EqualTo, IsNull, Not)
+
+    from parquet_go_spark.sources import pqread
+
+    d = tmp_path / "store"
+    d.mkdir()
+    _write_null_fixture(str(d / "part-0.parquet"))
+    pqread.register(spark)
+    for cond in ("k != 1500", "NOT (k = 1500)", "k <=> 1500",
+                 "NOT (v <=> 300.0)"):
+        ours = (spark.read.format("pqread").load(str(d))
+                .where(cond).orderBy("k").collect())
+        ref = (spark.read.parquet(str(d))
+               .where(cond).orderBy("k").collect())
+        assert ours == ref, cond
+
+    got = pqread._translate(
+        [Not(EqualTo(("k",), 5)), Not(IsNull(("k",))),
+         EqualNullSafe(("v",), None), EqualNullSafe(("k",), 5),
+         Not(EqualNullSafe(("k",), 5))],
+        {"k", "v"}, {"k", "v"})
+    assert got == [("k", "!=", 5), ("k", "notnull", None),
+                   ("v", "isnull", None), ("k", "=", 5)]
+
+
+def test_pqread_ds_nan_literals_never_push(spark, tmp_path):
+    """Spark orders NaN above every double and NaN = NaN is TRUE;
+    Arrow compares IEEE. Any filter carrying a NaN literal must not
+    push — else `x < NaN` (true for every non-NaN row in Spark)
+    returns nothing. Equality against Spark's own reader proves no
+    row is lost."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.sources import pqread
+
+    d = tmp_path / "nanstore"
+    d.mkdir()
+    x = np.array([1.0, np.nan, 2.0, np.nan, 3.0], dtype=np.float64)
+    write_table(str(d / "part-0.parquet"),
+                [ColumnSpec("x", Kind.DOUBLE, x),
+                 ColumnSpec("k", Kind.INT64,
+                            np.arange(5, dtype=np.int64))])
+    pqread.register(spark)
+
+    def key(rows):  # nan != nan breaks Row equality: compare shapes
+        return [(r["k"], r["x"] != r["x"], None if r["x"] != r["x"]
+                 else r["x"]) for r in rows]
+
+    for cond in ("x < CAST('NaN' AS DOUBLE)",
+                 "x = CAST('NaN' AS DOUBLE)",
+                 "x != CAST('NaN' AS DOUBLE)",
+                 "x IN (1.0, CAST('NaN' AS DOUBLE))"):
+        ours = (spark.read.format("pqread").load(str(d))
+                .where(cond).orderBy("k").collect())
+        ref = (spark.read.parquet(str(d))
+               .where(cond).orderBy("k").collect())
+        assert key(ours) == key(ref), cond
+    # the x < NaN case must actually return the non-NaN rows
+    n = (spark.read.format("pqread").load(str(d))
+         .where("x < CAST('NaN' AS DOUBLE)").count())
+    assert n == 3
+
+
+def test_pqwriter_nan_chunks_omit_bounds(tmp_path):
+    """PARQUET-1222 parity: a float chunk containing NaN writes no
+    min/max statistics and no ColumnIndex, so NaN-blind readers
+    (Spark/parquet-mr) can never prune away the NaN rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    x = np.array([1.0, np.nan, 3.0], dtype=np.float64)
+    p = str(tmp_path / "nan.parquet")
+    write_table(p, [ColumnSpec("x", Kind.DOUBLE, x)])
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert st is None or not st.has_min_max
+    assert st is not None and st.null_count == 0  # counts survive
+    # NaN-free chunks keep their bounds
+    p2 = str(tmp_path / "clean.parquet")
+    write_table(p2, [ColumnSpec(
+        "x", Kind.DOUBLE, np.array([1.0, 3.0]))])
+    st2 = pq.ParquetFile(p2).metadata.row_group(0).column(0).statistics
+    assert st2.has_min_max and st2.min == 1.0 and st2.max == 3.0
