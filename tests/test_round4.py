@@ -2715,3 +2715,91 @@ def test_pqwriter_nan_chunks_omit_bounds(tmp_path):
         "x", Kind.DOUBLE, np.array([1.0, 3.0]))])
     st2 = pq.ParquetFile(p2).metadata.row_group(0).column(0).statistics
     assert st2.has_min_max and st2.min == 1.0 and st2.max == 3.0
+
+
+def test_pqreader_predicate_tree_fuzz(tmp_path):
+    """Property: ANY random AND/OR tree over =,!=,<,<=,>,>=,in,
+    isnull,notnull,startswith leaves equals pyarrow's unpruned Kleene
+    evaluation — pruning (row-group, page union/intersection) must
+    never change results."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    int_lit = st.integers(min_value=-50, max_value=150)
+    str_lit = st.text(alphabet="abcx", max_size=4)
+
+    leaf = st.one_of(
+        st.tuples(st.just("x"),
+                  st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+                  int_lit),
+        st.tuples(st.just("x"), st.just("in"),
+                  st.lists(int_lit, min_size=1, max_size=4)),
+        st.tuples(st.just("x"),
+                  st.sampled_from(["isnull", "notnull"])),
+        st.tuples(st.just("s"), st.just("startswith"), str_lit),
+        st.tuples(st.just("s"),
+                  st.sampled_from(["=", "<", ">="]), str_lit),
+    )
+    tree = st.recursive(
+        leaf,
+        lambda kids: st.tuples(st.sampled_from(["and", "or"]),
+                               st.lists(kids, min_size=1, max_size=3)),
+        max_leaves=6)
+
+    def ref_mask(tbl, node):
+        if isinstance(node[0], str) and node[0] in ("and", "or"):
+            ms = [ref_mask(tbl, p) for p in node[1]]
+            out = ms[0]
+            comb = pc.and_kleene if node[0] == "and" else pc.or_kleene
+            for m in ms[1:]:
+                out = comb(out, m)
+            return out
+        col, op = node[0], node[1]
+        arr = tbl.column(col)
+        if op == "isnull":
+            return pc.is_null(arr)
+        if op == "notnull":
+            return pc.is_valid(arr)
+        if op == "in":
+            vset = pa.array(sorted(set(node[2])), arr.type)
+            return pc.is_in(arr, value_set=vset)
+        if op == "startswith":
+            return pc.starts_with(arr, pattern=node[2])
+        fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater,
+              ">=": pc.greater_equal}[op]
+        return fn(arr, pa.scalar(node[2], arr.type))
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data(), pred=tree,
+           rg=st.integers(min_value=1, max_value=40),
+           pageidx=st.booleans(), sort=st.booleans())
+    def check(data, pred, rg, pageidx, sort):
+        n = data.draw(st.integers(min_value=1, max_value=100))
+        xs = data.draw(st.lists(st.one_of(st.none(), int_lit),
+                                min_size=n, max_size=n))
+        ss = data.draw(st.lists(
+            st.one_of(st.none(), st.text(alphabet="abcx", max_size=6)),
+            min_size=n, max_size=n))
+        if sort:
+            xs = sorted((v for v in xs if v is not None)) \
+                + [None] * sum(v is None for v in xs)
+        tbl = pa.table({"x": pa.array(xs, pa.int64()),
+                        "s": pa.array(ss, pa.string())})
+        p = str(tmp_path / "treefuzz.parquet")
+        pq.write_table(tbl, p, row_group_size=rg,
+                       write_page_index=pageidx,
+                       data_page_size=64 if pageidx else None)
+        got = pqreader.read_table(p, predicate=pred)
+        exp = tbl.filter(ref_mask(tbl, pred))
+        assert got.column("x").to_pylist() == exp.column("x").to_pylist()
+        assert got.column("s").to_pylist() == exp.column("s").to_pylist()
+
+    check()
