@@ -23,6 +23,19 @@ Scale shape:
   All filters are returned to Spark for exact re-evaluation, so bloom
   false positives and truncated bounds can never corrupt results (same
   contract as the reference's page skipping, search.go:6-95).
+
+SPARK 4.1 CAVEAT (upstream, applies to EVERY python data source with
+``spark.sql.python.filterPushdown.enabled``): the JVM caches planned
+partitions per relation (``PythonDataSourceV2.readInfo``) and filter
+pushdown overwrites that cache, so a DataFrame OBJECT reused across
+queries serves the first pushed query's pruned scan to a later query
+that pushes nothing — silently losing rows even though Spark applies
+the later filter exactly (the pruned-away chunks never reach it).
+Reproduced with a minimal 20-line source; our filters already ride
+inside each InputPartition, so no reader state is involved. Create
+the DataFrame per query (``spark.read.format("colcodec").load(p)``
+is a driver-side listing, milliseconds). Pinned in tests so a Spark
+fix is noticed.
 """
 
 from __future__ import annotations
@@ -40,6 +53,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -50,6 +65,13 @@ from pyspark.sql.types import StructField, StructType
 @dataclass
 class _FileSlice(InputPartition):
     path: str
+    # filters ride IN the partition: Spark's python-datasource worker
+    # REUSES one reader instance across queries on the same DataFrame,
+    # and a query with no pushable filters never calls pushFilters —
+    # reader-instance filter state would silently apply the PREVIOUS
+    # query's pruning (reproduced: q1 `v IS NULL AND k < 100` then q2
+    # `v IS NOT NULL OR k = 0` returned only q1-pruned rows)
+    filters: tuple = ()
 
 
 def _decode_blob_table(tbl, cols):
@@ -158,12 +180,14 @@ def _probe_key(spark_type: str, value):
     return None
 
 
-def _chunk_survives(filters, col_types, stats, blooms) -> bool:
+def _chunk_survives(filters, col_types, stats, blooms,
+                    nulls=None) -> bool:
     """Can a chunk possibly hold rows matching ALL filters?
 
     stats: {column: (min_str|None, max_str|None)}; blooms:
-    {column: bloom blob bytes|None}. NULL bounds mean unbounded —
-    unprunable (matches pruned_decode's keep rule)."""
+    {column: bloom blob bytes|None}; nulls:
+    {column: (null_count|None, n_rows|None)}. NULL bounds mean
+    unbounded — unprunable (matches pruned_decode's keep rule)."""
     import numpy as np
 
     from parquet_go_spark.codecs import bloom as bloomlib
@@ -171,6 +195,15 @@ def _chunk_survives(filters, col_types, stats, blooms) -> bool:
     from parquet_go_spark.codecs.kinds import Kind
 
     for col, op, value in filters:
+        if op in ("isnull", "notnull"):
+            nc, nr = (nulls or {}).get(col, (None, None))
+            if nc is None:
+                continue  # unknown: keep
+            if op == "isnull" and nc == 0:
+                return False  # provably no NULL rows in this chunk
+            if op == "notnull" and nr is not None and nc == nr:
+                return False  # provably ALL rows NULL
+            continue
         spark_type = col_types.get(col)
         if spark_type is None or col not in stats:
             continue
@@ -280,7 +313,11 @@ def _translate_filters(filters, col_types):
         if col_types.get(col) is None:
             continue
         t = col_types[col]
-        if isinstance(f, EqualTo):
+        if isinstance(f, (IsNull, IsNotNull)):
+            # no literal: prunes on the manifest's null_count alone
+            out.append((col, "isnull" if isinstance(f, IsNull)
+                        else "notnull", None))
+        elif isinstance(f, EqualTo):
             out.append((col, "eq", _anchor_tz(t, f.value)))
         elif isinstance(f, In):
             out.append((col, "in", _anchor_tz(t, list(f.value))))
@@ -318,11 +355,19 @@ class ColcodecReader(DataSourceReader):
     def partitions(self):
         import os
 
+        # snapshot the filters into the slices and RESET the instance:
+        # the next query on this reused reader may legitimately skip
+        # pushFilters (nothing pushable), and stale pruning from the
+        # previous query would silently drop its rows. A re-planned
+        # query that does push calls pushFilters again first; one that
+        # doesn't merely loses pruning, never correctness.
+        filters, self._filters = tuple(self._filters), []
         files = sorted(
             f for f in os.listdir(self._path)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        return [_FileSlice(os.path.join(self._path, f)) for f in files]
+        return [_FileSlice(os.path.join(self._path, f), filters)
+                for f in files]
 
     def read(self, partition: _FileSlice | None):
         import pyarrow.parquet as pq
@@ -333,26 +378,28 @@ class ColcodecReader(DataSourceReader):
             return
 
         col_types = dict(self._cols)
-        if self._filters:
+        if partition.filters:
             # metadata columns only — the blob column (the file's bulk)
             # is not touched until chunks survive; bloom bitsets are
             # read only for the filtered columns' values streams
-            filter_cols = sorted({c for c, _, _ in self._filters})
+            filter_cols = sorted({c for c, _, _ in partition.filters})
             meta = pq.read_table(
                 partition.path,
                 columns=["chunk_id", "column", "stream", "min_val",
-                         "max_val", "bloom"],
+                         "max_val", "null_count", "n_rows", "bloom"],
                 filters=[("stream", "=", "values"),
                          ("column", "in", filter_cols)],
             )
-            per_chunk: dict[str, tuple[dict, dict]] = {}
+            per_chunk: dict[str, tuple[dict, dict, dict]] = {}
             for row in meta.to_pylist():  # blob-row count: metadata scale
-                st, bl = per_chunk.setdefault(row["chunk_id"], ({}, {}))
+                st, bl, nu = per_chunk.setdefault(
+                    row["chunk_id"], ({}, {}, {}))
                 st[row["column"]] = (row["min_val"], row["max_val"])
                 bl[row["column"]] = row["bloom"]
+                nu[row["column"]] = (row["null_count"], row["n_rows"])
             keep = {
-                cid for cid, (st, bl) in per_chunk.items()
-                if _chunk_survives(self._filters, col_types, st, bl)
+                cid for cid, (st, bl, nu) in per_chunk.items()
+                if _chunk_survives(partition.filters, col_types, st, bl, nu)
             }
             # chunks with no values stream for any filtered column are
             # never pruned

@@ -25,6 +25,20 @@ semantics are pushed:
   (naive literals documented as UTC) when timestamp pruning matters.
 - any predicate the reader cannot compile against the footer is
   silently not pushed (Spark re-applies every filter regardless).
+
+SPARK 4.1 CAVEAT (upstream, applies to EVERY python data source with
+``spark.sql.python.filterPushdown.enabled``): the JVM caches the
+planned partitions per relation (``PythonDataSourceV2.readInfo`` is
+get-or-create) and filter pushdown overwrites that cache, so a
+DataFrame OBJECT reused across queries serves the FIRST pushed
+query's pruned scan to any later query that pushes nothing (plain
+``.count()``, an OR-only WHERE) — silently losing rows. Reproduced
+with a 20-line minimal source, so it is not this reader's state:
+our filters already ride inside each InputPartition. Until Spark
+re-plans per query, create the DataFrame per query —
+``spark.read.format("pqread").load(path)`` is a driver-only footer
+probe and costs milliseconds. tests/test_round4.py pins both the
+safe pattern and the upstream behavior so a Spark fix is noticed.
 """
 
 from __future__ import annotations
@@ -60,6 +74,13 @@ from pyspark.sql.types import StructType
 @dataclass
 class _FileSlice(InputPartition):
     path: str
+    # predicates ride IN the partition: Spark's python-datasource
+    # worker reuses one reader instance across queries on the same
+    # DataFrame, and a query with nothing pushable never calls
+    # pushFilters — instance state would apply the PREVIOUS query's
+    # filters. Unlike colcodec (skip-only), this reader filters
+    # EXACTLY, so stale predicates would silently drop rows.
+    preds: tuple = ()
 
 
 def _us_type(t):
@@ -219,7 +240,11 @@ class PqreadReader(DataSourceReader):
     def partitions(self):
         from parquet_go_spark.interop import pqreader
 
-        return [_FileSlice(p)
+        # snapshot into the slices and reset (see _FileSlice): a later
+        # query that pushes calls pushFilters again first; one that
+        # doesn't must not inherit this query's predicates
+        preds, self._preds = tuple(self._preds), []
+        return [_FileSlice(p, preds)
                 for p in pqreader.list_parquet_files(self._path)]
 
     def read(self, partition: _FileSlice | None):
@@ -231,7 +256,7 @@ class PqreadReader(DataSourceReader):
         from parquet_go_spark.interop import pqreader
 
         tbl = pqreader.read_table(
-            partition.path, predicate=self._preds or None)
+            partition.path, predicate=list(partition.preds) or None)
         for i, fld in enumerate(tbl.schema):
             want = _us_type(fld.type)
             if want != fld.type:

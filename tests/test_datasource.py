@@ -433,3 +433,105 @@ def test_stream_source_detects_rewrite(spark, tmp_path):
     end = rdr.latestOffset()
     with pytest.raises(RuntimeError, match="rewritten"):
         rdr.partitions(start, end)
+
+
+def test_chunk_survives_null_tests():
+    """isnull/notnull prune on the manifest's null_count/n_rows alone
+    — no stats, no bloom, unknown stays kept."""
+    types = {"v": "double"}
+    st = {"v": (None, None)}
+    no_nulls = {"v": (0, 100)}
+    all_null = {"v": (100, 100)}
+    some = {"v": (40, 100)}
+    f_isnull = [("v", "isnull", None)]
+    f_notnull = [("v", "notnull", None)]
+    assert not _chunk_survives(f_isnull, types, st, {}, no_nulls)
+    assert _chunk_survives(f_isnull, types, st, {}, all_null)
+    assert _chunk_survives(f_isnull, types, st, {}, some)
+    assert not _chunk_survives(f_notnull, types, st, {}, all_null)
+    assert _chunk_survives(f_notnull, types, st, {}, no_nulls)
+    assert _chunk_survives(f_notnull, types, st, {}, some)
+    # unknown null info: always keep; absent nulls dict: keep
+    assert _chunk_survives(f_isnull, types, st, {}, {"v": (None, None)})
+    assert _chunk_survives(f_isnull, types, st, {})
+
+
+def test_datasource_null_filters_exact(spark, tmp_path):
+    """IS NULL / IS NOT NULL through the colcodec data source equal the
+    source DataFrame, with nulls concentrated so chunks actually
+    prune (null-free repos refuted for IS NULL)."""
+    d = str(tmp_path / "nullstore")
+    src = spark.createDataFrame(
+        [(i, f"grp{i % 3}",
+          None if i % 3 == 0 else float(i)) for i in range(3000)],
+        "k bigint, grp string, v double",
+    )
+    # grp0 rows carry ALL the nulls; grp1/grp2 chunks are null-free
+    pipeline.encode_table(spark, src, d, repo_col="grp",
+                          sort_cols=["k"], resume=False)
+    datasource.register(spark)
+    # fresh load PER QUERY — the documented safe pattern under the
+    # upstream Spark 4.1 readInfo-caching bug (see module docstring
+    # and test_python_ds_relation_reuse_upstream_caveat)
+    for cond in ("v IS NULL", "v IS NOT NULL",
+                 "v IS NULL AND k < 100", "v IS NOT NULL OR k = 0"):
+        df = spark.read.format("colcodec").load(d)
+        got = sorted(map(tuple, df.where(cond).collect()))
+        exp = sorted(map(tuple, src.where(cond).collect()))
+        assert got == exp, cond
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    got = datasource._translate_filters(
+        [IsNull(("v",)), IsNotNull(("k",))], {"v": "double", "k": "bigint"})
+    assert got == [("v", "isnull", None), ("k", "notnull", None)]
+
+
+def test_python_ds_relation_reuse_upstream_caveat(spark, tmp_path):
+    """PINS an UPSTREAM Spark 4.1 behavior (not ours): with
+    spark.sql.python.filterPushdown.enabled, the JVM caches planned
+    partitions per relation (PythonDataSourceV2.readInfo) and filter
+    pushdown overwrites the cache — so a REUSED DataFrame serves the
+    first pushed query's pruned scan to a later query that pushes
+    nothing. Demonstrated on a minimal source with NO instance state,
+    proving it is not this package's reader. If this test starts
+    failing on a future Spark, the caching was fixed: delete the
+    caveat from sources/datasource.py + sources/pqread.py docstrings
+    and this pin."""
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceReader, EqualTo)
+
+    class MiniReader(DataSourceReader):
+        def __init__(self):
+            self.keep = None
+
+        def pushFilters(self, filters):  # noqa: N802
+            fs = list(filters)
+            for f in fs:
+                if isinstance(f, EqualTo):
+                    self.keep = f.value
+            return iter(fs)
+
+        def read(self, partition):
+            for i in range(10):
+                if self.keep is None or i == self.keep:
+                    yield (i,)
+
+    class MiniSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "minids_upstream_pin"
+
+        def schema(self):
+            return "k int"
+
+        def reader(self, schema):
+            return MiniReader()
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MiniSource)
+    df = spark.read.format("minids_upstream_pin").load()
+    assert df.where("k = 3").count() == 1
+    # UPSTREAM BUG: reused relation serves the pruned scan (1 != 10)
+    assert df.count() == 1
+    # the safe pattern: a fresh relation per query is exact
+    assert spark.read.format("minids_upstream_pin").load().count() == 10
