@@ -709,12 +709,40 @@ def _stats_minmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chunk_rowcounts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _encode_fresh(spark, sf_dir, "lineitem")
-    m = pipeline.manifest(spark, out).where(F.col("stream") == "values")
-    return (
-        m.groupBy(F.col("column").alias("col_name"))
-        .agg(F.sum("n_rows").alias("n_rows"))
+def _footer_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-only aggregates (round 4): export lineitem as real
+    parquet through OUR writer, then answer min/max/count from FOOTER
+    BYTES ALONE — pqreader.footer_aggregates never decodes a data
+    page (the metadata-scan analog of the reference's
+    ColumnChunk.Statistics walk, file.go footer path). String bounds
+    count because the writer records is_min/max_value_exact
+    (Statistics fields 7/8) when truncation did not occur. The oracle
+    computes the identical aggregates by scanning the source table —
+    value equality proves the footer stats ARE the scan answers."""
+    from parquet_go_spark.interop import pqreader
+
+    df = _load(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="colcodec_footeragg_")
+    interop_export.export_parquet(
+        spark, df, out, repo_col="l_returnflag",
+        salt_cols=["l_orderkey"], target_chunk_bytes=1 << 20,
+    )
+    agg = pqreader.spark_footer_aggregates(spark, out)
+    a, c = agg["columns"], agg["rows"]
+    row = (
+        a["l_orderkey"]["min"], a["l_orderkey"]["max"],
+        a["l_orderkey"]["count"],
+        a["l_extendedprice"]["min"], a["l_extendedprice"]["max"],
+        a["l_extendedprice"]["count"],
+        a["l_returnflag"]["min"], a["l_returnflag"]["max"],
+        a["l_returnflag"]["count"], c,
+    )
+    return spark.createDataFrame(
+        [row],
+        "min_okey bigint, max_okey bigint, cnt_okey bigint, "
+        "min_price double, max_price double, cnt_price bigint, "
+        "min_rflag string, max_rflag string, cnt_rflag bigint, "
+        "n_rows bigint",
     )
 
 
@@ -955,7 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- manifest statistics + pruning ----
         "stats_minmax_lineitem": _stats_minmax_lineitem,
         "level_hist_props": _level_hist_props,
-        "chunk_rowcounts_lineitem": _chunk_rowcounts_lineitem,
+        "footer_agg_lineitem": _footer_agg_lineitem,
         "prune_decode_orders": _prune_decode_orders,
         "range_prune_orders": _range_prune_orders,
         "bloom_point_orders": _bloom_point_orders,
@@ -1242,12 +1270,14 @@ def oracle_sql() -> dict[str, str]:
             "|| CAST(c1 - nulls AS VARCHAR), "
             "CAST(n AS VARCHAR) || ',' || CAST(c1 - ne AS VARCHAR) FROM agg"
         ),
-        "chunk_rowcounts_lineitem": (
-            "SELECT col_name, count(*) AS n_rows FROM lineitem CROSS JOIN "
-            "(SELECT unnest(['l_orderkey','l_partkey','l_suppkey',"
-            "'l_linenumber','l_quantity','l_extendedprice','l_discount',"
-            "'l_tax','l_returnflag','l_linestatus','l_shipdate']) AS col_name)"
-            " GROUP BY col_name"
+        "footer_agg_lineitem": (
+            "SELECT min(l_orderkey) AS min_okey, max(l_orderkey) AS "
+            "max_okey, count(l_orderkey) AS cnt_okey, "
+            "min(l_extendedprice) AS min_price, max(l_extendedprice) AS "
+            "max_price, count(l_extendedprice) AS cnt_price, "
+            "min(l_returnflag) AS min_rflag, max(l_returnflag) AS "
+            "max_rflag, count(l_returnflag) AS cnt_rflag, "
+            "count(*) AS n_rows FROM lineitem"
         ),
         "prune_decode_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
