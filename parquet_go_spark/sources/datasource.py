@@ -383,10 +383,18 @@ class ColcodecReader(DataSourceReader):
             # is not touched until chunks survive; bloom bitsets are
             # read only for the filtered columns' values streams
             filter_cols = sorted({c for c, _, _ in partition.filters})
+            # null tests read neither stats nor bitsets; bloom bitsets
+            # are the largest metadata stream — fetch them only when a
+            # comparison/equality op is actually present
+            null_only = all(op in ("isnull", "notnull")
+                            for _, op, _ in partition.filters)
+            meta_cols = ["chunk_id", "column", "stream",
+                         "null_count", "n_rows"]
+            if not null_only:
+                meta_cols += ["min_val", "max_val", "bloom"]
             meta = pq.read_table(
                 partition.path,
-                columns=["chunk_id", "column", "stream", "min_val",
-                         "max_val", "null_count", "n_rows", "bloom"],
+                columns=meta_cols,
                 filters=[("stream", "=", "values"),
                          ("column", "in", filter_cols)],
             )
@@ -394,8 +402,9 @@ class ColcodecReader(DataSourceReader):
             for row in meta.to_pylist():  # blob-row count: metadata scale
                 st, bl, nu = per_chunk.setdefault(
                     row["chunk_id"], ({}, {}, {}))
-                st[row["column"]] = (row["min_val"], row["max_val"])
-                bl[row["column"]] = row["bloom"]
+                if not null_only:
+                    st[row["column"]] = (row["min_val"], row["max_val"])
+                    bl[row["column"]] = row["bloom"]
                 nu[row["column"]] = (row["null_count"], row["n_rows"])
             keep = {
                 cid for cid, (st, bl, nu) in per_chunk.items()

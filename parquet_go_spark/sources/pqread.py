@@ -16,8 +16,13 @@ semantics are pushed:
 - float32 columns are never pushed — Spark compares FLOAT promoted to
   double, while the reader (like pyarrow) compares in float32; a
   literal that rounds DOWN to a float32 tick would drop rows Spark
-  keeps. Everything else (ints, strings, binary, dates, doubles,
-  decimals) compares identically.
+  keeps.
+- ``>`` / ``>=`` on double columns are never pushed — Spark orders
+  NaN ABOVE every double (``NaN > 1.5`` is TRUE) while the reader
+  compares IEEE (FALSE): pushing would silently drop NaN rows. The
+  other ops agree on NaN rows (<, <=, =, in are FALSE and != is TRUE
+  under both semantics), so they still push. Ints, strings, binary,
+  dates, and decimals compare identically for every op.
 - timestamp columns are never pushed — Spark interprets the stored
   micros AND the filter literal in ``spark.sql.session.timeZone``,
   which a DataSourceReader cannot see; any anchoring guess can drop
@@ -66,9 +71,11 @@ from pyspark.sql.datasource import (
 )
 
 
+from pyspark.sql.types import StructType
+
+
 def _is_nan(v) -> bool:
     return isinstance(v, float) and v != v
-from pyspark.sql.types import StructType
 
 
 @dataclass
@@ -124,7 +131,17 @@ def _pushable_columns(root) -> set[str]:
     return out
 
 
-def _translate(filters, cols: set[str], null_cols: set[str] = frozenset()):
+def _no_gt_columns(root) -> set[str]:
+    """Columns where > / >= must NOT push: Spark orders NaN above
+    every double, the reader compares IEEE — `x > 1.5` is TRUE for a
+    NaN row in Spark and FALSE here, and this reader filters exactly,
+    so pushing would silently drop the NaN rows."""
+    return {c.name for c in root.children
+            if not c.children and c.max_rep == 0 and c.physical == 5}
+
+
+def _translate(filters, cols: set[str], null_cols: set[str] = frozenset(),
+               no_gt_cols: set[str] = frozenset()):
     preds = []
     for f in filters:
         if isinstance(f, Not):
@@ -177,15 +194,17 @@ def _translate(filters, cols: set[str], null_cols: set[str] = frozenset()):
             if not _is_nan(f.value):
                 preds.append((col, "=", f.value))
         elif isinstance(f, In):
-            vals = [v for v in f.value
-                    if v is not None and not _is_nan(v)]
-            if vals and not any(_is_nan(v) for v in f.value):
-                preds.append((col, "in", vals))
+            # a NaN member matches NaN rows under Spark's equality —
+            # refuse the whole list, never just strip the member
+            if not any(_is_nan(v) for v in f.value):
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    preds.append((col, "in", vals))
         elif isinstance(f, GreaterThan):
-            if not _is_nan(f.value):
+            if not _is_nan(f.value) and col not in no_gt_cols:
                 preds.append((col, ">", f.value))
         elif isinstance(f, GreaterThanOrEqual):
-            if not _is_nan(f.value):
+            if not _is_nan(f.value) and col not in no_gt_cols:
                 preds.append((col, ">=", f.value))
         elif isinstance(f, LessThan):
             if not _is_nan(f.value):
@@ -224,7 +243,7 @@ class PqreadReader(DataSourceReader):
         root = pqreader._parse_schema(fmd[2])
         pqreader._annotate(root, 0, 0, ())
         candidates = _translate(filters, _pushable_columns(root),
-                                _flat_columns(root))
+                                _flat_columns(root), _no_gt_columns(root))
         self._preds = []
         for p in candidates:
             try:

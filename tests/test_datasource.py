@@ -527,11 +527,21 @@ def test_python_ds_relation_reuse_upstream_caveat(spark, tmp_path):
         def reader(self, schema):
             return MiniReader()
 
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled",
+                           None)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(MiniSource)
-    df = spark.read.format("minids_upstream_pin").load()
-    assert df.where("k = 3").count() == 1
-    # UPSTREAM BUG: reused relation serves the pruned scan (1 != 10)
-    assert df.count() == 1
-    # the safe pattern: a fresh relation per query is exact
-    assert spark.read.format("minids_upstream_pin").load().count() == 10
+    try:
+        spark.dataSource.register(MiniSource)
+        df = spark.read.format("minids_upstream_pin").load()
+        assert df.where("k = 3").count() == 1
+        # UPSTREAM BUG: reused relation serves the pruned scan (≠ 10)
+        assert df.count() == 1
+        # the safe pattern: a fresh relation per query is exact
+        assert spark.read.format(
+            "minids_upstream_pin").load().count() == 10
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prior)

@@ -2803,3 +2803,36 @@ def test_pqreader_predicate_tree_fuzz(tmp_path):
         assert got.column("s").to_pylist() == exp.column("s").to_pylist()
 
     check()
+
+
+def test_pqread_ds_gt_on_double_keeps_nan_rows(spark, tmp_path):
+    """`x > 1.5` is TRUE for NaN rows in Spark (NaN orders above every
+    double) but FALSE under IEEE — so > / >= on double columns must
+    never push. Regression: pushing dropped the NaN rows entirely."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+    from parquet_go_spark.sources import pqread
+
+    d = tmp_path / "gtnan"
+    d.mkdir()
+    x = np.array([1.0, np.nan, 2.0, np.nan, 3.0], dtype=np.float64)
+    write_table(str(d / "part-0.parquet"),
+                [ColumnSpec("x", Kind.DOUBLE, x),
+                 ColumnSpec("k", Kind.INT64,
+                            np.arange(5, dtype=np.int64))])
+    pqread.register(spark)
+    for cond, expect in (("x > 1.5", 4), ("x >= 2.0", 4),
+                         ("x < 1.5", 1), ("x <= 2.0", 2)):
+        ours = (spark.read.format("pqread").load(str(d))
+                .where(cond).count())
+        ref = (spark.read.parquet(str(d)).where(cond).count())
+        assert ours == ref == expect, cond
+    # ints/strings keep > pushdown: only double columns opt out
+    from pyspark.sql.datasource import GreaterThan
+
+    got = pqread._translate(
+        [GreaterThan(("k",), 1), GreaterThan(("x",), 1.0)],
+        {"k", "x"}, {"k", "x"}, {"x"})
+    assert got == [("k", ">", 1)]
