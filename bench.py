@@ -180,8 +180,72 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         **enc,
+        **bench_reader_info(),
     }
     print(json.dumps(out))
+
+
+def bench_reader_info() -> dict:
+    """INFORMATIONAL round-4 reader numbers (extra keys only — the
+    headline `value` stays protocol-comparable across rounds): footer
+    aggregates vs a DuckDB full scan, and a stat-pruned point probe vs
+    pyarrow read+filter, on a pyarrow export of lineitem."""
+    import glob
+    import shutil
+    import tempfile
+
+    try:
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from parquet_go_spark.interop import pqreader
+
+        src = os.path.join(SF_DIR, "lineitem.parquet")
+        d = tempfile.mkdtemp(prefix="bench_reader_")
+        t = pq.read_table(src)
+        n, k = t.num_rows, 8
+        for i in range(k):
+            pq.write_table(t.slice(i * n // k, n // k),
+                           f"{d}/part-{i}.parquet",
+                           row_group_size=65536, write_page_index=True)
+        files = sorted(glob.glob(d + "/*.parquet"))
+        cols = ["l_orderkey", "l_extendedprice", "l_quantity"]
+
+        def best(fn, reps=3):
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn()
+                times.append(time.time() - t0)
+            return round(min(times) * 1000, 2)
+
+        agg_ms = best(lambda: pqreader.merge_aggregates(
+            [pqreader.footer_aggregates(f, cols) for f in files]))
+        con = duckdb.connect()
+        exprs = ", ".join(f"min({c}), max({c}), count({c})" for c in cols)
+        duck_ms = best(lambda: con.execute(
+            f"SELECT {exprs} FROM read_parquet('{d}/*.parquet')"
+        ).fetchone())
+        key = int(t.column("l_orderkey")[n // 2].as_py())
+        probe_ms = best(lambda: [
+            pqreader.read_table(f, columns=["l_orderkey", "l_quantity"],
+                                predicate=("l_orderkey", "=", key))
+            for f in files])
+        pa_ms = best(lambda: [
+            pq.read_table(f, columns=["l_orderkey", "l_quantity"])
+            .filter(pc.equal(pc.field("l_orderkey"), key))
+            for f in files])
+        shutil.rmtree(d, ignore_errors=True)
+        return {
+            "reader_footer_agg_ms": agg_ms,
+            "reader_duckdb_fullscan_agg_ms": duck_ms,
+            "reader_point_probe_ms": probe_ms,
+            "reader_pyarrow_full_filter_ms": pa_ms,
+        }
+    except Exception as e:  # informational only: never fail the bench
+        return {"reader_info_error": str(e)[:200]}
 
 
 if __name__ == "__main__":
