@@ -2836,3 +2836,56 @@ def test_pqread_ds_gt_on_double_keeps_nan_rows(spark, tmp_path):
         [GreaterThan(("k",), 1), GreaterThan(("x",), 1.0)],
         {"k", "x"}, {"k", "x"}, {"x"})
     assert got == [("k", ">", 1)]
+
+
+def test_footer_aggregates_fuzz(tmp_path):
+    """Property: for ANY table (nulls, NaN, duplicate extremes, long
+    strings, any row-group split, pyarrow- or pqwriter-written),
+    footer_aggregates' count/null_count are exactly right and each
+    bound is either None or exactly the scan answer — never a wrong
+    value. NaN rows are excluded from float bounds (parquet stats
+    semantics), so float columns containing NaN must report None on
+    our writer (bounds omitted) and non-NaN-min/max on pyarrow's."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data(),
+           kind=st.sampled_from(["i64", "f64", "str"]),
+           rg=st.integers(min_value=1, max_value=30))
+    def check(data, kind, rg):
+        n = data.draw(st.integers(min_value=1, max_value=80))
+        if kind == "i64":
+            elems = st.integers(min_value=-2**62, max_value=2**62)
+            typ = pa.int64()
+        elif kind == "f64":
+            elems = st.floats(width=64)  # NaN/inf allowed
+            typ = pa.float64()
+        else:
+            elems = st.text(max_size=40)  # > 16 B triggers truncation
+            typ = pa.string()
+        vals = data.draw(st.lists(st.one_of(st.none(), elems),
+                                  min_size=n, max_size=n))
+        arr = pa.array(vals, typ)
+        p = str(tmp_path / "aggfuzz.parquet")
+        pq.write_table(pa.table({"x": arr}), p, row_group_size=rg)
+        a = pqreader.footer_aggregates(p)["columns"]["x"]
+        nn = arr.drop_null()
+        assert a["null_count"] == arr.null_count
+        assert a["count"] == len(nn)
+        if kind == "f64":
+            nn = nn.filter(pc.is_valid(pc.if_else(
+                pc.is_nan(nn), pa.nulls(len(nn), typ), nn)))
+        if a["min"] is not None:
+            assert len(nn) and a["min"] == pc.min(nn).as_py()
+        if a["max"] is not None:
+            assert len(nn) and a["max"] == pc.max(nn).as_py()
+
+    check()
