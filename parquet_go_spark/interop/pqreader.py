@@ -1435,10 +1435,11 @@ def _slice_vals(vals, lo: int, hi: int):
 
 def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
                     rg_rows: int, verify: bool = False) -> _LeafData:
-    """Decode only the pages of a FLAT leaf (max_rep == 0) overlapping
-    `ranges` (sorted, disjoint row intervals), trimmed to exactly those
-    rows. Refuted pages cost zero reads; the dictionary page (if any)
-    is read once."""
+    """Decode only the pages of a non-repeated leaf (max_rep == 0 —
+    top-level scalar OR struct field: one entry per row either way)
+    overlapping `ranges` (sorted, disjoint row intervals), trimmed to
+    exactly those rows. Refuted pages cost zero reads; the dictionary
+    page (if any) is read once."""
     codec = _chunk_codec(meta)
     dictionary_vals = None
     # a dictionary page occupies [chunk start, first OffsetIndex page).
@@ -1496,8 +1497,73 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
                 values,
                 aa if nn_cum is None else int(nn_cum[aa]),
                 bb if nn_cum is None else int(nn_cum[bb])))
-    # flat-only function (max_rep == 0): reps are never materialized
+    # non-repeated leaves (max_rep == 0): reps are never materialized
     return _leaf_data(defs_parts, [], val_parts, leaf, n_decoded)
+
+
+def _read_leaf_rows_rep(f, meta: dict, leaf: _Node, locs, ranges,
+                        rg_rows: int, verify: bool = False) -> _LeafData:
+    """_read_leaf_rows for REPEATED leaves (max_rep > 0): a page holds
+    ENTRIES, a row begins at each rep == 0 entry, and the spec pins
+    pages to row boundaries whenever a page index is written — so each
+    requested row run maps to one contiguous entry slice per page.
+    Rows outside `ranges` cost zero page reads (previously any nested
+    projected column forced the whole chunk to decode)."""
+    codec = _chunk_codec(meta)
+    dictionary_vals = None
+    start = meta.get(11) or meta[9]
+    if locs and locs[0][0] > start:
+        f.seek(start)
+        buf = f.read(locs[0][0] - start)
+        kind, dictionary_vals, _ = _decode_page(
+            buf, 0, leaf, codec, None, verify)
+        if kind != "dict":
+            raise ValueError("pqreader: expected dictionary page")
+    max_def = leaf.max_def
+    defs_parts, reps_parts, val_parts = [], [], []
+    ri = 0
+    for i, (off, size, row0) in enumerate(locs):
+        row1 = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
+        while ri < len(ranges) and ranges[ri][1] <= row0:
+            ri += 1
+        runs = []
+        for a, b in ranges[ri:]:
+            if a >= row1:
+                break
+            aa, bb = max(a, row0) - row0, min(b, row1) - row0
+            if aa < bb:
+                runs.append((aa, bb))
+        if not runs:
+            continue
+        f.seek(off)
+        buf = f.read(size)
+        kind, payload, _ = _decode_page(buf, 0, leaf, codec,
+                                        dictionary_vals, verify)
+        if kind != "data":
+            raise ValueError("pqreader: page index points at a "
+                             "non-data page")
+        defs, reps, values, nv = payload
+        if defs is None or reps is None:
+            raise ValueError(
+                f"pqreader: repeated column {leaf.path} page lacks "
+                "level streams")
+        row_starts = np.flatnonzero(reps == 0)
+        if len(row_starts) != row1 - row0:
+            raise ValueError(
+                f"pqreader: page row count {len(row_starts)} != "
+                f"offset-index span {row1 - row0} for column "
+                f"{leaf.path}")
+        nn_cum = np.zeros(nv + 1, dtype=np.int64)
+        np.cumsum(defs == max_def, out=nn_cum[1:])
+        for aa, bb in runs:
+            ea = int(row_starts[aa])
+            eb = nv if bb == len(row_starts) else int(row_starts[bb])
+            defs_parts.append(defs[ea:eb])
+            reps_parts.append(reps[ea:eb])
+            val_parts.append(_slice_vals(
+                values, int(nn_cum[ea]), int(nn_cum[eb])))
+    total = sum(len(d) for d in defs_parts)  # entries (unused for rep)
+    return _leaf_data(defs_parts, reps_parts, val_parts, leaf, total)
 
 
 def _intersect_ranges(a, b):
@@ -1632,8 +1698,6 @@ def read_table(path: str, columns: list[str] | None = None,
         batches = []
         names = [c.name for c in top]
         arrow_fields = [pa.field(c.name, _node_arrow_type(c)) for c in top]
-        flat = all(lf.max_rep == 0 and len(lf.path) == 1
-                   for lf in leaves.values())
         base = 0
         for rg in fmd[4]:
             rg_n = rg[3]
@@ -1666,7 +1730,10 @@ def read_table(path: str, columns: list[str] | None = None,
             # on their own page grids; survivors intersect as row
             # ranges.
             page_ranges = page_ois = None
-            if flat and tree is not None:
+            if tree is not None:
+                # predicate leaves are flat by compile-time contract;
+                # PROJECTED columns may be nested — their pages trim
+                # by row via the rep-aware reader below
                 r = _tree_page_ranges(f, cc_by_path, tree, rg_n)
                 if r is not None and not r:
                     continue  # every row page-refuted: finer than
@@ -1694,13 +1761,15 @@ def read_table(path: str, columns: list[str] | None = None,
                 sub = _intersect_ranges(sub or [(0, rg_n)], [local])
                 if not sub:
                     continue
-                if page_ois is None and flat:
+                if page_ois is None:
                     page_ois = all_ois()
             slice_after = None
             leaf_data = {}
             if sub is not None and page_ois is not None:
                 for p, lf in leaves.items():
-                    leaf_data[p] = _read_leaf_rows(
+                    fn = (_read_leaf_rows if lf.max_rep == 0
+                          else _read_leaf_rows_rep)
+                    leaf_data[p] = fn(
                         f, chunk_by_path[p], lf, page_ois[p],
                         sub, rg_n, verify_checksums)
                 n_rows = sum(b - a for a, b in sub)
@@ -1710,8 +1779,8 @@ def read_table(path: str, columns: list[str] | None = None,
                     leaf_data[p] = _read_leaf_chunk(
                         buf, meta2, lf, verify_checksums)
                 n_rows = rg_n
-                # no page index (or nested schema): decode the whole
-                # group, then slice the assembled rows
+                # no page index: decode the whole group, then slice
+                # the assembled rows
                 slice_after = local
             starts, ends = {}, {}
             ident = None  # one shared identity for every flat leaf

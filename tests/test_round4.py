@@ -2889,3 +2889,169 @@ def test_footer_aggregates_fuzz(tmp_path):
             assert len(nn) and a["max"] == pc.max(nn).as_py()
 
     check()
+
+
+# ----------------------------------- nested-projection page trimming
+
+
+def test_pqreader_nested_projection_page_trim(monkeypatch, tmp_path):
+    """A LIST column in the projection no longer disables page
+    skipping: a point predicate on the flat key decodes ONE page per
+    column — the list column's pages trim by row through the rep
+    stream (pages pin to row boundaries whenever a page index
+    exists)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 20000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "tags": pa.array([[i, i + 1, i + 2] for i in range(n)],
+                         pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "nestpage.parquet")
+    pq.write_table(tbl, p, row_group_size=n, data_page_size=4096,
+                   write_page_index=True, use_dictionary=False)
+
+    pages = []
+    orig = pqreader._decode_page
+
+    def spy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+    got = pqreader.read_table(p, predicate=("k", "=", 13579))
+    assert got.to_pylist() == [
+        {"k": 13579, "tags": [13579, 13580, 13581]}]
+    # one key page decoded; the list column decodes only the pages
+    # overlapping that page's row span (its pages hold fewer rows —
+    # a handful out of >100), never the whole chunk
+    from collections import Counter
+
+    c = Counter(pages)
+    assert c[("k",)] == 1
+    assert 1 <= c[("tags", "list", "element")] <= 6
+
+
+def test_pqreader_nested_row_range_page_trim(monkeypatch, tmp_path):
+    """row_range over a schema with a LIST column decodes only the
+    overlapping pages (previously whole-group decode + slice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 10000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "tags": pa.array([[f"t{i}", f"u{i}"] for i in range(n)],
+                         pa.list_(pa.string())),
+    })
+    p = str(tmp_path / "nestseek.parquet")
+    pq.write_table(tbl, p, row_group_size=n, data_page_size=2048,
+                   write_page_index=True, use_dictionary=False)
+
+    pages = []
+    orig = pqreader._decode_page
+
+    def spy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+    got = pqreader.read_table(p, row_range=(4000, 4100))
+    assert got.num_rows == 100
+    assert got.column("k").to_pylist() == list(range(4000, 4100))
+    assert got.column("tags")[0].as_py() == ["t4000", "u4000"]
+    # far fewer pages than the whole chunk for both columns
+    from collections import Counter
+
+    c = Counter(pages)
+    assert 0 < c[("k",)] <= 3
+    assert 0 < c[("tags", "list", "element")] <= 3
+
+
+def test_pqreader_struct_and_deep_nested_page_trim(tmp_path):
+    """Struct fields and deep nesting (list<struct<list>>) stay exact
+    under the page-trimmed path — every row range assembles the same
+    values pyarrow produces."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s": pa.array([{"a": i, "b": f"x{i}"} for i in range(n)],
+                      pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "deep": pa.array(
+            [[{"v": [i, i + 1]}] if i % 3 else None for i in range(n)],
+            pa.list_(pa.struct([("v", pa.list_(pa.int64()))]))),
+    })
+    p = str(tmp_path / "deeppage.parquet")
+    pq.write_table(tbl, p, row_group_size=n, data_page_size=1024,
+                   write_page_index=True, use_dictionary=False)
+    for pred, rr in ((("k", ">=", 4321), None), (("k", "<", 17), None),
+                     (None, (1234, 1300)),
+                     ([("k", ">=", 100), ("k", "<", 130)], None)):
+        got = pqreader.read_table(p, predicate=pred, row_range=rr)
+        if pred is not None:
+            conj = pred if isinstance(pred, list) else [pred]
+            mask = None
+            for c_, op, lit in conj:
+                m = {"<": pc.less, ">=": pc.greater_equal}[op](
+                    tbl.column(c_), lit)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            exp = tbl.filter(mask)
+        else:
+            exp = tbl.slice(rr[0], rr[1] - rr[0])
+        assert got.num_rows == exp.num_rows, (pred, rr)
+        for col in ("k", "s", "deep"):
+            assert got.column(col).to_pylist() \
+                == exp.column(col).to_pylist(), (pred, rr, col)
+
+
+def test_pqreader_our_list_writer_page_trim(monkeypatch, tmp_path):
+    """Our own writer's LIST pages (3-level group, pages break on row
+    boundaries) trim the same way."""
+    import numpy as np
+
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    n = 8000
+    lens = np.full(n, 2, dtype=np.int64)
+    elems = np.arange(2 * n, dtype=np.int64)
+    p = str(tmp_path / "ourlist.parquet")
+    write_table(p, [
+        ColumnSpec("k", Kind.INT64, np.arange(n, dtype=np.int64)),
+        ColumnSpec("vals", Kind.INT64, elems, lengths=lens),
+    ], page_rows=1000, row_group_rows=n)
+
+    pages = []
+    orig = pqreader._decode_page
+
+    def spy(data, pos, leaf, codec, dictionary_vals, *a, **kw):
+        out = orig(data, pos, leaf, codec, dictionary_vals, *a, **kw)
+        if out[0] == "data":
+            pages.append(leaf.path)
+        return out
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+    got = pqreader.read_table(p, predicate=("k", "=", 4242))
+    assert got.to_pylist() == [{"k": 4242, "vals": [8484, 8485]}]
+    from collections import Counter
+
+    c = Counter(pages)
+    assert c[("k",)] == 1 and c[("vals", "list", "element")] == 1
