@@ -1433,19 +1433,19 @@ def _slice_vals(vals, lo: int, hi: int):
     return vals[lo:hi]
 
 
-def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
-                    rg_rows: int, verify: bool = False) -> _LeafData:
-    """Decode only the pages of a non-repeated leaf (max_rep == 0 —
-    top-level scalar OR struct field: one entry per row either way)
-    overlapping `ranges` (sorted, disjoint row intervals), trimmed to
-    exactly those rows. Refuted pages cost zero reads; the dictionary
-    page (if any) is read once."""
+def _surviving_pages(f, meta: dict, leaf: _Node, locs, ranges,
+                     rg_rows: int, verify: bool):
+    """Yield (runs, payload, row_span) for each page overlapping
+    `ranges` (sorted, disjoint row intervals): runs are row intervals
+    RELATIVE to the page, payload is the decoded page. Refuted pages
+    cost zero reads; the dictionary page (if any) is read once — a
+    dictionary page occupies [chunk start, first OffsetIndex page),
+    and some writers leave dictionary_page_offset unset even when one
+    exists (data_page_offset then points at it), so detect by the
+    byte gap, not the footer field. Shared by the non-repeated and
+    repeated page-trimmed readers."""
     codec = _chunk_codec(meta)
     dictionary_vals = None
-    # a dictionary page occupies [chunk start, first OffsetIndex page).
-    # Some writers leave dictionary_page_offset unset even when a
-    # dictionary page exists (data_page_offset then points at it), so
-    # detect by the gap, not the footer field.
     start = meta.get(11) or meta[9]
     if locs and locs[0][0] > start:
         f.seek(start)
@@ -1454,11 +1454,6 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
             buf, 0, leaf, codec, None, verify)
         if kind != "dict":
             raise ValueError("pqreader: expected dictionary page")
-    max_def = leaf.max_def
-    defs_parts, val_parts = [], []
-    n_decoded = 0  # actual rows decoded — NOT the requested ranges:
-    #                a malformed OffsetIndex (head gap) must trip the
-    #                rows-vs-footer guard, not silently truncate
     ri = 0  # ranges cursor (both ranges and pages are row-ordered)
     for i, (off, size, row0) in enumerate(locs):
         row1 = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
@@ -1480,11 +1475,26 @@ def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
         if kind != "data":
             raise ValueError("pqreader: page index points at a "
                              "non-data page")
+        yield runs, payload, row1 - row0
+
+
+def _read_leaf_rows(f, meta: dict, leaf: _Node, locs, ranges,
+                    rg_rows: int, verify: bool = False) -> _LeafData:
+    """Decode only the pages of a non-repeated leaf (max_rep == 0 —
+    top-level scalar OR struct field: one entry per row either way)
+    overlapping `ranges`, trimmed to exactly those rows."""
+    max_def = leaf.max_def
+    defs_parts, val_parts = [], []
+    n_decoded = 0  # actual rows decoded — NOT the requested ranges:
+    #                a malformed OffsetIndex (head gap) must trip the
+    #                rows-vs-footer guard, not silently truncate
+    for runs, payload, span in _surviving_pages(
+            f, meta, leaf, locs, ranges, rg_rows, verify):
         defs, _reps, values, nv = payload
-        if nv != row1 - row0:
+        if nv != span:
             raise ValueError(
                 f"pqreader: page row count {nv} != offset-index span "
-                f"{row1 - row0} for column {leaf.path}")
+                f"{span} for column {leaf.path}")
         if defs is None:  # all present: value index == row index
             nn_cum = None
         else:
@@ -1506,53 +1516,22 @@ def _read_leaf_rows_rep(f, meta: dict, leaf: _Node, locs, ranges,
     """_read_leaf_rows for REPEATED leaves (max_rep > 0): a page holds
     ENTRIES, a row begins at each rep == 0 entry, and the spec pins
     pages to row boundaries whenever a page index is written — so each
-    requested row run maps to one contiguous entry slice per page.
-    Rows outside `ranges` cost zero page reads (previously any nested
-    projected column forced the whole chunk to decode)."""
-    codec = _chunk_codec(meta)
-    dictionary_vals = None
-    start = meta.get(11) or meta[9]
-    if locs and locs[0][0] > start:
-        f.seek(start)
-        buf = f.read(locs[0][0] - start)
-        kind, dictionary_vals, _ = _decode_page(
-            buf, 0, leaf, codec, None, verify)
-        if kind != "dict":
-            raise ValueError("pqreader: expected dictionary page")
+    requested row run maps to one contiguous entry slice per page
+    (a spec-violating row-straddling page fails loudly below, the
+    same strictness as the non-repeated reader's span guard). Rows
+    outside `ranges` cost zero page reads."""
     max_def = leaf.max_def
     defs_parts, reps_parts, val_parts = [], [], []
-    ri = 0
-    for i, (off, size, row0) in enumerate(locs):
-        row1 = locs[i + 1][2] if i + 1 < len(locs) else rg_rows
-        while ri < len(ranges) and ranges[ri][1] <= row0:
-            ri += 1
-        runs = []
-        for a, b in ranges[ri:]:
-            if a >= row1:
-                break
-            aa, bb = max(a, row0) - row0, min(b, row1) - row0
-            if aa < bb:
-                runs.append((aa, bb))
-        if not runs:
-            continue
-        f.seek(off)
-        buf = f.read(size)
-        kind, payload, _ = _decode_page(buf, 0, leaf, codec,
-                                        dictionary_vals, verify)
-        if kind != "data":
-            raise ValueError("pqreader: page index points at a "
-                             "non-data page")
+    for runs, payload, span in _surviving_pages(
+            f, meta, leaf, locs, ranges, rg_rows, verify):
         defs, reps, values, nv = payload
-        if defs is None or reps is None:
-            raise ValueError(
-                f"pqreader: repeated column {leaf.path} page lacks "
-                "level streams")
+        # max_def >= max_rep >= 1 for a repeated leaf, so _decode_page
+        # always materializes both level streams here
         row_starts = np.flatnonzero(reps == 0)
-        if len(row_starts) != row1 - row0:
+        if len(row_starts) != span:
             raise ValueError(
                 f"pqreader: page row count {len(row_starts)} != "
-                f"offset-index span {row1 - row0} for column "
-                f"{leaf.path}")
+                f"offset-index span {span} for column {leaf.path}")
         nn_cum = np.zeros(nv + 1, dtype=np.int64)
         np.cumsum(defs == max_def, out=nn_cum[1:])
         for aa, bb in runs:
@@ -1562,8 +1541,8 @@ def _read_leaf_rows_rep(f, meta: dict, leaf: _Node, locs, ranges,
             reps_parts.append(reps[ea:eb])
             val_parts.append(_slice_vals(
                 values, int(nn_cum[ea]), int(nn_cum[eb])))
-    total = sum(len(d) for d in defs_parts)  # entries (unused for rep)
-    return _leaf_data(defs_parts, reps_parts, val_parts, leaf, total)
+    # total is only consulted for max_def == 0, impossible here
+    return _leaf_data(defs_parts, reps_parts, val_parts, leaf, 0)
 
 
 def _intersect_ranges(a, b):

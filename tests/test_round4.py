@@ -2901,7 +2901,6 @@ def test_pqreader_nested_projection_page_trim(monkeypatch, tmp_path):
     stream (pages pin to row boundaries whenever a page index
     exists)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from parquet_go_spark.interop import pqreader
