@@ -979,8 +979,12 @@ def _tree_mask(tbl, node):
     import pyarrow.compute as pc
 
     if isinstance(node, _Pred):
-        return _row_mask(tbl.column(node.name).combine_chunks(),
-                         node.op, node.value, node.leaf)
+        arr = tbl.column(node.leaf.path[0]).combine_chunks()
+        for fld in node.leaf.path[1:]:
+            # struct-field predicate: extraction propagates a null
+            # parent to a null field, exactly like SQL's s.a
+            arr = pc.struct_field(arr, fld)
+        return _row_mask(arr, node.op, node.value, node.leaf)
     combine = pc.and_kleene if node.kind == "and" else pc.or_kleene
     masks = [_tree_mask(tbl, p) for p in node.parts]
     out = masks[0]
@@ -1001,12 +1005,23 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         raise ValueError(f"pqreader: unsupported predicate op {op!r}")
     op = "=" if op == "==" else op
     node = next((c for c in root.children if c.name == name), None)
+    if node is None and "." in name:
+        # dotted struct-field path ("s.a.b") — an exact top-level
+        # column name always wins over the split interpretation
+        cur, ok = root, True
+        for part in name.split("."):
+            cur = next((c for c in cur.children if c.name == part), None)
+            if cur is None or cur.max_rep > 0:
+                ok = False
+                break
+        if ok:
+            node = cur
     if node is None:
         raise ValueError(f"pqreader: predicate column {name!r} not found")
     if node.children or node.max_rep > 0:
         raise ValueError(
-            f"pqreader: predicate column {name!r} must be a flat "
-            "scalar column")
+            f"pqreader: predicate column {name!r} must be a "
+            "non-repeated scalar column (top-level or struct field)")
     if op == "in":
         if not isinstance(value, (list, tuple, set, frozenset)) \
                 or len(value) == 0:
@@ -1105,7 +1120,7 @@ def _rg_survives(f, rg: dict, pred: _Pred) -> bool:
         m = cc[3]
         p = tuple(x.decode() if isinstance(x, bytes) else str(x)
                   for x in m[3])
-        if p == (pred.name,):
+        if p == pred.leaf.path:
             meta = m
             break
     if meta is None:
@@ -1592,7 +1607,7 @@ def _tree_page_ranges(f, cc_by_path: dict, node, rg_n: int,
         if node.name in memo:
             ci, locs = memo[node.name]
         else:
-            pcc = cc_by_path.get((node.name,))
+            pcc = cc_by_path.get(node.leaf.path)
             ci = _column_index(f, pcc) if pcc is not None else None
             locs = _offset_index(f, pcc) if pcc is not None else None
             memo[node.name] = (ci, locs)
@@ -1669,7 +1684,7 @@ def read_table(path: str, columns: list[str] | None = None,
                if columns is None or c.name in columns]
         top_names = {c.name for c in top}
         for pr in preds:
-            if pr.name not in top_names:
+            if pr.leaf.path[0] not in top_names:
                 raise ValueError(
                     f"pqreader: predicate column {pr.name!r} not in "
                     "the projected columns")
@@ -1864,7 +1879,7 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
             if predicate is not None else None)
     preds = _tree_leaves(tree)
     for pr in preds:
-        if pr.name not in probe.names:
+        if pr.leaf.path[0] not in probe.names:
             raise ValueError(
                 f"pqreader: predicate column {pr.name!r} not in the "
                 "projected columns")

@@ -1075,7 +1075,7 @@ def test_pqreader_predicate_errors(tmp_path):
         pqreader.read_table(p, predicate=("k", "~", 1))
     with _pt.raises(ValueError, match="not found"):
         pqreader.read_table(p, predicate=("zz", "=", 1))
-    with _pt.raises(ValueError, match="flat scalar"):
+    with _pt.raises(ValueError, match="scalar column"):
         pqreader.read_table(p, predicate=("tags", "=", 1))
     with _pt.raises(ValueError, match="not in the projected"):
         pqreader.read_table(p, columns=["tags"], predicate=("k", "=", 1))
@@ -3054,3 +3054,80 @@ def test_pqreader_our_list_writer_page_trim(monkeypatch, tmp_path):
 
     c = Counter(pages)
     assert c[("k",)] == 1 and c[("vals", "list", "element")] == 1
+
+
+# ------------------------------------------- struct-field predicates
+
+
+def test_pqreader_struct_field_predicate(monkeypatch, tmp_path):
+    """('s.a', op, lit) filters on a struct field with the same
+    stat/page pruning as a top-level column; a null parent struct
+    behaves like a null field (SQL s.a semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.interop import pqreader
+
+    n = 12000
+    structs = [None if i % 997 == 0 else
+               {"a": i, "b": f"v{i:05d}"} for i in range(n)]
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s": pa.array(structs,
+                      pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    })
+    p = str(tmp_path / "structpred.parquet")
+    pq.write_table(tbl, p, row_group_size=3000, data_page_size=2048,
+                   write_page_index=True, use_dictionary=False)
+
+    calls = _count_chunk_reads(monkeypatch)
+    got = pqreader.read_table(p, predicate=("s.a", ">=", 11000))
+    sa = pc.struct_field(tbl.column("s").combine_chunks(), "a")
+    exp = tbl.filter(pc.greater_equal(sa, 11000))
+    assert got.num_rows == exp.num_rows
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    # rows 11000+ live in the last of 4 row groups: the other three
+    # are stat-refuted (page path handles the survivor)
+    assert not any(v < 9000 for v in got.column("k").to_pylist())
+
+    # equality + string field + isnull on the field (null parent rows
+    # count as null fields) + OR composition
+    got = pqreader.read_table(p, predicate=("s.b", "=", "v00042"))
+    assert got.column("k").to_pylist() == [42]
+    got = pqreader.read_table(p, predicate=("s.a", "isnull"))
+    exp = tbl.filter(pc.is_null(sa))
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+    got = pqreader.read_table(
+        p, predicate=("or", [("s.a", "<", 5), ("s.b", "startswith",
+                                               "v0119")]))
+    sb = pc.struct_field(tbl.column("s").combine_chunks(), "b")
+    exp = tbl.filter(pc.or_kleene(
+        pc.less(sa, 5), pc.starts_with(sb, pattern="v0119")))
+    assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+
+
+def test_pqreader_struct_field_predicate_errors(tmp_path):
+    """Unknown field, repeated path, and a literal dotted column name
+    all resolve sensibly (exact top-level name wins over the split)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from parquet_go_spark.interop import pqreader
+
+    tbl = pa.table({
+        "s.a": pa.array([1, 2, 3], pa.int64()),  # literal dotted name
+        "tags": pa.array([[1], [2], [3]], pa.list_(pa.int64())),
+        "s": pa.array([{"a": 9}, {"a": 8}, {"a": 7}],
+                      pa.struct([("a", pa.int64())])),
+    })
+    p = str(tmp_path / "dotted.parquet")
+    pq.write_table(tbl, p)
+    # exact top-level "s.a" column wins: matches [1,2,3], not s.a=9
+    got = pqreader.read_table(p, predicate=("s.a", "=", 2))
+    assert got.num_rows == 1 and got.column("s.a").to_pylist() == [2]
+    with _pt.raises(ValueError, match="not found"):
+        pqreader.read_table(p, predicate=("s.zzz", "=", 1))
+    with _pt.raises(ValueError, match="not found"):
+        pqreader.read_table(p, predicate=("tags.element", "=", 1))
