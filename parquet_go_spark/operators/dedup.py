@@ -276,25 +276,82 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", sketch.alias("simhash"))
 
 
+def simhash_block_tables(
+    max_hamming: int, key_blocks: int = 2
+) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
+    """Permuted-block candidate tables with GUARANTEED recall at the
+    configured hamming radius (Manku, Jain & Das Sarma, WWW'07 style).
+
+    The 64 sketch bits split into B = max_hamming + key_blocks contiguous
+    blocks (sizes as even as possible); one table per C(B, key_blocks)
+    block combination, keyed on the concatenation of that combination's
+    bits. Soundness (pigeonhole): a pair within hamming ≤ max_hamming
+    differs in at most max_hamming blocks, leaving ≥ key_blocks blocks
+    untouched — those blocks are one combination, so the pair shares that
+    table's key. Returns (block_sizes, block_bit_offsets, tables).
+
+    key_blocks trades table count against key width (candidate
+    precision): key_blocks=2 at max_hamming=8 → 45 tables of ~13-bit
+    keys; key_blocks=3 → 165 tables of ~19-bit keys (fewer false
+    candidates per table, more exploded rows). At corpus scale the
+    shuffled candidate relation is (tables × docs) narrow rows, so the
+    default stays at 2.
+    """
+    from itertools import combinations
+
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    if key_blocks < 1:
+        raise ValueError("key_blocks must be >= 1")
+    n_blocks = max_hamming + key_blocks
+    if n_blocks > 64:
+        raise ValueError(
+            f"max_hamming + key_blocks = {n_blocks} exceeds the 64 sketch "
+            "bits; no exact block scheme exists"
+        )
+    base, extra = divmod(64, n_blocks)
+    sizes = [base + 1] * extra + [base] * (n_blocks - extra)
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+    tables = list(combinations(range(n_blocks), key_blocks))
+    return sizes, offsets, tables
+
+
 def simhash_near_pairs(
-    sk: DataFrame, max_hamming: int = 8
+    sk: DataFrame, max_hamming: int = 8, key_blocks: int = 2
 ) -> DataFrame:
-    """Candidate pairs via 4×16-bit bands, verified with bit_count(xor)."""
-    bands = sk.select(
+    """Candidate pairs via permuted-block tables sized to max_hamming,
+    verified with bit_count(xor) — recall is EXACT by construction (see
+    simhash_block_tables; the round-4 fixed 4×16-bit banding silently
+    missed pairs with 4-8 differing bits spread across all four bands).
+
+    All expressions stay JVM-side: block extraction is shiftright+mask
+    (arithmetic shift on the signed sketch is harmless — the mask strips
+    sign-fill bits), the self-join keys on (table, key) only, and the
+    hamming verify touches the two sketch longs already carried by the
+    join.
+    """
+    sizes, offsets, tables = simhash_block_tables(max_hamming, key_blocks)
+
+    def table_key(t: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("bigint")
+        for blk in t:
+            block = F.shiftright(F.col("simhash"), offsets[blk]).bitwiseAND(
+                F.lit((1 << sizes[blk]) - 1)
+            )
+            key = F.shiftleft(key, sizes[blk]).bitwiseOR(block)
+        return key
+
+    banded = sk.select(
         "id", "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.shiftright(F.col("simhash"), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF)).alias("k"),
-            )
-            for b in range(4)
-        ])).alias("bk"),
-    ).select("id", "simhash", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+            F.struct(F.lit(ti).alias("t"), table_key(t).alias("k"))
+            for ti, t in enumerate(tables)
+        ])).alias("tk"),
+    ).select("id", "simhash", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") == F.col("b.k"))
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.k") == F.col("b.k"))
                & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -302,8 +359,11 @@ def simhash_near_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE distinct: hamming is pair-deterministic, so the
+        # filter commutes with dedup, and false candidates (the bulk of
+        # the join output) never enter the distinct's shuffle
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -108,16 +108,16 @@ def _ref_simhash(corpus):
 
 
 def _ref_simhash_pairs(sketches, max_hamming=8):
-    buckets: dict[tuple, list[int]] = {}
-    for i, sk in sketches.items():
-        for b in range(4):
-            buckets.setdefault((b, (sk >> (16 * b)) & 0xFFFF), []).append(i)
+    """Brute-force ALL-pairs oracle. Round 4's reference mirrored the
+    operator's banding, so a recall gap was invisible to the test; the
+    round-5 operator guarantees recall at the radius (permuted-block
+    tables), so its output must equal exhaustive comparison exactly —
+    the oracle is now scheme-independent."""
     out = {}
-    for ids in buckets.values():
-        for a, b in combinations(sorted(ids), 2):
-            ham = bin((sketches[a] ^ sketches[b]) & ((1 << 64) - 1)).count("1")
-            if ham <= max_hamming:
-                out[(a, b)] = ham
+    for a, b in combinations(sorted(sketches), 2):
+        ham = bin((sketches[a] ^ sketches[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            out[(a, b)] = ham
     return out
 
 
@@ -144,6 +144,86 @@ def test_simhash_pairs_exact_values(docs_df, corpus):
     want = _ref_simhash_pairs(_ref_simhash(corpus), max_hamming=8)
     assert got == want
     assert len(want) > 0, "fixture should contain near pairs"
+
+
+def _signed64(u: int) -> int:
+    u &= (1 << 64) - 1
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_simhash_block_tables_soundness():
+    from itertools import combinations as _comb
+
+    for k in (0, 1, 3, 8, 16):
+        for m in (1, 2, 3):
+            sizes, offsets, tables = dedup.simhash_block_tables(k, m)
+            assert sum(sizes) == 64
+            assert offsets == [sum(sizes[:i]) for i in range(len(sizes))]
+            assert tables == list(_comb(range(k + m), m))
+    with pytest.raises(ValueError):
+        dedup.simhash_block_tables(63, 2)
+
+
+def test_simhash_pairs_adversarial_spread_bits(spark):
+    """Pairs differing in 4-8 bits spread across ALL four 16-bit quarters
+    — the exact class the round-4 4×16 banding silently missed (no
+    quarter equal → no shared band). The permuted-block tables must find
+    every one of them."""
+    base = 0x0123_4567_89AB_CDEF
+    # 8 flipped bits, two per 16-bit quarter
+    spread8 = base ^ (
+        (1 << 0) | (1 << 9) | (1 << 17) | (1 << 30)
+        | (1 << 33) | (1 << 46) | (1 << 50) | (1 << 63)
+    )
+    # 4 flipped bits, one per quarter
+    spread4 = base ^ ((1 << 3) | (1 << 20) | (1 << 37) | (1 << 54))
+    far = base ^ ((1 << 64) - 1)  # hamming 64 decoy
+    sketches = {0: base, 1: spread8, 2: spread4, 3: far}
+    # sanity: every quarter of (0,1) and (0,2) differs → old banding missed
+    for other in (spread8, spread4):
+        assert all(
+            ((base >> (16 * q)) & 0xFFFF) != ((other >> (16 * q)) & 0xFFFF)
+            for q in range(4)
+        )
+    sk = spark.createDataFrame(
+        [(i, _signed64(u)) for i, u in sketches.items()],
+        "id bigint, simhash bigint",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(sk, max_hamming=8).collect()}
+    assert got == _ref_simhash_pairs(sketches, max_hamming=8)
+    assert got[(0, 1)] == 8 and got[(0, 2)] == 4
+
+
+@pytest.mark.parametrize("max_hamming", [3, 8])
+def test_simhash_pairs_random_recall(spark, max_hamming):
+    """Seeded random sketches with planted perturbations at every radius
+    0..max_hamming: operator output == exhaustive all-pairs comparison."""
+    import random
+
+    rng = random.Random(0x5EED + max_hamming)
+    sketches = {}
+    i = 0
+    for _ in range(12):
+        u = rng.getrandbits(64)
+        sketches[i] = u
+        i += 1
+        for ham in range(max_hamming + 1):
+            flips = rng.sample(range(64), ham)
+            v = u
+            for b in flips:
+                v ^= 1 << b
+            sketches[i] = v
+            i += 1
+    sk = spark.createDataFrame(
+        [(j, _signed64(u)) for j, u in sketches.items()],
+        "id bigint, simhash bigint",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(sk, max_hamming=max_hamming)
+           .collect()}
+    assert got == _ref_simhash_pairs(sketches, max_hamming=max_hamming)
+    assert len(got) >= 12 * max_hamming  # planted pairs exist
 
 
 def test_xxh64_reference_pinned_to_spark(spark):
