@@ -43,12 +43,57 @@ from parquet_go_spark.codecs.kinds import Codec, Kind
 from parquet_go_spark.interop.thriftc import read_struct
 from parquet_go_spark.plans import pipeline as _pipeline
 
-# codec 5 (legacy LZ4) is deliberately ABSENT: it is ambiguous in the
-# wild (Hadoop block framing vs LZ4 frame) and pa.Codec("lz4") only
-# decodes the frame flavor — a wrong guess corrupts data, so reject
-# with a clear error instead. LZ4_RAW (7) is well-defined and supported.
+# codec 5 (legacy LZ4) is ambiguous in the wild — parquet-mr wrote
+# Hadoop block framing, old parquet-cpp wrote bare LZ4 blocks, a few
+# writers LZ4 frames. _page_decompress tries the three flavors in that
+# order and accepts only a decode of EXACTLY the page header's
+# uncompressed size (page headers make the try-each sound where a
+# generic byte stream would not). LZ4_RAW (7) stays the well-defined
+# single-flavor codec.
+_LZ4_LEGACY = "lz4_legacy"
 _CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
-                6: "zstd", 7: "lz4_raw"}
+                5: _LZ4_LEGACY, 6: "zstd", 7: "lz4_raw"}
+
+
+def _page_decompress(codec: str, raw: bytes, expected: int) -> bytes:
+    """Decompress one page body; `expected` is the page header's exact
+    uncompressed_page_size."""
+    if codec != _LZ4_LEGACY:
+        return pa.Codec(codec).decompress(raw, expected, asbytes=True)
+    # (a) Hadoop framing: repeated [BE32 usize][BE32 csize][lz4 block]
+    try:
+        out, pos = bytearray(), 0
+        while pos < len(raw):
+            if len(raw) - pos < 8:
+                raise ValueError("truncated hadoop frame")
+            usize = int.from_bytes(raw[pos:pos + 4], "big")
+            csize = int.from_bytes(raw[pos + 4:pos + 8], "big")
+            pos += 8
+            if csize > len(raw) - pos or usize > expected - len(out):
+                raise ValueError("implausible hadoop frame")
+            out += pa.Codec("lz4_raw").decompress(
+                raw[pos:pos + csize], usize, asbytes=True)
+            pos += csize
+        if len(out) != expected:
+            raise ValueError("hadoop frame size mismatch")
+        return bytes(out)
+    except Exception:
+        pass
+    # (b) one bare LZ4 block over the whole page (old parquet-cpp)
+    try:
+        return pa.Codec("lz4_raw").decompress(raw, expected, asbytes=True)
+    except Exception:
+        pass
+    # (c) LZ4 frame
+    try:
+        out = pa.Codec("lz4").decompress(raw, expected, asbytes=True)
+        if len(out) == expected:
+            return out
+    except Exception:
+        pass
+    raise ValueError(
+        "pqreader: legacy LZ4 (codec 5) page decodes under none of the "
+        "known framings (hadoop blocks / bare block / lz4 frame)")
 
 # thrift ConvertedType codes used here
 _CT_UTF8, _CT_MAP, _CT_MAP_KV, _CT_LIST, _CT_DECIMAL = 0, 1, 2, 3, 5
@@ -196,6 +241,8 @@ def _leaf_arrow_type(leaf: _Node) -> pa.DataType:
             return pa.string()
         return pa.binary()
     if ph == 7:
+        if 15 in lg:  # FLOAT16 logical type: FLBA(2) LE IEEE half
+            return pa.float16()
         return pa.binary(leaf.type_length or 0)
     if ph == 3:
         # deprecated INT96 timestamps (impala / old parquet-mr):
@@ -344,13 +391,13 @@ def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
     next_pos = body + hdr[3]
     if ptype == 2:  # dictionary page (PLAIN / PLAIN_DICTIONARY blob)
         if codec:
-            raw = pa.Codec(codec).decompress(raw, hdr[2], asbytes=True)
+            raw = _page_decompress(codec, raw, hdr[2])
         ph = hdr[7]
         return "dict", _decode_values(raw, ph[1], leaf, Codec.PLAIN,
                                       None), next_pos
     if ptype == 0:  # data page v1: levels + values compressed together
         if codec:
-            raw = pa.Codec(codec).decompress(raw, hdr[2], asbytes=True)
+            raw = _page_decompress(codec, raw, hdr[2])
         ph = hdr[5]
         nv, enc = ph[1], ph[2]
         def_enc, rep_enc = ph.get(3, Codec.RLE), ph.get(4, Codec.RLE)
@@ -382,8 +429,7 @@ def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
         lvl = rlb + dlb
         vals_buf = raw[lvl:]
         if codec and ph.get(7, True):
-            vals_buf = pa.Codec(codec).decompress(
-                vals_buf, hdr[2] - lvl, asbytes=True)
+            vals_buf = _page_decompress(codec, vals_buf, hdr[2] - lvl)
         reps = (_decode_level_stream(raw[:rlb], nv, max_rep, Codec.RLE)
                 if max_rep > 0 else None)
         defs = (_decode_level_stream(raw[rlb:lvl], nv, max_def,
@@ -522,6 +568,10 @@ def _values_to_arrow(leaf: _Node, vals) -> pa.Array:
             return _pipeline._values_to_decimal(
                 np.asarray(arr, dtype=np.int64), typ.precision, typ.scale)
         return _ints_to_decimal([int(v) for v in arr], typ)
+    if pa.types.is_float16(typ):
+        # FLOAT16 FLBA(2): little-endian IEEE half bytes → numeric
+        a = np.ascontiguousarray(arr, dtype=np.uint8).reshape(-1, 2)
+        return pa.array(a.copy().view("<f2").reshape(-1))
     if pa.types.is_fixed_size_binary(typ):
         return pa.FixedSizeBinaryArray.from_buffers(
             typ, len(arr), [None, pa.py_buffer(
@@ -848,6 +898,15 @@ def _pred_stat_value(leaf: _Node, value):
             return bytes(value), False
         return None
     if ph == 7:
+        if 15 in lg:  # FLOAT16: numeric value order, like ph 4/5.
+            # No literal rounding here: stats decode to EXACT doubles
+            # (every half is f64-representable) and the row mask also
+            # compares in f64 space, so stat space == row space.
+            if isinstance(value, bool) or not isinstance(value,
+                                                         (int, float)):
+                return None
+            v = float(value)
+            return None if v != v else (v, False)  # NaN never prunes
         if isinstance(value, (bytes, bytearray)) \
                 and len(value) == (leaf.type_length or 0):
             return bytes(value), False
@@ -872,6 +931,11 @@ def _stat_raw_to_cmp(raw: bytes, leaf: _Node, unsigned: bool):
             return None
         v = _struct.unpack(fmt, raw)[0]
         return None if ph in (4, 5) and v != v else v
+    if ph == 7 and 15 in (leaf.logical or {}):
+        if len(raw) != 2:
+            return None
+        v = float(np.frombuffer(raw, "<f2")[0])
+        return None if v != v else v  # NaN bound: unusable
     if ph in (6, 7):
         return bytes(raw)
     return None
@@ -908,13 +972,28 @@ def _pred_bloom_args(leaf: _Node, stat_cmp, unsigned: bool, value):
         a = np.array([stat_cmp],
                      dtype=("<u" if unsigned else "<i") + str(bits // 8))
         return a, (Kind.INT32 if ph == 1 else Kind.INT64), None
-    if ph == 4:
-        return np.array([stat_cmp], dtype="<f4"), Kind.FLOAT, None
-    if ph == 5:
-        return np.array([stat_cmp], dtype="<f8"), Kind.DOUBLE, None
+    if ph in (4, 5):
+        # ±0 compare equal but hash to different bloom slots: a file
+        # holding only -0.0 must not be pruned by an "= 0.0" probe
+        dt = "<f4" if ph == 4 else "<f8"
+        vals = np.array([stat_cmp, -stat_cmp] if stat_cmp == 0
+                        else [stat_cmp], dtype=dt)
+        return vals, (Kind.FLOAT if ph == 4 else Kind.DOUBLE), None
     if ph == 6:
         return (ByteArrays.from_pylist([stat_cmp]), Kind.BYTE_ARRAY, None)
     if ph == 7:
+        if 15 in lg:  # FLOAT16: stat_cmp is a float — probe its half
+            # bytes. Rounding is sound for "=": a non-representable
+            # literal matches nothing, so any prune is correct; a
+            # representable one rounds to itself. ±0 compare equal but
+            # have distinct bit patterns — probe both.
+            h = np.float16(stat_cmp)
+            if float(h) != float(stat_cmp):
+                return None  # not representable: "=" matches nothing
+                #              anyway, stats already refute via bounds
+            vals = np.array([h, -h] if h == 0 else [h], dtype="<f2")
+            return (vals.view(np.uint8).reshape(-1, 2),
+                    Kind.FIXED_LEN_BYTE_ARRAY, 2)
         w = leaf.type_length or len(stat_cmp)
         return (np.frombuffer(stat_cmp, np.uint8).reshape(1, w),
                 Kind.FIXED_LEN_BYTE_ARRAY, w)
@@ -1072,7 +1151,8 @@ def _compile_predicate(root: _Node, fmd: dict, predicate) -> _Pred:
         sv = _pred_stat_value(node, value)
         if sv is not None:
             pred.stat_cmp, pred.unsigned = sv
-        if op == "!=" and node.physical in (4, 5):
+        if op == "!=" and (node.physical in (4, 5)
+                           or 15 in (node.logical or {})):
             # float stats skip NaN, but NaN rows DO satisfy != v — a
             # constant [v, v] chunk could still hold matching NaNs
             pred.stat_cmp = None
@@ -1174,6 +1254,11 @@ def _row_mask(arr, op: str, value, leaf: _Node):
         return pc.is_null(arr)
     if op == "notnull":
         return pc.is_valid(arr)
+    if pa.types.is_float16(t):
+        # pyarrow has no halffloat comparison kernels; every half is
+        # exactly representable in f64, so compare there with the
+        # literal UNROUNDED — the same space the stats machinery uses
+        return _row_mask(arr.cast(pa.float64()), op, value, leaf)
     if op in ("startswith", "endswith", "contains"):
         if isinstance(value, (bytes, bytearray)):
             b = bytes(value)
@@ -1197,6 +1282,18 @@ def _row_mask(arr, op: str, value, leaf: _Node):
             for v in value:
                 mask = pc.or_kleene(mask, _row_mask(arr, "=", v, leaf))
             return mask
+        if pa.types.is_floating(t):
+            # pc.is_in hashes floats BITWISE: it misses -0.0 against a
+            # 0.0 member (silent row loss) and MATCHES NaN against a
+            # NaN member (SQL IN means =, and NaN = NaN is false) —
+            # evaluate as an OR of exact "=" masks instead
+            mask = pa.array(np.zeros(len(arr), dtype=bool))
+            for v in value:
+                if isinstance(v, (int, float)) and not isinstance(v, bool) \
+                        and float(v) != float(v):
+                    continue  # NaN member equals nothing
+                mask = pc.or_kleene(mask, _row_mask(arr, "=", v, leaf))
+            return pc.fill_null(mask, False)
         keep = value
         if pa.types.is_integer(t):
             info = np.iinfo(t.to_pandas_dtype())
@@ -1885,7 +1982,27 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                 "projected columns")
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    out_schema = from_arrow_schema(probe)
+    # Spark has no half-float type: surface FLOAT16 columns as float32
+    # (exact widening — every half is f32-representable), the same
+    # spirit as the unsafe ns→µs cast Spark's own reader applies
+    def _widen_half(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_float16(t):
+            return pa.float32()
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return pa.list_(_widen_half(t.value_type))
+        if pa.types.is_map(t):
+            return pa.map_(_widen_half(t.key_type),
+                           _widen_half(t.item_type))
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, _widen_half(f.type), True)
+                              for f in t])
+        return t
+
+    cast_schema = pa.schema(
+        [pa.field(f.name, _widen_half(f.type), True) for f in probe])
+    has_half = cast_schema != pa.schema(
+        [pa.field(f.name, f.type, True) for f in probe])
+    out_schema = from_arrow_schema(cast_schema)
 
     if bloom_prune_files:
         from parquet_go_spark.interop import pqbloom
@@ -1945,6 +2062,8 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                         row["path"], columns=columns,
                         predicate=predicate,
                         row_range=(row["lo"], row["hi"]))
+                    if has_half:
+                        tbl = tbl.cast(cast_schema)
                     yield from tbl.to_batches()
 
         return spans_df.mapInArrow(decode_span, out_schema)
@@ -1957,6 +2076,8 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
         for b in batches:
             for p in b.column(0).to_pylist():
                 tbl = read_table(p, columns=columns, predicate=predicate)
+                if has_half:
+                    tbl = tbl.cast(cast_schema)
                 yield from tbl.to_batches()
 
     return paths_df.mapInArrow(decode, out_schema)
@@ -2033,13 +2154,51 @@ def _agg_bound(leaf: _Node, st: dict, which: str):
     if ph == 7:
         if exact is False or len(raw) != (leaf.type_length or 0):
             return None
-        if 15 in lg or leaf.converted == 21:
-            # FLOAT16 / INTERVAL: byte order is not value order
-            return None
+        if 15 in lg:
+            # FLOAT16: decode the half to its exact double — numeric
+            # value order (a NaN bound is unusable, like ph 4/5)
+            v = float(np.frombuffer(raw, "<f2")[0])
+            if v != v:
+                return None
+            return _float_bound_guard(v, st, which, leaf)
+        if leaf.converted == 21:
+            return None  # INTERVAL: byte order is not value order
         return bytes(raw)
     if ph == 3:
         return None  # INT96: no ordered stats
-    return _stat_raw_to_cmp(raw, leaf, _leaf_is_unsigned(leaf))
+    v = _stat_raw_to_cmp(raw, leaf, _leaf_is_unsigned(leaf))
+    if ph in (4, 5) and isinstance(v, float):
+        return _float_bound_guard(v, st, which, leaf)
+    return v
+
+
+_FLOAT_MAX = {4: float(np.finfo(np.float32).max),
+              5: float(np.finfo(np.float64).max)}
+
+
+def _float_bound_guard(v: float, st: dict, which: str, leaf: _Node):
+    """parquet-cpp initializes float min/max accumulators at ±FLT/DBL
+    MAX, so an all-(+inf) chunk records min = FLOAT_MAX — and the footer
+    of [inf] is byte-identical to that of [FLOAT_MAX, inf], making the
+    true min UNPROVABLE from the footer (symmetrically max for -inf).
+    Pruning stays sound (the recorded bound is conservative); a
+    footer-only AGGREGATE must return None for the ambiguous pattern."""
+    ph = leaf.physical
+    fmax = _FLOAT_MAX.get(ph)
+    if fmax is None and ph == 7 and 15 in (leaf.logical or {}):
+        fmax = float(np.finfo(np.float16).max)
+    if fmax is None:
+        return v
+    other_raw = st.get(5 if which == "min" else 6)
+    other = (_stat_raw_to_cmp(other_raw, leaf, False)
+             if other_raw is not None else None)
+    if which == "min" and v == fmax \
+            and (other is None or other == float("inf")):
+        return None
+    if which == "max" and v == -fmax \
+            and (other is None or other == float("-inf")):
+        return None
+    return v
 
 
 def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:

@@ -24,6 +24,7 @@ import struct as _struct
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 
 from parquet_go_spark.codecs import (
     bytestreamsplit as bss,
@@ -41,7 +42,21 @@ from parquet_go_spark.interop import pqbloom, thriftc as tc
 _DATA_PAGE = 0
 _DICTIONARY_PAGE = 2
 _DATA_PAGE_V2 = 3
-_COMPRESSION = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6}
+_COMPRESSION = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6,
+                "lz4_raw": 7, "lz4_legacy": 5}
+
+
+def _compress(name: str, payload: bytes) -> bytes:
+    """Page-body compression. "lz4_legacy" writes codec 5 in Hadoop
+    block framing ([BE32 usize][BE32 csize][lz4 block]) — the flavor
+    parquet-mr emits, readable by pyarrow/parquet-mr and by our
+    pqreader's try-each-framing decode; "lz4_raw" (codec 7) is the
+    reference's LZ4 codec (compress/lz4/lz4.go)."""
+    if name == "lz4_legacy":
+        blk = pa.Codec("lz4_raw").compress(payload, asbytes=True)
+        return (len(payload).to_bytes(4, "big")
+                + len(blk).to_bytes(4, "big") + blk)
+    return _outer(name).compress(payload, asbytes=True)
 _CONVERTED = {"string": 0, "date": 6, "timestamp_micros": 10}
 
 
@@ -328,7 +343,7 @@ def _page(page_type: int, payload: bytes, header_field: tuple,
 
     raw_len = len(precompressed) + len(payload)
     if compression:
-        payload = _outer(compression).compress(payload, asbytes=True)
+        payload = _compress(compression, payload)
     stored = len(precompressed) + len(payload)
     # page checksum: CRC32 of the page bytes as stored (everything after
     # the header), reinterpreted signed for the thrift i32 field; readers

@@ -3,17 +3,25 @@
 - Bounded-driver compaction planning (VERDICT r4 "what's wrong" #2):
   _plan_jobs must never collect() the manifest, and its greedy bin
   semantics must be identical to the round-4 driver-side planner.
+- FLOAT16 logical type read (VERDICT r4 missing #3): decode, stats
+  pruning in exact double space, footer aggregates, spark_read f32
+  widening.
+- Legacy LZ4 (codec 5) read (VERDICT r4 missing #2): try-each-framing
+  decode validated against the page header's exact uncompressed size.
 """
 
 from __future__ import annotations
 
 import tempfile
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from pyspark.sql import DataFrame
 
-from parquet_go_spark.interop import compact
+from parquet_go_spark.interop import compact, pqreader
 
 
 def _synth_manifest(spark, n_rows: int, seed: int = 11):
@@ -124,3 +132,218 @@ def test_plan_jobs_no_jobs_when_nothing_small(spark):
         jobs_df, n_jobs, _ = compact._plan_jobs(
             spark, manifest, 1_000_000, 4_000_000, spill)
     assert jobs_df is None and n_jobs == 0
+
+
+# ------------------------------------------------------- FLOAT16 read
+
+@pytest.fixture(scope="module")
+def f16_file(tmp_path_factory):
+    """pyarrow-written FLOAT16 file: multiple row groups, nulls, NaN,
+    +/-0, with statistics and a page index."""
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(4000).astype(np.float16)
+    vals[7] = np.float16("nan")
+    vals[11] = np.float16(0.0)
+    vals[13] = np.float16(-0.0)
+    col = pa.array(vals).to_pylist()
+    col[99] = None
+    t = pa.table({
+        "h": pa.array(col, pa.float16()),
+        "i": pa.array(range(4000), pa.int64()),
+    })
+    p = str(tmp_path_factory.mktemp("f16") / "f16.parquet")
+    pq.write_table(t, p, row_group_size=500, write_statistics=True,
+                   write_page_index=True)
+    return p
+
+
+def test_float16_decode_equals_pyarrow(f16_file):
+    ours = pqreader.read_table(f16_file)
+    ref = pq.read_table(f16_file)
+    assert ours.schema.field("h").type == pa.float16()
+    assert ours.cast(ref.schema).equals(ref)
+
+
+@pytest.mark.parametrize("pred", [
+    ("h", ">", 0.5),
+    ("h", "<=", -0.25),
+    ("h", "=", 0.0),        # must match the stored -0.0 too
+    ("h", "!=", 0.1),
+    ("h", "isnull"),
+    ("h", "in", [0.0, 1.0, 0.25]),
+    ("and", [("h", ">", -1.0), ("h", "<", 1.0)]),
+])
+def test_float16_predicates_exact(f16_file, pred):
+    """Differential vs pyarrow filtering in float64 space (pyarrow has
+    no halffloat compare kernels, so the expectation is computed on the
+    exact f64 widening — the semantics the reader defines)."""
+    import pyarrow.compute as pc
+
+    ours = pqreader.read_table(f16_file, predicate=pred)
+    ref = pq.read_table(f16_file)
+    h = ref["h"].cast(pa.float64())
+
+    def leaf_mask(p):
+        if p[1] == "isnull":
+            return pc.is_null(h)
+        if p[1] == "in":
+            m = pa.array(np.zeros(len(h), bool))
+            for v in p[2]:
+                m = pc.or_kleene(m, pc.equal(h, pa.scalar(float(v))))
+            return m
+        fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater,
+              ">=": pc.greater_equal}[p[1]]
+        return fn(h, pa.scalar(float(p[2])))
+
+    if pred[0] == "and":
+        mask = leaf_mask(pred[1][0])
+        for p in pred[1][1:]:
+            mask = pc.and_kleene(mask, leaf_mask(p))
+    else:
+        mask = leaf_mask(pred)
+    mask = pc.fill_null(mask, False)
+    want = ref.filter(mask)
+    assert ours.num_rows == want.num_rows
+    assert ours.cast(want.schema).equals(want)
+
+
+def test_float16_footer_aggregates(f16_file):
+    import pyarrow.compute as pc
+
+    agg = pqreader.footer_aggregates(f16_file)["columns"]["h"]
+    # duckdb reads FLOAT16 as BLOB, so the full-scan oracle is pyarrow
+    # in exact f64 space; min/max over non-NaN values (parquet stats
+    # semantics)
+    h = pq.read_table(f16_file)["h"].cast(pa.float64())
+    finite = h.filter(pc.invert(pc.fill_null(pc.is_nan(h), True)))
+    assert agg["count"] == len(h) - h.null_count
+    assert agg["null_count"] == h.null_count
+    assert agg["min"] == pc.min(finite).as_py()
+    assert agg["max"] == pc.max(finite).as_py()
+
+
+def test_float16_spark_read_widens_to_f32(spark, f16_file, tmp_path):
+    import shutil
+
+    d = tmp_path / "f16dir"
+    d.mkdir()
+    shutil.copy(f16_file, d / "part0.parquet")
+    df = pqreader.spark_read(spark, str(d))
+    assert dict(df.dtypes)["h"] == "float"
+    got = {r["i"]: r["h"] for r in df.collect()}
+    ref = pq.read_table(f16_file)
+    want = {i.as_py(): h.as_py() for i, h in zip(ref["i"], ref["h"])}
+    assert len(got) == len(want)
+    for k, v in want.items():
+        g = got[k]
+        if v is None:
+            assert g is None
+        elif v != v:
+            assert g != g
+        else:
+            assert g == pytest.approx(float(v))
+    # predicate pushes into the distributed decode too
+    n = pqreader.spark_read(spark, str(d),
+                            predicate=("h", ">", 0.5)).count()
+    h64 = ref["h"].cast(pa.float64())
+    import pyarrow.compute as pc
+    assert n == pc.sum(pc.fill_null(pc.greater(h64, 0.5), False)).as_py()
+
+
+# -------------------------------------------------- legacy LZ4 (codec 5)
+
+def test_page_decompress_all_lz4_flavors():
+    data = (b"colcodec legacy lz4 " * 500)[:7777]
+    raw_block = pa.Codec("lz4_raw").compress(data, asbytes=True)
+    frame = pa.Codec("lz4").compress(data, asbytes=True)
+    hadoop = (len(data).to_bytes(4, "big")
+              + len(raw_block).to_bytes(4, "big") + raw_block)
+    # multi-block hadoop framing
+    half = len(data) // 2
+    b1 = pa.Codec("lz4_raw").compress(data[:half], asbytes=True)
+    b2 = pa.Codec("lz4_raw").compress(data[half:], asbytes=True)
+    hadoop2 = (half.to_bytes(4, "big") + len(b1).to_bytes(4, "big") + b1
+               + (len(data) - half).to_bytes(4, "big")
+               + len(b2).to_bytes(4, "big") + b2)
+    for buf in (hadoop, hadoop2, raw_block, frame):
+        assert pqreader._page_decompress(
+            pqreader._LZ4_LEGACY, buf, len(data)) == data
+    with pytest.raises(ValueError, match="legacy LZ4"):
+        pqreader._page_decompress(pqreader._LZ4_LEGACY, b"\x00" * 40, 9999)
+
+
+@pytest.mark.parametrize("comp,codec_id", [("lz4_legacy", 5),
+                                           ("lz4_raw", 7)])
+def test_lz4_write_read_interop(tmp_path, comp, codec_id):
+    """Author codec-5 (Hadoop framing, the parquet-mr flavor) and
+    codec-7 (LZ4_RAW — the reference's compress/lz4 codec) files with
+    OUR writer; both must round-trip through our pqreader AND decode
+    identically in pyarrow (pyarrow 16 cannot write codec 5 itself —
+    its 'lz4' name emits LZ4_RAW — so our writer authors the fixture)."""
+    import os
+
+    from parquet_go_spark.codecs.kinds import Codec, Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    n = 20000
+    x = np.arange(n, dtype=np.int64)
+    p = str(tmp_path / f"{comp}.parquet")
+    write_table(p, [ColumnSpec("x", Kind.INT64, x,
+                               encoding=Codec.PLAIN)],
+                compression=comp)
+    with open(p, "rb") as fh:
+        fmd = pqreader._read_footer_file(fh, os.path.getsize(p), p)
+    ids = {cc[3][4] for rg in fmd.get(4, []) for cc in rg[1]}
+    assert ids == {codec_id}
+    ours = pqreader.read_table(p)
+    ref = pq.read_table(p)
+    assert np.array_equal(np.asarray(ours["x"]), x)
+    assert ours.cast(ref.schema).equals(ref)
+    filt = pqreader.read_table(p, predicate=("x", "<", 100))
+    assert filt.num_rows == 100
+
+
+def test_legacy_lz4_bare_block_flavor(tmp_path):
+    """Codec 5 whose pages are BARE LZ4 blocks (old parquet-cpp flavor):
+    authored by writing LZ4_RAW pages and rewriting only the footer's
+    codec ids to 5 through our thrift writer-independent byte check —
+    here simulated by writing with lz4_raw then patching the two codec
+    field bytes located via a footer re-read."""
+    import os
+
+    from parquet_go_spark.codecs.kinds import Codec, Kind
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    x = np.arange(5000, dtype=np.int64)
+    p = str(tmp_path / "bare.parquet")
+    write_table(p, [ColumnSpec("x", Kind.INT64, x, encoding=Codec.PLAIN)],
+                compression="lz4_raw")
+    blob = bytearray(open(p, "rb").read())
+    flen = int.from_bytes(blob[-8:-4], "little")
+    foot_lo = len(blob) - 8 - flen
+    # thrift-compact i32 field 4 (codec) zigzag: 7 → 0x0e, 5 → 0x0a.
+    # The codec field header byte is 0x15 (delta 1 from field 3, type 5)
+    # followed by the zigzag value — patch every occurrence inside the
+    # footer (column metadata structs only; 0x15 0x0e is specific
+    # enough in this tiny single-column fixture).
+    cnt = 0
+    i = foot_lo
+    while True:
+        j = blob.find(b"\x15\x0e", i, len(blob) - 8)
+        if j < 0:
+            break
+        blob[j + 1] = 0x0A
+        cnt += 1
+        i = j + 2
+    assert cnt >= 1
+    p2 = str(tmp_path / "bare5.parquet")
+    open(p2, "wb").write(bytes(blob))
+    with open(p2, "rb") as fh:
+        fmd = pqreader._read_footer_file(fh, os.path.getsize(p2), p2)
+    ids = {cc[3][4] for rg in fmd.get(4, []) for cc in rg[1]}
+    assert ids == {5}, "patch must have flipped the codec id"
+    ours = pqreader.read_table(p2)
+    assert np.array_equal(np.asarray(ours["x"]), x)
+    ref = pq.read_table(p2)
+    assert ours.cast(ref.schema).equals(ref)
