@@ -368,27 +368,53 @@ def _concat_values(parts: list, leaf: _Node):
 
 
 def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
-                 dictionary_vals, verify: bool = False):
+                 dictionary_vals, verify: bool = False,
+                 crypto=None, page_ord: int = 0, is_dict: bool = False):
     """Decode ONE page at pos. Returns (kind, payload, next_pos):
     kind "dict" → payload = dictionary values;
     kind "data" → payload = (defs, reps, values, nv).
     verify=True checks the PageHeader CRC32 (computed over the page
     bytes as stored, i.e. after compression) when the writer recorded
-    one — pages without a crc field pass (same as parquet-mr)."""
+    one — pages without a crc field pass (same as parquet-mr).
+    crypto (pqcrypt.ChunkCrypto) switches to the encrypted layout:
+    [page-header module][page-body module]; the module AAD needs the
+    page kind and data-page ordinal UP FRONT (is_dict / page_ord),
+    and GCM authentication subsumes the CRC check."""
     max_def, max_rep = leaf.max_def, leaf.max_rep
-    hdr, body = read_struct(data, pos)
-    ptype = hdr[1]
-    raw = bytes(data[body:body + hdr[3]])
-    if len(raw) < hdr[3]:
-        raise ValueError("pqreader: truncated page")
-    if verify and hdr.get(4) is not None:
-        import zlib
+    if crypto is not None:
+        from parquet_go_spark.interop import pqcrypt
 
-        if zlib.crc32(raw) & 0xFFFFFFFF != hdr[4] & 0xFFFFFFFF:
+        hdr_t = (pqcrypt.DICTIONARY_PAGE_HEADER if is_dict
+                 else pqcrypt.DATA_PAGE_HEADER)
+        pt, hpos = pqcrypt.decrypt_module(
+            data, pos, crypto.key,
+            pqcrypt.module_aad(crypto.file_aad, hdr_t, crypto.rg,
+                               crypto.col, page_ord), "page header")
+        hdr, _ = read_struct(pt, 0)
+        body_t = pqcrypt.DICTIONARY_PAGE if is_dict else pqcrypt.DATA_PAGE
+        raw, next_pos = pqcrypt.decrypt_module(
+            data, hpos, crypto.key,
+            pqcrypt.module_aad(crypto.file_aad, body_t, crypto.rg,
+                               crypto.col, page_ord), "page body")
+        ptype = hdr[1]
+        if bool(ptype == 2) != is_dict:
             raise ValueError(
-                f"pqreader: page CRC mismatch for column "
-                f"{'.'.join(leaf.path)} (corrupt page bytes)")
-    next_pos = body + hdr[3]
+                "pqreader: encrypted page kind disagrees with the "
+                "chunk metadata (dictionary offset)")
+    else:
+        hdr, body = read_struct(data, pos)
+        ptype = hdr[1]
+        raw = bytes(data[body:body + hdr[3]])
+        if len(raw) < hdr[3]:
+            raise ValueError("pqreader: truncated page")
+        if verify and hdr.get(4) is not None:
+            import zlib
+
+            if zlib.crc32(raw) & 0xFFFFFFFF != hdr[4] & 0xFFFFFFFF:
+                raise ValueError(
+                    f"pqreader: page CRC mismatch for column "
+                    f"{'.'.join(leaf.path)} (corrupt page bytes)")
+        next_pos = body + hdr[3]
     if ptype == 2:  # dictionary page (PLAIN / PLAIN_DICTIONARY blob)
         if codec:
             raw = _page_decompress(codec, raw, hdr[2])
@@ -481,18 +507,38 @@ def _leaf_data(defs_parts, reps_parts, val_parts, leaf,
     return _LeafData(defs, reps, values, val_idx)
 
 
+def _chunk_crypto(meta: dict, leaf: _Node):
+    """The chunk's ChunkCrypto, or None for plaintext chunks; a marked-
+    but-keyless chunk (decryption not supplied) fails HERE with a clear
+    error instead of decoding ciphertext as pages."""
+    if "__crypto__" not in meta:
+        return None
+    c = meta["__crypto__"]
+    if c is None:
+        raise ValueError(
+            f"pqreader: column {'.'.join(leaf.path)} is encrypted — "
+            "pass decryption=FileDecryption(...)")
+    return c
+
+
 def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node,
                      verify: bool = False) -> _LeafData:
     codec = _chunk_codec(meta)
+    crypto = _chunk_crypto(meta, leaf)
     start = meta.get(11) or meta[9]
     num_values = meta[5]
     pos = start
     seen = 0
+    page_ord = 0
+    has_dict_first = crypto is not None and meta.get(
+        "__has_dict__", (meta.get(11) or None) is not None)
     dictionary_vals = None
     defs_parts, reps_parts, val_parts = [], [], []
     while seen < num_values:
         kind, payload, pos = _decode_page(
-            data, pos, leaf, codec, dictionary_vals, verify)
+            data, pos, leaf, codec, dictionary_vals, verify,
+            crypto=crypto, page_ord=page_ord,
+            is_dict=has_dict_first and pos == start)
         if kind == "dict":
             dictionary_vals = payload
             continue
@@ -501,6 +547,7 @@ def _read_leaf_chunk(data: bytes, meta: dict, leaf: _Node,
         defs_parts.append(defs)
         reps_parts.append(reps)
         seen += nv
+        page_ord += 1
     return _leaf_data(defs_parts, reps_parts, val_parts, leaf, seen)
 
 
@@ -734,34 +781,138 @@ def _map_with_validity(offsets, keys, items, valid) -> pa.Array:
     return pa.MapArray.from_arrays(all_off, keys, items)
 
 
-def _read_footer_file(f, size: int, path: str) -> dict:
+def _read_footer_file(f, size: int, path: str, decryption=None) -> dict:
     """FileMetaData from an open file via seeks — footer bytes only,
     never the data pages (the point: schema reads and refuted row
-    groups cost KBs of metadata, not the file)."""
+    groups cost KBs of metadata, not the file). Encrypted files
+    (modular encryption, AES_GCM_V1) decrypt through `decryption`
+    (interop.pqcrypt.FileDecryption); see _normalize_encrypted."""
     if size < 12:
         raise ValueError(f"pqreader: {path} is not a parquet file")
     f.seek(0)
-    if f.read(4) != b"PAR1":
-        raise ValueError(f"pqreader: {path} is not a parquet file")
+    head = f.read(4)
     f.seek(size - 8)
     tail = f.read(8)
-    if tail[4:] != b"PAR1":
+    if head == b"PARE" and tail[4:] == b"PARE":
+        return _read_encrypted_footer(f, size, path, decryption)
+    if head != b"PAR1" or tail[4:] != b"PAR1":
         raise ValueError(f"pqreader: {path} is not a parquet file")
     flen = int.from_bytes(tail[:4], "little")
     if flen <= 0 or flen > size - 8:
         raise ValueError("pqreader: corrupt footer length")
     f.seek(size - 8 - flen)
-    fmd, _ = read_struct(f.read(flen), 0)
+    buf = f.read(flen)
+    fmd, used = read_struct(buf, 0)
+    if 8 in fmd:
+        # plaintext-footer mode: readable footer + encrypted columns;
+        # the footer carries a 28-byte GCM signature ([nonce][tag] over
+        # the serialized FileMetaData) — verified when a footer key is
+        # available, per the spec's optional integrity check
+        from parquet_go_spark.interop import pqcrypt
+
+        file_aad = pqcrypt.parse_algorithm(
+            fmd[8], decryption or pqcrypt.FileDecryption(), path)
+        if decryption is not None and flen - used >= 28:
+            key = decryption.resolve(fmd.get(9), None, footer=True)
+            nonce, tag = buf[used:used + 12], buf[used + 12:used + 28]
+            ct = pqcrypt._aesgcm(key).encrypt(
+                nonce, buf[:used],
+                pqcrypt.module_aad(file_aad, pqcrypt.FOOTER))
+            if ct[-16:] != tag:
+                raise ValueError(
+                    f"pqreader: {path} footer signature mismatch — "
+                    "wrong footer key or tampered footer")
+        _normalize_encrypted(fmd, file_aad, decryption, path)
     return fmd
 
 
-def read_schema(path: str) -> pa.Schema:
+def _read_encrypted_footer(f, size: int, path: str, decryption) -> dict:
+    """Encrypted-footer mode (magic PARE): plaintext FileCryptoMetaData
+    followed by the footer module, both inside the footer length."""
+    from parquet_go_spark.interop import pqcrypt
+
+    if decryption is None:
+        raise ValueError(
+            f"pqreader: {path} is an encrypted parquet file (PARE) — "
+            "pass decryption=FileDecryption(footer_key=..., ...)")
+    f.seek(size - 8)
+    flen = int.from_bytes(f.read(4), "little")
+    if flen <= 0 or flen > size - 8:
+        raise ValueError("pqreader: corrupt footer length")
+    f.seek(size - 8 - flen)
+    buf = f.read(flen)
+    fcm, used = read_struct(buf, 0)
+    file_aad = pqcrypt.parse_algorithm(fcm.get(1) or {}, decryption, path)
+    key = decryption.resolve(fcm.get(2), None, footer=True)
+    pt, _ = pqcrypt.decrypt_module(
+        buf, used, key, pqcrypt.module_aad(file_aad, pqcrypt.FOOTER),
+        "footer")
+    fmd, _ = read_struct(pt, 0)
+    _normalize_encrypted(fmd, file_aad, decryption, path)
+    return fmd
+
+
+def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
+                         path: str) -> None:
+    """Resolve every encrypted column chunk to a DECRYPTED ColumnMetaData
+    dict in ColumnChunk field 3 carrying its ChunkCrypto under the
+    "__crypto__" key — downstream metadata consumers (stat pruning,
+    projection, chunk loads, footer aggregates) then work unchanged,
+    and the page reader finds the key/AAD ordinals in the meta it
+    already receives. Columns without crypto_metadata are plaintext.
+    With decryption=None (schema-only access to a plaintext-footer
+    file) encrypted columns are marked but unreadable — touching one
+    raises a clear error instead of decoding ciphertext."""
+    from parquet_go_spark.interop import pqcrypt
+
+    for rg_i, rg in enumerate(fmd.get(4, [])):
+        for col_i, cc in enumerate(rg[1]):
+            cm = cc.get(8)
+            if cm is None:
+                continue
+            if decryption is None:
+                if 3 in cc:
+                    cc[3]["__crypto__"] = None
+                continue
+            if 1 in cm:  # ENCRYPTION_WITH_FOOTER_KEY
+                key = decryption.resolve(None, None, footer=True)
+                colname = None
+            elif 2 in cm:  # ENCRYPTION_WITH_COLUMN_KEY
+                info = cm[2]
+                colname = ".".join(
+                    x.decode() if isinstance(x, bytes) else str(x)
+                    for x in info.get(1, []))
+                key = decryption.resolve(info.get(2), colname,
+                                         footer=False)
+            else:
+                raise ValueError(
+                    f"pqreader: {path} column {col_i} has an unknown "
+                    f"ColumnCryptoMetaData union ({sorted(cm)})")
+            if 9 in cc:  # ColumnMetaData as its own encrypted module
+                aad = pqcrypt.module_aad(
+                    file_aad, pqcrypt.COLUMN_METADATA, rg_i, col_i)
+                pt, _ = pqcrypt.decrypt_module(
+                    cc[9], 0, key, aad,
+                    f"column metadata ({colname or col_i})")
+                meta, _ = read_struct(pt, 0)
+                cc[3] = meta
+            meta = cc.get(3)
+            if meta is None:
+                raise ValueError(
+                    f"pqreader: {path} encrypted column {col_i} has "
+                    "neither meta_data nor encrypted_column_metadata")
+            meta["__crypto__"] = pqcrypt.ChunkCrypto(
+                key, file_aad, rg_i, col_i)
+
+
+def read_schema(path: str, decryption=None) -> pa.Schema:
     """Footer-only schema (no data pages touched) — what spark_read
     uses on the driver."""
     import os
 
     with open(path, "rb") as f:
-        fmd = _read_footer_file(f, os.path.getsize(path), path)
+        fmd = _read_footer_file(f, os.path.getsize(path), path,
+                                decryption)
     root = _parse_schema(fmd[2])
     _annotate(root, 0, 0, ())
     return pa.schema(
@@ -1225,7 +1376,10 @@ def _rg_survives(f, rg: dict, pred: _Pred) -> bool:
             if lo is not None and hi is not None \
                     and _bounds_refute(lo, hi, pred.op, pred.stat_cmp):
                 return False
-    if pred.bloom_args is not None and f is not None:
+    if pred.bloom_args is not None and f is not None \
+            and "__crypto__" not in meta:
+        # encrypted bloom modules (types 8/9) are out of the round-5
+        # scope: stats above already pruned; the bloom just abstains
         off = meta.get(14)
         if off is not None:
             from parquet_go_spark.interop import pqbloom
@@ -1421,6 +1575,10 @@ def _load_chunk(f, meta: dict) -> tuple[bytes, dict]:
     m2 = dict(meta)
     m2.pop(11, None)
     m2[9] = 0
+    # the rebase erases the dictionary offset; the encrypted page walk
+    # needs dictionary-presence UP FRONT (the first page's module AAD
+    # differs), so carry it as a marker the rebase cannot destroy
+    m2["__has_dict__"] = (meta.get(11) or None) is not None
     return buf, m2
 
 
@@ -1431,7 +1589,12 @@ def _load_chunk(f, meta: dict) -> tuple[bytes, dict]:
 #  overlapping the surviving rows)
 
 def _offset_index(f, cc: dict):
-    """[(offset, compressed_size, first_row_index)] or None."""
+    """[(offset, compressed_size, first_row_index)] or None.
+    Encrypted chunks: the OffsetIndex is its own encrypted module —
+    page-level trimming is out of the round-5 encryption scope, so
+    report no index (whole-group decode stays correct)."""
+    if "__crypto__" in (cc.get(3) or {}):
+        return None
     off, ln = cc.get(4), cc.get(5)
     if off is None or ln is None:
         return None
@@ -1441,7 +1604,10 @@ def _offset_index(f, cc: dict):
 
 
 def _column_index(f, cc: dict):
-    """(null_pages, min_values, max_values, null_counts|None) or None."""
+    """(null_pages, min_values, max_values, null_counts|None) or None.
+    Encrypted chunks report no index (see _offset_index)."""
+    if "__crypto__" in (cc.get(3) or {}):
+        return None
     off, ln = cc.get(6), cc.get(7)
     if off is None or ln is None:
         return None
@@ -1736,7 +1902,8 @@ def _tree_page_ranges(f, cc_by_path: dict, node, rg_n: int,
 
 def read_table(path: str, columns: list[str] | None = None,
                predicate=None, row_range=None,
-               verify_checksums: bool = False) -> pa.Table:
+               verify_checksums: bool = False,
+               decryption=None) -> pa.Table:
     """Decode a .parquet file through our kernels → pyarrow Table.
 
     columns prunes the chunks READ (projection: skipped columns cost
@@ -1771,7 +1938,8 @@ def read_table(path: str, columns: list[str] | None = None,
                 f"pqreader: row_range must be 0 <= start <= stop, "
                 f"got {row_range!r}")
     with open(path, "rb") as f:
-        fmd = _read_footer_file(f, os.path.getsize(path), path)
+        fmd = _read_footer_file(f, os.path.getsize(path), path,
+                                decryption)
         root = _parse_schema(fmd[2])
         _annotate(root, 0, 0, ())
         tree = (_compile_pred_tree(root, fmd, predicate)
@@ -1937,7 +2105,7 @@ def list_parquet_files(dir_path: str) -> list[str]:
 
 def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                predicate=None, bloom_prune_files: bool = True,
-               split_row_groups: bool = False):
+               split_row_groups: bool = False, decryption=None):
     """Distributed decode of a directory of parquet files through OUR
     kernels: one footer read on the driver for the schema, then one
     input slice per file decoded executor-side (mapInArrow) — the
@@ -1961,7 +2129,8 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
     # predicate validation (so a bad predicate fails here, not in every
     # task of a launched job), and the bloom file-pruning
     with open(files[0], "rb") as fh:
-        fmd = _read_footer_file(fh, os.path.getsize(files[0]), files[0])
+        fmd = _read_footer_file(fh, os.path.getsize(files[0]), files[0],
+                                decryption)
     root = _parse_schema(fmd[2])
     _annotate(root, 0, 0, ())
     probe = pa.schema(
@@ -2004,6 +2173,10 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
         [pa.field(f.name, f.type, True) for f in probe])
     out_schema = from_arrow_schema(cast_schema)
 
+    if decryption is not None:
+        # encrypted bloom modules are out of the round-5 scope — the
+        # file-level probe would read ciphertext bitsets
+        bloom_prune_files = False
     if bloom_prune_files:
         from parquet_go_spark.interop import pqbloom
 
@@ -2041,7 +2214,7 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
             for p in it:
                 with open(p, "rb") as fh:
                     fmd_p = _read_footer_file(
-                        fh, _os.path.getsize(p), p)
+                        fh, _os.path.getsize(p), p, decryption)
                 start = 0
                 for rg in fmd_p.get(4, []):
                     yield (p, start, start + rg[3])
@@ -2061,7 +2234,8 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                     tbl = read_table(
                         row["path"], columns=columns,
                         predicate=predicate,
-                        row_range=(row["lo"], row["hi"]))
+                        row_range=(row["lo"], row["hi"]),
+                        decryption=decryption)
                     if has_half:
                         tbl = tbl.cast(cast_schema)
                     yield from tbl.to_batches()
@@ -2075,7 +2249,8 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
     def decode(batches):
         for b in batches:
             for p in b.column(0).to_pylist():
-                tbl = read_table(p, columns=columns, predicate=predicate)
+                tbl = read_table(p, columns=columns, predicate=predicate,
+                                 decryption=decryption)
                 if has_half:
                     tbl = tbl.cast(cast_schema)
                 yield from tbl.to_batches()
@@ -2201,7 +2376,8 @@ def _float_bound_guard(v: float, st: dict, which: str, leaf: _Node):
     return v
 
 
-def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:
+def footer_aggregates(path: str, columns: list[str] | None = None,
+                      decryption=None) -> dict:
     """{"rows": N, "columns": {name: {"count", "null_count", "min",
     "max"}}} from the footer alone — no data page is ever read.
 
@@ -2214,7 +2390,8 @@ def footer_aggregates(path: str, columns: list[str] | None = None) -> dict:
     import os
 
     with open(path, "rb") as f:
-        fmd = _read_footer_file(f, os.path.getsize(path), path)
+        fmd = _read_footer_file(f, os.path.getsize(path), path,
+                                decryption)
     root = _parse_schema(fmd[2])
     _annotate(root, 0, 0, ())
     flat = {c.name: c for c in root.children

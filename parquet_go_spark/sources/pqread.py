@@ -97,6 +97,9 @@ def _us_type(t):
 
     if pa.types.is_timestamp(t) and t.unit == "ns":
         return pa.timestamp("us", t.tz)
+    if pa.types.is_float16(t):
+        # Spark has no half type: widen exactly, like pqreader.spark_read
+        return pa.float32()
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return pa.list_(_us_type(t.value_type))
     if pa.types.is_map(t):
@@ -124,6 +127,8 @@ def _pushable_columns(root) -> set[str]:
             continue
         if c.physical == 4:  # FLOAT: Spark promotes to double
             continue
+        if c.physical == 7 and 15 in (c.logical or {}):
+            continue  # FLOAT16: surfaced widened — same float hazards
         lg = c.logical or {}
         if c.physical == 3 or 8 in lg or c.converted in (9, 10):
             continue  # INT96 / timestamp: session-tz semantics
@@ -225,10 +230,39 @@ def _translate(filters, cols: set[str], null_cols: set[str] = frozenset(),
     return preds
 
 
+def _decryption_from_options(options) -> "object | None":
+    """Build a pqcrypt.FileDecryption from string options:
+    footer_key / aad_prefix (hex), column_keys (JSON {name: hex}),
+    master_keys (JSON {key_id: hex} — enables PKMT1 key-material
+    unwrapping via LocalKeyUnwrap)."""
+    import json
+
+    fk = options.get("footer_key")
+    cks = options.get("column_keys")
+    mks = options.get("master_keys")
+    aadp = options.get("aad_prefix")
+    if not any((fk, cks, mks, aadp)):
+        return None
+    from parquet_go_spark.interop import pqcrypt
+
+    retriever = None
+    if mks:
+        retriever = pqcrypt.pyarrow_key_retriever(pqcrypt.LocalKeyUnwrap(
+            {k: bytes.fromhex(v) for k, v in json.loads(mks).items()}))
+    return pqcrypt.FileDecryption(
+        footer_key=bytes.fromhex(fk) if fk else None,
+        column_keys={k: bytes.fromhex(v)
+                     for k, v in json.loads(cks).items()} if cks else {},
+        key_retriever=retriever,
+        aad_prefix=bytes.fromhex(aadp) if aadp else b"",
+    )
+
+
 class PqreadReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, decryption=None):
         self._path = path
         self._preds: list = []
+        self._decryption = decryption
 
     def pushFilters(self, filters):  # noqa: N802
         from parquet_go_spark.interop import pqreader
@@ -239,7 +273,7 @@ class PqreadReader(DataSourceReader):
         # and the compile check
         with open(first, "rb") as fh:
             fmd = pqreader._read_footer_file(
-                fh, os.path.getsize(first), first)
+                fh, os.path.getsize(first), first, self._decryption)
         root = pqreader._parse_schema(fmd[2])
         pqreader._annotate(root, 0, 0, ())
         candidates = _translate(filters, _pushable_columns(root),
@@ -275,7 +309,8 @@ class PqreadReader(DataSourceReader):
         from parquet_go_spark.interop import pqreader
 
         tbl = pqreader.read_table(
-            partition.path, predicate=list(partition.preds) or None)
+            partition.path, predicate=list(partition.preds) or None,
+            decryption=self._decryption)
         for i, fld in enumerate(tbl.schema):
             want = _us_type(fld.type)
             if want != fld.type:
@@ -303,12 +338,14 @@ class PqreadDataSource(DataSource):
         if not path:
             raise ValueError("pqread: .load(<parquet directory>) required")
         probe = pqreader.read_schema(
-            pqreader.list_parquet_files(path)[0])
+            pqreader.list_parquet_files(path)[0],
+            _decryption_from_options(self.options))
         return from_arrow_schema(pa.schema(
             [f.with_type(_us_type(f.type)) for f in probe]))
 
     def reader(self, schema: StructType) -> PqreadReader:
-        return PqreadReader(self.options["path"])
+        return PqreadReader(self.options["path"],
+                            _decryption_from_options(self.options))
 
 
 def register(spark) -> None:

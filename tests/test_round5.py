@@ -347,3 +347,268 @@ def test_legacy_lz4_bare_block_flavor(tmp_path):
     assert np.array_equal(np.asarray(ours["x"]), x)
     ref = pq.read_table(p2)
     assert ours.cast(ref.schema).equals(ref)
+
+
+# ------------------------------------- modular encryption read (AES_GCM_V1)
+
+FOOTER_KEY = b"0123456789112345"
+COL_KEY = b"1234567890123450"
+
+
+def _kms_factory():
+    import base64
+
+    import pyarrow.parquet.encryption as pe
+
+    class Kms(pe.KmsClient):
+        def __init__(self, config):
+            super().__init__()
+            self.keys = {k: base64.b64decode(v)
+                         for k, v in config.custom_kms_conf.items()}
+
+        def wrap_key(self, key_bytes, master_key_identifier):
+            import os
+
+            from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+            nonce = os.urandom(12)
+            ct = AESGCM(self.keys[master_key_identifier]).encrypt(
+                nonce, key_bytes, None)
+            return base64.b64encode(nonce + ct).decode()
+
+        def unwrap_key(self, wrapped_key, master_key_identifier):
+            from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+            raw = base64.b64decode(wrapped_key)
+            return AESGCM(self.keys[master_key_identifier]).decrypt(
+                raw[:12], raw[12:], None)
+
+    import base64 as b64
+
+    conf = pe.KmsConnectionConfig(custom_kms_conf={
+        "kf": b64.b64encode(FOOTER_KEY).decode(),
+        "kc": b64.b64encode(COL_KEY).decode(),
+    })
+    return pe.CryptoFactory(lambda config: Kms(config)), conf, Kms(conf)
+
+
+def _enc_table():
+    rng = np.random.default_rng(55)
+    n = 3000
+    x = rng.integers(0, 1_000_000, n)
+    s = [f"doc-{i % 211}" for i in range(n)]
+    y = rng.standard_normal(n)
+    return pa.table({"x": pa.array(x, pa.int64()),
+                     "s": pa.array(s),
+                     "y": pa.array(y, pa.float64())})
+
+
+def _write_encrypted(path, *, plaintext_footer=False):
+    import pyarrow.parquet.encryption as pe
+
+    factory, conf, _ = _kms_factory()
+    enc_conf = pe.EncryptionConfiguration(
+        footer_key="kf",
+        column_keys={"kc": ["x", "s"]},
+        encryption_algorithm="AES_GCM_V1",
+        double_wrapping=False,
+        plaintext_footer=plaintext_footer,
+    )
+    t = _enc_table()
+    props = factory.file_encryption_properties(conf, enc_conf)
+    with pq.ParquetWriter(path, t.schema,
+                          encryption_properties=props) as w:
+        w.write_table(t.slice(0, 1500))
+        w.write_table(t.slice(1500))
+    return t
+
+
+def _decryption():
+    from parquet_go_spark.interop import pqcrypt
+
+    # LocalKeyUnwrap matches _kms_factory's wrap format and is
+    # picklable, so the same FileDecryption works in spark_read
+    # executor closures
+    return pqcrypt.FileDecryption(
+        key_retriever=pqcrypt.pyarrow_key_retriever(
+            pqcrypt.LocalKeyUnwrap({"kf": FOOTER_KEY, "kc": COL_KEY})))
+
+
+@pytest.mark.parametrize("plaintext_footer", [False, True])
+def test_encrypted_read_equals_source(tmp_path, plaintext_footer):
+    from parquet_go_spark.interop import pqreader as r
+
+    p = str(tmp_path / "enc.parquet")
+    t = _write_encrypted(p, plaintext_footer=plaintext_footer)
+    ours = r.read_table(p, decryption=_decryption())
+    assert ours.cast(t.schema).equals(t)
+    # projection of a single encrypted column
+    one = r.read_table(p, columns=["s"], decryption=_decryption())
+    assert one.column("s").equals(t.column("s"))
+
+
+def test_footer_key_union_arm_normalization():
+    """ENCRYPTION_WITH_FOOTER_KEY (union field 1): this pyarrow cannot
+    author it (no uniform_encryption), so the arm is unit-tested: the
+    normalizer must resolve the chunk to the FOOTER key."""
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
+
+    meta = {9: 4, 5: 10}
+    fmd = {4: [(None, [{3: meta, 8: {1: {}}}])]}
+    dec = pqcrypt.FileDecryption(footer_key=FOOTER_KEY)
+    r._normalize_encrypted(fmd, b"aad8byte", dec, "synthetic")
+    c = meta["__crypto__"]
+    assert c.key == FOOTER_KEY and c.rg == 0 and c.col == 0
+    assert c.file_aad == b"aad8byte"
+
+
+def test_encrypted_predicate_and_row_range(tmp_path):
+    from parquet_go_spark.interop import pqreader as r
+
+    p = str(tmp_path / "enc.parquet")
+    t = _write_encrypted(p)
+    got = r.read_table(p, predicate=("x", "<", 100_000),
+                       decryption=_decryption())
+    import pyarrow.compute as pc
+
+    want = t.filter(pc.less(t["x"], 100_000))
+    assert got.cast(want.schema).equals(want)
+    rr = r.read_table(p, row_range=(10, 25), decryption=_decryption())
+    assert rr.cast(t.schema).equals(t.slice(10, 15))
+
+
+def test_encrypted_footer_aggregates(tmp_path):
+    from parquet_go_spark.interop import pqreader as r
+
+    p = str(tmp_path / "enc.parquet")
+    t = _write_encrypted(p)
+    agg = r.footer_aggregates(p, decryption=_decryption())
+    import pyarrow.compute as pc
+
+    assert agg["rows"] == t.num_rows
+    assert agg["columns"]["x"]["min"] == pc.min(t["x"]).as_py()
+    assert agg["columns"]["x"]["max"] == pc.max(t["x"]).as_py()
+
+
+def test_encrypted_wrong_key_and_tamper_negatives(tmp_path):
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
+
+    p = str(tmp_path / "enc.parquet")
+    _write_encrypted(p)
+    # no keys at all: clear error naming the fix
+    with pytest.raises(ValueError, match="encrypted parquet"):
+        r.read_table(p)
+    # wrong footer key (direct key, bypassing key material)
+    bad = pqcrypt.FileDecryption(
+        key_retriever=lambda km: b"f" * 16)
+    with pytest.raises(ValueError, match="GCM authentication"):
+        r.read_table(p, decryption=bad)
+    # tampered data page ciphertext: flip one byte in the body region
+    blob = bytearray(open(p, "rb").read())
+    blob[2000] ^= 0xFF
+    p2 = str(tmp_path / "tampered.parquet")
+    open(p2, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="GCM authentication"):
+        r.read_table(p2, decryption=_decryption())
+
+
+def test_plaintext_footer_partial_access(tmp_path):
+    """Plaintext-footer mode: schema and the PLAINTEXT column are
+    readable without any key; touching an encrypted column without
+    keys raises a clear error; footer signature verifies with keys."""
+    from parquet_go_spark.interop import pqreader as r
+
+    p = str(tmp_path / "pf.parquet")
+    t = _write_encrypted(p, plaintext_footer=True)
+    assert r.read_schema(p).names == ["x", "s", "y"]
+    y = r.read_table(p, columns=["y"])  # y is not in column_keys
+    assert y.column("y").equals(t.column("y"))
+    with pytest.raises(ValueError, match="is encrypted"):
+        r.read_table(p, columns=["x"])
+    # footer signature: verified when keys are present; a flipped
+    # footer byte fails it
+    r.read_table(p, columns=["y"], decryption=_decryption())
+    blob = bytearray(open(p, "rb").read())
+    flen = int.from_bytes(blob[-8:-4], "little")
+    blob[len(blob) - 8 - flen + 3] ^= 0x01
+    p2 = str(tmp_path / "pf_tampered.parquet")
+    open(p2, "wb").write(bytes(blob))
+    with pytest.raises(ValueError):
+        r.read_table(p2, columns=["y"], decryption=_decryption())
+
+
+def test_encrypted_spark_read(spark, tmp_path):
+    from parquet_go_spark.interop import pqreader as r
+
+    d = tmp_path / "encdir"
+    d.mkdir()
+    t = _write_encrypted(str(d / "part0.parquet"))
+    df = r.spark_read(spark, str(d), decryption=_decryption())
+    assert df.count() == t.num_rows
+    got = df.agg({"x": "min"}).collect()[0][0]
+    import pyarrow.compute as pc
+
+    assert got == pc.min(t["x"]).as_py()
+    n = r.spark_read(spark, str(d), predicate=("x", "<", 100_000),
+                     decryption=_decryption()).count()
+    assert n == pc.sum(pc.less(t["x"], 100_000)).as_py()
+
+
+def test_aes_gcm_ctr_rejected(tmp_path):
+    import pyarrow.parquet.encryption as pe
+
+    from parquet_go_spark.interop import pqreader as r
+
+    factory, conf, _ = _kms_factory()
+    enc_conf = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["x"]},
+        encryption_algorithm="AES_GCM_CTR_V1", double_wrapping=False)
+    t = _enc_table()
+    p = str(tmp_path / "ctr.parquet")
+    props = factory.file_encryption_properties(conf, enc_conf)
+    with pq.ParquetWriter(p, t.schema, encryption_properties=props) as w:
+        w.write_table(t)
+    with pytest.raises(ValueError, match="AES_GCM_CTR_V1"):
+        r.read_table(p, decryption=_decryption())
+
+
+def test_pqread_ds_encrypted_and_float16(spark, tmp_path, f16_file):
+    """Declarative surfaces: spark.read.format('pqread') decrypts with
+    string options, and FLOAT16 files surface widened to float."""
+    import json
+    import shutil
+
+    from parquet_go_spark.sources import pqread as ds
+
+    ds.register(spark)
+    d = tmp_path / "encdir"
+    d.mkdir()
+    t = _write_encrypted(str(d / "p.parquet"))
+    mks = json.dumps({"kf": FOOTER_KEY.hex(), "kc": COL_KEY.hex()})
+    df = (spark.read.format("pqread").option("master_keys", mks)
+          .load(str(d)))
+    assert df.count() == t.num_rows
+    df2 = (spark.read.format("pqread").option("master_keys", mks)
+           .load(str(d)))
+    import pyarrow.compute as pc
+
+    n = df2.where("x < 100000").count()
+    assert n == pc.sum(pc.less(t["x"], 100_000)).as_py()
+    # missing keys → clear error at schema/footer time
+    with pytest.raises(Exception, match="encrypted"):
+        spark.read.format("pqread").load(str(d)).count()
+
+    d2 = tmp_path / "f16dir"
+    d2.mkdir()
+    shutil.copy(f16_file, d2 / "p.parquet")
+    fdf = spark.read.format("pqread").load(str(d2))
+    assert dict(fdf.dtypes)["h"] == "float"
+    ref = pq.read_table(f16_file)
+    h64 = ref["h"].cast(pa.float64())
+    got = fdf.where("h > 0.5").count()
+    # Spark semantics: NaN orders ABOVE every float, so NaN rows match
+    # h > 0.5 — exactly why FLOAT16 columns are never pushed down (the
+    # reader filters IEEE-exactly and would drop them)
+    want = (pc.sum(pc.fill_null(pc.greater(h64, 0.5), False)).as_py()
+            + pc.sum(pc.fill_null(pc.is_nan(h64), False)).as_py())
+    assert got == want
