@@ -79,7 +79,13 @@ def _ref_minhash_pairs(corpus, *, n=3, num_perm=64, bands=8, threshold=0.8):
     est_cut = max(0.0, threshold - 0.15)
     out = {}
     for a, b in cands:
-        agree = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_perm
+        # mirror the operator's byte-packed estimator: agreement counts
+        # equal LOW BYTES of the signature components (an upper bound on
+        # component agreement; Python's & on negative ints is two's
+        # complement, so x & 0xFF matches Spark's signed-bigint low byte)
+        agree = sum(
+            (x & 0xFF) == (y & 0xFF) for x, y in zip(sigs[a], sigs[b])
+        ) / num_perm
         if agree < est_cut:
             continue
         ga, gb = set(gram_sets[a]), set(gram_sets[b])
