@@ -323,6 +323,103 @@ def encode(obj) -> tuple[bytes, bytes]:
         obj, {n: i for i, n in enumerate(ordered)})
 
 
+# ---------------------------------------------- shredded write (nested)
+
+# Spec grammar for the write direction (mirrors the reference's
+# variant_shredded_write.go case tables over Python values):
+#   "boolean" | "int"/"int32" | "bigint"/"int64" | "double" | "string"
+#   | "binary" | "date"                      -> primitive typed_value
+#   {"field": spec, ...}                     -> object typed_value group
+#   [spec]  (single element)                 -> array typed_value group
+_INT_SPECS = {"int": 32, "int32": 32, "integer": 32,
+              "bigint": 64, "int64": 64, "long": 64}
+
+
+def _typed_match(v, spec: str) -> bool:
+    """Strict primitive matching (variant_shredded_write.go:212-300's
+    variantToParquetValue). Python-slice adaptation: JSON/Python ints
+    carry no intrinsic width, so an int matches an integer spec iff it
+    fits that type's range; bool never matches int (and vice versa);
+    no numeric widening (int never matches double)."""
+    s = spec.lower()
+    if v is None:
+        return False  # variant null always falls back to the value col
+    if isinstance(v, bool):
+        return s == "boolean"
+    if isinstance(v, int):
+        w = _INT_SPECS.get(s)
+        return w is not None and -(1 << (w - 1)) <= v < (1 << (w - 1))
+    if isinstance(v, float):
+        return s == "double"
+    if isinstance(v, str):
+        return s == "string"
+    if isinstance(v, bytes):
+        return s == "binary"
+    if isinstance(v, _dt.datetime):
+        return False  # timestamps stay residual in this slice
+    if isinstance(v, _dt.date):
+        return s == "date"
+    return False
+
+
+def _shred(v, spec, ids: dict[str, int]):
+    """One occurrence → {"value": bytes|None, "typed_value": ...} group.
+
+    Case tables (VariantShredding.md; variant_shredded_write.go):
+    - exact type match → typed_value set, value null;
+    - mismatch (incl. variant null) → whole value variant-encoded into
+      value, typed_value null;
+    - object vs object spec: shredded fields recurse field-wise (absent
+      field → null group = both columns null), residual fields encode
+      as an object into value (null when fully shredded); shredded
+      field names never appear in value;
+    - array vs array spec: every element shreds through the element
+      group; variant null elements become variant null (0x00) in the
+      element's value column (the fallback case applied per element).
+    """
+    if isinstance(spec, dict):
+        if isinstance(v, dict):
+            typed = {}
+            for fname, fspec in spec.items():
+                typed[fname] = (_shred(v[fname], fspec, ids)
+                                if fname in v else None)
+            resid = {k: w for k, w in v.items() if k not in spec}
+            return {"value": encode_value(resid, ids) if resid else None,
+                    "typed_value": typed}
+        return {"value": encode_value(v, ids), "typed_value": None}
+    if isinstance(spec, (list, tuple)):
+        if len(spec) != 1:
+            raise ValueError("array spec must have exactly one element")
+        if isinstance(v, (list, tuple)):
+            return {"value": None,
+                    "typed_value": [_shred(e, spec[0], ids) for e in v]}
+        return {"value": encode_value(v, ids), "typed_value": None}
+    if not isinstance(spec, str):
+        raise TypeError(f"bad shredding spec node: {spec!r}")
+    if _typed_match(v, spec):
+        return {"value": None, "typed_value": v}
+    return {"value": encode_value(v, ids), "typed_value": None}
+
+
+def shred_row(v, spec) -> tuple[bytes, dict]:
+    """Python value + shredding spec → (metadata, shredded group).
+
+    The group is the nested {"value", "typed_value"} Python form that
+    ``reconstruct_shredded`` consumes, so
+    ``reconstruct_shredded(meta, g["value"], g["typed_value"]) == v``
+    holds for every (value, spec) pair — the write/read contract the
+    round-trip tests pin. Metadata covers every object field name of
+    the value recursively, shredded or not (VariantShredding.md: "All
+    field names of a Variant, whether shredded or not, must be present
+    in the metadata"), so residuals and reconstruction share one
+    dictionary."""
+    names: dict[str, int] = {}
+    _collect_names(v, names)
+    ordered = list(names)
+    return encode_metadata(ordered), _shred(
+        v, spec, {n: i for i, n in enumerate(ordered)})
+
+
 # ---------------------------------------------- shredded reconstruction
 
 _MISSING = object()

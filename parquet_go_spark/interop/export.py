@@ -28,8 +28,10 @@ from pyspark.sql.types import (
 
 from parquet_go_spark.codecs.kinds import Kind
 from parquet_go_spark.plans import pipeline
+from parquet_go_spark.interop import thriftc as tc
 from parquet_go_spark.interop.pqwriter import (
-    ColumnSpec, MapColumnSpec, StructColumnSpec, write_table,
+    ColumnSpec, MapColumnSpec, NestedColumnSpec, NestedLeaf,
+    StructColumnSpec, _logical_fields, write_table,
 )
 
 _SUMMARY_SCHEMA = StructType([
@@ -87,16 +89,186 @@ def _leaf_values(arr, spark_type: str):
 
 
 def _supported(spark_type: str) -> bool:
+    """Any struct/list composition of supported leaves (the generic
+    Dremel path), plus map<scalar,scalar> at the top level (the MAP
+    group has its own two-leaf writer; maps nested deeper are the one
+    remaining unsupported shape)."""
+    kv = pipeline._map_kv(spark_type)
+    if kv is not None:
+        return all(_leaf_ok(t) for t in kv)
+    return _supported_nested(spark_type)
+
+
+def _supported_nested(spark_type: str) -> bool:
     if _leaf_ok(spark_type):
         return True
     elem = pipeline._list_elem(spark_type)
     if elem is not None:
-        return _leaf_ok(elem)
-    kv = pipeline._map_kv(spark_type)
-    if kv is not None:
-        return all(_leaf_ok(t) for t in kv)
+        return _supported_nested(elem)
     sf = pipeline._struct_fields(spark_type)
-    return sf is not None and all(_leaf_ok(t) for _, t in sf)
+    return sf is not None and all(_supported_nested(t) for _, t in sf)
+
+
+def _nested_schema_elements(name: str, spark_type: str) -> list:
+    """SchemaElement structs for one arbitrarily nested column (every
+    level optional — matching the all-optional def accounting of the
+    generic shredder; LIST is the spec 3-level group with an OPTIONAL
+    element)."""
+    els = []
+
+    def emit(nm: str, ty: str) -> None:
+        elem = pipeline._list_elem(ty)
+        sf = pipeline._struct_fields(ty)
+        if elem is not None:
+            els.append(tc.struct([
+                (3, tc.I32, 1), (4, tc.BINARY, nm),
+                (5, tc.I32, 1), (6, tc.I32, 3),  # ConvertedType LIST
+            ]))
+            els.append(tc.struct([
+                (3, tc.I32, 2), (4, tc.BINARY, "list"), (5, tc.I32, 1),
+            ]))
+            emit("element", elem)
+        elif sf is not None:
+            els.append(tc.struct([
+                (3, tc.I32, 1), (4, tc.BINARY, nm), (5, tc.I32, len(sf)),
+            ]))
+            for fn, ft in sf:
+                emit(fn, ft)
+        else:
+            kind = pipeline._col_kind(ty)
+            els.append(tc.struct([
+                (1, tc.I32, kind),
+                (2, tc.I32, _leaf_flba(ty)
+                 if kind == Kind.FIXED_LEN_BYTE_ARRAY else None),
+                (3, tc.I32, 1),
+                (4, tc.BINARY, nm),
+                *_logical_fields(_leaf_logical(ty)),
+            ]))
+
+    emit(name, spark_type)
+    return els
+
+
+def _leaf_walks(spark_type: str):
+    """→ [(tokens, leaf_type)] per leaf, in schema order. Tokens drive
+    the entry-stream walk: ("opt",) one optional level (def +1 when
+    present, terminate when null), ("field", i) descend struct field i,
+    ("list",) expand a repeated level (def +1 per element, rep level)."""
+    elem = pipeline._list_elem(spark_type)
+    if elem is not None:
+        return [([("list",), ("opt",)] + tok, lt)
+                for tok, lt in _leaf_walks(elem)]
+    sf = pipeline._struct_fields(spark_type)
+    if sf is not None:
+        out = []
+        for i, (_, ftype) in enumerate(sf):
+            out.extend([([("field", i), ("opt",)] + tok, lt)
+                        for tok, lt in _leaf_walks(ftype)])
+        return out
+    return [([], spark_type)]
+
+
+def _leaf_paths(spark_type: str):
+    """Schema path segments below the column name, one per leaf."""
+    elem = pipeline._list_elem(spark_type)
+    if elem is not None:
+        return [["list", "element"] + p for p in _leaf_paths(elem)]
+    sf = pipeline._struct_fields(spark_type)
+    if sf is not None:
+        out = []
+        for fname, ftype in sf:
+            out.extend([[fname] + p for p in _leaf_paths(ftype)])
+        return out
+    return [[]]
+
+
+def _arr_validity(a: pa.Array) -> np.ndarray:
+    if a.null_count == 0:
+        return np.ones(len(a), dtype=bool)
+    return np.asarray(a.is_valid())
+
+
+def _leaf_streams(arr: pa.Array, tokens) -> tuple:
+    """The write-direction Dremel walk for ONE leaf → (values_arrow,
+    rep uint8[E], def uint8[E]). Entry-state arrays (`idx` position in
+    the current Arrow array, `alive` not-yet-terminated, absolute
+    def/rep) evolve through the token list; a terminated entry (null
+    ancestor / empty list) rides through the remaining tokens unchanged
+    and lands in every descendant leaf with its frozen levels — which
+    is exactly the Dremel record-shredding rule. All numpy; the only
+    Arrow calls are .field/.values/.offsets/.take."""
+    idx = np.arange(len(arr), dtype=np.int64)
+    alive = np.ones(len(arr), dtype=bool)
+    defs = np.zeros(len(arr), dtype=np.int16)
+    reps = np.zeros(len(arr), dtype=np.uint8)
+    cur = arr
+    rep_depth = 0
+    for tok in [("opt",)] + tokens:  # column presence first
+        if tok[0] == "opt":
+            valid = _arr_validity(cur)
+            pres = alive.copy()
+            pres[alive] = valid[idx[alive]]
+            defs[pres] += 1
+            alive = pres
+        elif tok[0] == "field":
+            cur = cur.field(tok[1])
+        else:  # ("list",)
+            off = np.asarray(cur.offsets, dtype=np.int64)
+            ai = idx[alive]
+            lens = off[ai + 1] - off[ai]
+            cnt = np.ones(len(idx), dtype=np.int64)
+            cnt[alive] = np.maximum(lens, 1)
+            bump = np.zeros(len(idx), dtype=bool)
+            bump[alive] = lens > 0  # empty lists stop at presence def
+            defs = defs + bump  # every element entry of the list: +1
+            starts = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(cnt, out=starts[1:])
+            E = int(starts[-1])
+            pos = np.arange(E, dtype=np.int64) - np.repeat(starts[:-1], cnt)
+            s = np.zeros(len(idx), dtype=np.int64)
+            s[alive] = off[ai]
+            new_reps = np.repeat(reps, cnt)
+            new_reps[pos > 0] = rep_depth + 1
+            reps = new_reps
+            defs = np.repeat(defs, cnt)
+            alive = np.repeat(bump, cnt)
+            idx = np.repeat(s, cnt) + pos
+            cur = cur.values
+            rep_depth += 1
+    leaf_vals = cur.take(pa.array(idx[alive]))
+    return leaf_vals, reps, defs.astype(np.uint8), alive
+
+
+def _nested_spec(name: str, arr: pa.Array, spark_type: str
+                 ) -> NestedColumnSpec:
+    """Arrow column of ANY struct/list nesting → NestedColumnSpec."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    walks = _leaf_walks(spark_type)
+    paths = _leaf_paths(spark_type)
+    leaves = []
+    for (tokens, leaf_type), path in zip(walks, paths):
+        vals_arrow, reps, defs, alive = _leaf_streams(arr, tokens)
+        max_rep = sum(1 for t in tokens if t[0] == "list")
+        # def contributions: the column's own presence (1), every
+        # ("opt",) presence level, and every ("list",) repetition level
+        max_def = 1 + sum(1 for t in tokens if t[0] != "field")
+        row_starts = np.append(
+            np.flatnonzero(reps == 0).astype(np.int64), len(reps))
+        kind = pipeline._col_kind(leaf_type)
+        leaves.append(NestedLeaf(
+            path=path, kind=kind,
+            values=_leaf_values(vals_arrow, leaf_type),
+            rep=reps, de=defs, max_rep=max_rep, max_def=max_def,
+            row_starts=row_starts,
+            val_cum=np.concatenate(
+                [[0], np.cumsum(alive.astype(np.int64))]),
+            flba_size=_leaf_flba(leaf_type),
+            logical=_leaf_logical(leaf_type),
+        ))
+    return NestedColumnSpec(
+        name=name, n_rows=len(arr), leaves=leaves,
+        schema_elements=_nested_schema_elements(name, spark_type))
 
 
 def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
@@ -108,6 +280,13 @@ def _to_specs(tbl: pa.Table, columns) -> list[ColumnSpec]:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         elem = pipeline._list_elem(spark_type)
+        sf0 = pipeline._struct_fields(spark_type)
+        if ((elem is not None and not _leaf_ok(elem))
+                or (sf0 is not None
+                    and not all(_leaf_ok(t) for _, t in sf0))):
+            # deeper than the specialized writers go → generic Dremel
+            specs.append(_nested_spec(name, arr, spark_type))
+            continue
         if elem is not None:
             # array<scalar> → flattened elements + lengths (+ null-list
             # validity); the writer emits the 3-level LIST group with
@@ -334,8 +513,8 @@ def export_parquet(
         if not _supported(t):
             raise ValueError(
                 f"export_parquet: column {name}: unsupported type {t} "
-                "(scalar, array<scalar>, map<scalar,scalar>, and "
-                "struct of scalars only)")
+                "(any struct/array nesting of scalar leaves, plus "
+                "top-level map<scalar,scalar>)")
     os.makedirs(out_dir, exist_ok=True)
     salt_cols = salt_cols or [c for c, _ in columns if c != repo_col][:2]
     keyed = pipeline.plan_chunks(df, repo_col, salt_cols,

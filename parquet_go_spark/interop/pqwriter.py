@@ -132,6 +132,43 @@ class MapColumnSpec:
 
 
 @dataclass
+class NestedLeaf:
+    """One leaf of an arbitrarily nested column, with its Dremel entry
+    streams already computed (the write-direction shred lives in
+    export._nested_spec). `values` holds the null-stripped leaf values
+    in entry order; `rep`/`de` are uint8 per entry; `row_starts` maps
+    row index → first entry index (length n_rows+1), which is what lets
+    pages break on row boundaries; `val_cum` maps entry index → value
+    index (cumsum of de == max_def)."""
+
+    path: list  # path segments BELOW the column name
+    kind: int
+    values: object
+    rep: np.ndarray
+    de: np.ndarray
+    max_rep: int
+    max_def: int
+    row_starts: np.ndarray
+    val_cum: np.ndarray
+    flba_size: int | None = None
+    encoding: int | None = None
+    logical: str | None = None
+
+
+@dataclass
+class NestedColumnSpec:
+    """One column of ANY nesting (struct/list composition, nullable at
+    every level) → one chunk per leaf with true rep/def streams. The
+    schema subtree is pre-built by the shredder (`schema_elements` is a
+    list of thriftc SchemaElement structs, root group first)."""
+
+    name: str
+    n_rows: int
+    leaves: list  # [NestedLeaf]
+    schema_elements: list  # prebuilt tc.struct(...) blobs
+
+
+@dataclass
 class StructColumnSpec:
     """One struct<...> column → one leaf chunk per field, written as
     the group `<optional|required> group <name> { fields... }`. Each
@@ -643,6 +680,143 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
     }
 
 
+def _write_nested_chunk(out: bytearray, leaf: NestedLeaf, name: str,
+                        row_lo: int, row_hi: int, compression: str | None,
+                        page_rows: int, page_version: int,
+                        statistics: bool) -> dict:
+    """Append one arbitrarily nested leaf chunk: precomputed rep/def
+    entry streams at their true widths, pages broken on ROW boundaries
+    via `row_starts` (an entry with rep 0 starts a record, so a record
+    never splits across pages — the same invariant the 1-level list
+    writer keeps)."""
+    codec = leaf.encoding
+    vals = leaf.values
+    n_rows = row_hi - row_lo
+    rep_width = max(int(leaf.max_rep).bit_length(), 0)
+    def_width = max(int(leaf.max_def).bit_length(), 0)
+
+    elo_all = int(leaf.row_starts[row_lo])
+    ehi_all = int(leaf.row_starts[row_hi])
+    vlo_all = int(leaf.val_cum[elo_all])
+    vhi_all = int(leaf.val_cum[ehi_all])
+    chunk_vals = _slice_values(vals, vlo_all, vhi_all)
+
+    dict_offset = None
+    encodings = {Codec.PLAIN, Codec.RLE, codec}
+    total_raw = total_stored = 0
+    indexes = None
+    if codec == Codec.RLE_DICTIONARY:
+        if leaf.kind == Kind.BYTE_ARRAY:
+            uniques, indexes = dictionary.factorize_byte_array(chunk_vals)
+        elif np.asarray(chunk_vals).ndim == 2:
+            uniques, indexes = dictionary.factorize_flba(chunk_vals)
+        else:
+            uniques, indexes = dictionary.factorize_numeric(
+                np.asarray(chunk_vals))
+        dict_offset = len(out)
+        pg, raw, stored = _page(
+            _DICTIONARY_PAGE,
+            _encode_values(uniques, leaf.kind, Codec.PLAIN, leaf.flba_size),
+            (7, tc.STRUCT, tc.struct([
+                (1, tc.I32, len(uniques)), (2, tc.I32, Codec.PLAIN),
+            ])),
+            compression,
+        )
+        out += pg
+        total_raw += raw
+        total_stored += stored
+
+    data_offset = len(out)
+    pages = []
+    total_entries = 0
+    for lo in range(row_lo, row_hi, page_rows):
+        hi = min(lo + page_rows, row_hi)
+        elo, ehi = int(leaf.row_starts[lo]), int(leaf.row_starts[hi])
+        vlo, vhi = int(leaf.val_cum[elo]), int(leaf.val_cum[ehi])
+        page_vals = _slice_values(vals, vlo, vhi)
+        if indexes is not None:
+            body = rle.encode_dictionary_indexes(
+                indexes[vlo - vlo_all:vhi - vlo_all])
+        else:
+            body = _encode_values(page_vals, leaf.kind, codec,
+                                  leaf.flba_size)
+        rep = leaf.rep[elo:ehi]
+        de = leaf.de[elo:ehi]
+        n_ent = ehi - elo
+        total_entries += n_ent
+        if page_version == 2:
+            rl = (rle.encode_levels(rep, rep_width)
+                  if leaf.max_rep else b"")
+            dl = (rle.encode_levels(de, def_width)
+                  if leaf.max_def else b"")
+            pg, raw, stored = _page(
+                _DATA_PAGE_V2, body,
+                (8, tc.STRUCT, tc.struct([
+                    (1, tc.I32, n_ent),
+                    (2, tc.I32, int(n_ent - (vhi - vlo))),
+                    (3, tc.I32, hi - lo),
+                    (4, tc.I32, codec),
+                    (5, tc.I32, len(dl)),
+                    (6, tc.I32, len(rl)),
+                    (7, tc.BOOL, bool(compression)),
+                ])),
+                compression, precompressed=rl + dl,
+            )
+        else:
+            payload = b""
+            if leaf.max_rep:
+                rpay = rle.encode_hybrid(rep.astype(np.uint64), rep_width)
+                payload += len(rpay).to_bytes(4, "little") + rpay
+            if leaf.max_def:
+                dpay = rle.encode_hybrid(de.astype(np.uint64), def_width)
+                payload += len(dpay).to_bytes(4, "little") + dpay
+            payload += body
+            pg, raw, stored = _page(
+                _DATA_PAGE, payload,
+                (5, tc.STRUCT, tc.struct([
+                    (1, tc.I32, n_ent), (2, tc.I32, codec),
+                    (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
+                ])),
+                compression,
+            )
+        page_off = len(out)
+        out += pg
+        total_raw += raw
+        total_stored += stored
+        lo_b, hi_b = _stat_bounds(page_vals, leaf.kind, leaf.logical)
+        pages.append({
+            "offset": page_off,
+            "size": len(pg),
+            "first_row": lo - row_lo,
+            "null_count": n_ent - (vhi - vlo),
+            "null_page": vhi == vlo,
+            "min": lo_b, "max": hi_b,
+        })
+
+    meta_fields = [
+        (1, tc.I32, leaf.kind),
+        (2, tc.LIST, sorted(encodings), tc.I32),
+        (3, tc.LIST, [name] + list(leaf.path), tc.BINARY),
+        (4, tc.I32, _COMPRESSION[compression]),
+        (5, tc.I64, total_entries),
+        (6, tc.I64, total_raw),
+        (7, tc.I64, total_stored),
+        (9, tc.I64, data_offset),
+        (11, tc.I64, dict_offset),
+        (12, tc.STRUCT,
+         _statistics_struct(chunk_vals, leaf.kind,
+                            total_entries - (vhi_all - vlo_all),
+                            leaf.logical)
+         if statistics else None),
+    ]
+    return {
+        "meta_fields": meta_fields,
+        "file_offset": dict_offset if dict_offset is not None else data_offset,
+        "pages": pages,
+        "total_raw": total_raw,
+    }
+
+
 def _boundary_order(pages: list[dict], kind: int) -> int:
     """BoundaryOrder over non-null pages: 1 ASC, 0 UNORDERED (always a
     safe claim per the spec). Numeric bounds must be compared as VALUES
@@ -718,7 +892,9 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         raise ValueError("page_version must be 1 or 2")
     n_rows = None
     for c in columns:
-        if isinstance(c, StructColumnSpec):
+        if isinstance(c, NestedColumnSpec):
+            rows = c.n_rows
+        elif isinstance(c, StructColumnSpec):
             if c.validity is not None:
                 rows = len(c.validity)
             else:
@@ -735,6 +911,14 @@ def write_table(path: str, columns: list[ColumnSpec], *,
             n_rows = rows
         elif rows != n_rows:
             raise ValueError(f"column {c.name}: {rows} rows, expected {n_rows}")
+        if isinstance(c, NestedColumnSpec):
+            for lf in c.leaves:
+                if len(lf.row_starts) != rows + 1:
+                    raise ValueError(
+                        f"nested column {c.name}/{'.'.join(lf.path)}: "
+                        f"row_starts has {len(lf.row_starts)} slots for "
+                        f"{rows} rows")
+            continue
         if isinstance(c, StructColumnSpec):
             n_present = (int(c.validity.sum())
                          if c.validity is not None else rows)
@@ -791,6 +975,17 @@ def write_table(path: str, columns: list[ColumnSpec], *,
     first_leaf = []  # top-level column idx → its first leaf idx
     for c in columns:
         first_leaf.append(len(leaves))
+        if isinstance(c, NestedColumnSpec):
+            for lf in c.leaves:
+                if lf.encoding is None:
+                    lf.encoding = _default_encoding(lf)
+                used[".".join([c.name] + list(lf.path))] = lf.encoding
+                leaves.append({
+                    "nested": lf, "spec": None,
+                    "path": [c.name] + list(lf.path), "repeated": False,
+                    "cum": None, "entry_valid": None, "val_cum": None,
+                })
+            continue
         if isinstance(c, StructColumnSpec):
             sv = c.validity
             for fname, part in c.fields:
@@ -869,6 +1064,10 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         if g_hi <= g_lo and n_rows > 0:
             break
         chunks = [
+            _write_nested_chunk(
+                out, lf["nested"], lf["path"][0], g_lo, g_hi, compression,
+                page_rows, page_version, statistics)
+            if lf.get("nested") is not None else
             _write_list_chunk(
                 out, lf["spec"], g_lo, g_hi, compression, page_rows,
                 page_version, statistics, lf["cum"], path=lf["path"],
@@ -895,8 +1094,10 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         for g_lo, g_hi, _, chunks in groups:
             for ch, lf in zip(chunks, leaves):
                 spec = lf["spec"]
-                name = ".".join(lf["path"]) if lf["path"] else spec.name
+                name = (".".join(lf["path"]) if lf["path"]
+                        else spec.name)
                 if (name not in wanted or lf["repeated"]
+                        or lf.get("nested") is not None
                         or spec.kind == Kind.BOOLEAN):
                     continue
                 cum = lf["cum"]
@@ -916,7 +1117,9 @@ def write_table(path: str, columns: list[ColumnSpec], *,
     if page_index:
         for _, _, _, chunks in groups:
             for ch, lf in zip(chunks, leaves):
-                ci, oi = _page_index_structs(ch, lf["spec"].kind)
+                lkind = (lf["nested"].kind if lf.get("nested") is not None
+                         else lf["spec"].kind)
+                ci, oi = _page_index_structs(ch, lkind)
                 if ci is not None:
                     ch["ci_off"], ch["ci_len"] = len(out), len(ci)
                     out += ci
@@ -955,6 +1158,9 @@ def write_table(path: str, columns: list[ColumnSpec], *,
         (4, tc.BINARY, "schema"), (5, tc.I32, len(columns)),
     ])]
     for c in columns:
+        if isinstance(c, NestedColumnSpec):
+            schema.extend(c.schema_elements)
+            continue
         if isinstance(c, StructColumnSpec):
             # <optional|required> group <name> { one leaf per field }
             schema.append(tc.struct([

@@ -26,8 +26,130 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BinaryType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                               DateType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+_SPEC_PRIMITIVES = {
+    "boolean": BooleanType(), "int": IntegerType(), "int32": IntegerType(),
+    "integer": IntegerType(), "bigint": LongType(), "int64": LongType(),
+    "long": LongType(), "double": DoubleType(), "string": StringType(),
+    "binary": BinaryType(), "date": DateType(),
+}
+
+
+def _spec_group_type(spec) -> StructType:
+    """Shredding spec node → the spec's {value, typed_value} group type."""
+    if isinstance(spec, dict):
+        typed = StructType([
+            StructField(k, _spec_group_type(s)) for k, s in spec.items()
+        ])
+    elif isinstance(spec, (list, tuple)):
+        if len(spec) != 1:
+            raise ValueError("array spec must have exactly one element")
+        typed = ArrayType(_spec_group_type(spec[0]))
+    else:
+        typed = _SPEC_PRIMITIVES[str(spec).lower()]
+    return StructType([
+        StructField("value", BinaryType()),
+        StructField("typed_value", typed),
+    ])
+
+
+def shred_variant(df: DataFrame, json_col: str, spec, *,
+                  out_col: str = "var") -> DataFrame:
+    """Replace `json_col` (a JSON string column of ANY shape) with the
+    spec's recursive shredded variant group — struct<metadata binary,
+    value binary, typed_value T(spec)> where objects shred field-wise
+    into nested {value, typed_value} groups and arrays element-wise
+    through list<group> (VariantShredding.md case tables; reference
+    variant_shredded_write.go). The flat-JSON-only ``shred_json``
+    remains for the common one-level case where typed extraction stays
+    JVM-side; this operator routes the whole row through the
+    codecs.variant shredder in one mapInArrow kernel (the case-table
+    fallback encoding is not SQL-expressible). Scale shape: a narrow
+    map over the scan — no shuffle, no driver funnel; per-batch memory
+    is one Arrow batch of (metadata, value, typed) columns."""
+    from parquet_go_spark.codecs import variant as vcodec
+
+    base_fields = [f for f in df.schema.fields if f.name != json_col]
+    group_t = _spec_group_type(spec)
+    var_t = StructType([
+        StructField("metadata", BinaryType()),
+        StructField("value", group_t["value"].dataType),
+        StructField("typed_value", group_t["typed_value"].dataType),
+    ])
+    out_schema = StructType(base_fields + [StructField(out_col, var_t)])
+
+    def shred(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        pa_var = to_arrow_type(var_t)
+        for b in batches:
+            names = b.schema.names
+            j = b.column(names.index(json_col))
+            rows = []
+            for s in j.to_pylist():
+                if s is None:
+                    rows.append(None)
+                    continue
+                obj = json.loads(s)
+                meta, grp = vcodec.shred_row(obj, spec)
+                rows.append({"metadata": meta, "value": grp["value"],
+                             "typed_value": grp["typed_value"]})
+            cols = [b.column(names.index(f.name)) for f in base_fields]
+            yield pa.record_batch(
+                cols + [pa.array(rows, pa_var)],
+                schema=pa.schema(
+                    [b.schema.field(names.index(f.name))
+                     for f in base_fields]
+                    + [pa.field(out_col, pa_var)]),
+            )
+
+    return df.mapInArrow(shred, out_schema)
+
+
+def unshred_variant(df: DataFrame, var_col: str = "var", *,
+                    out_col: str = "json") -> DataFrame:
+    """Recursive inverse of ``shred_variant``: any shredded variant
+    group (arbitrary nesting of object/array/primitive typed_value
+    columns) → canonical JSON string. Arrow's to_pylist delivers the
+    nested {value, typed_value} groups exactly as
+    ``reconstruct_shredded`` consumes them, so the kernel is one call
+    per row. A narrow map — no shuffle."""
+    from parquet_go_spark.codecs import variant as vcodec
+
+    base_fields = [f for f in df.schema.fields if f.name != var_col]
+    out_schema = StructType(
+        base_fields + [StructField(out_col, StringType())])
+
+    def decode(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            names = b.schema.names
+            var = b.column(names.index(var_col))
+            out = []
+            for row in var.to_pylist():
+                if row is None or row.get("metadata") is None:
+                    out.append(None)
+                    continue
+                v = vcodec.reconstruct_shredded(
+                    row["metadata"], row.get("value"),
+                    row.get("typed_value"))
+                out.append(json.dumps(v, sort_keys=True,
+                                      separators=(",", ":")))
+            cols = [b.column(names.index(f.name)) for f in base_fields]
+            yield pa.record_batch(
+                cols + [pa.array(out, pa.string())],
+                schema=pa.schema(
+                    [b.schema.field(names.index(f.name))
+                     for f in base_fields]
+                    + [pa.field(out_col, pa.string())]),
+            )
+
+    return df.mapInArrow(decode, out_schema)
 
 
 def shred_json(df: DataFrame, json_col: str,

@@ -511,9 +511,12 @@ def _level_hists(ancestors, n_slots: int, null_count: int):
     [n_rows, c_1 − nonempty_1, …, c_k − nonempty_k] (an entry repeats
     at level j iff it starts a non-first element of a level-j list);
     def histogram [empty_1, …, empty_k, leaf_nulls, leaf_values]
-    (an entry stops at level j−1 iff the level-j list is empty; our
-    containers are non-null, so lists add exactly one def level each
-    and the nullable leaf adds the last)."""
+    (an entry stops at level j−1 iff the level-j list is empty; lists
+    add exactly one def level each and the nullable leaf adds the
+    last). Null containers (round 5) pose as empty in their lengths
+    stream, so the histogram folds them into the empty bucket — the
+    parquet-exact null/empty distinction lives in the 'valid' streams,
+    not these diagnostic stats."""
     k = len(ancestors)
     n_rows = len(ancestors[0]) if k else n_slots
     rep = [n_rows] + [
@@ -544,8 +547,10 @@ def _shred_column(arr, spark_type: str, prefix: str = "", ancestors=()):
     Every repeated level contributes one shared lengths stream (the
     repetition-level analog); scalar leaves carry a validity bitmap
     (the definition-level analog). Null contract, applied recursively:
-    container values are non-null at every level; scalar leaves may be
-    null anywhere (including list elements)."""
+    scalar leaves may be null anywhere (including list elements);
+    container values may be null at any level too (round 5) — a null
+    container emits a boolean 'valid' stream for its domain and rides
+    through the lengths/child streams as empty/all-null."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     el = _list_elem(spark_type)
@@ -553,10 +558,17 @@ def _shred_column(arr, spark_type: str, prefix: str = "", ancestors=()):
     sf = _struct_fields(spark_type)
     if el is not None:
         if arr.null_count:
-            raise ValueError(
-                f"list values must be non-null ({prefix or 'column'})")
+            # nullable container: one boolean 'valid' stream per nesting
+            # domain (round 5 — the write direction of nested VARIANT
+            # shredding produces null groups/lists at every level); null
+            # lists ride as length-0 in the lengths stream and the
+            # reconstructor re-marks them null from 'valid'
+            valid = np.asarray(arr.is_valid())
+            yield (_join_stream(prefix, "valid"), valid,
+                   Kind.BOOLEAN, "boolean", None, None, None)
         lengths = np.asarray(
-            pa.compute.list_value_length(arr)).astype(np.int32)
+            pa.compute.fill_null(
+                pa.compute.list_value_length(arr), 0)).astype(np.int32)
         yield (_join_stream(prefix, "lengths"), lengths,
                Kind.INT32, "int", None, None, None)
         # list/map elements need a distinguishing 'item' segment (their
@@ -571,17 +583,19 @@ def _shred_column(arr, spark_type: str, prefix: str = "", ancestors=()):
                                  ancestors + (lengths,))
     elif mk is not None:
         ktype, vtype = mk
-        if arr.null_count:
-            raise ValueError(
-                f"map values must be non-null ({prefix or 'column'})")
         # cast map → list<struct<key,value>> (slice-safe; pyarrow's
         # list kernels have no map variants), then shred
         arr = arr.cast(pa.list_(pa.struct([
             pa.field("key", arr.type.key_type, nullable=False),
             pa.field("value", arr.type.item_type),
         ])))
+        if arr.null_count:
+            valid = np.asarray(arr.is_valid())
+            yield (_join_stream(prefix, "valid"), valid,
+                   Kind.BOOLEAN, "boolean", None, None, None)
         lengths = np.asarray(
-            pa.compute.list_value_length(arr)).astype(np.int32)
+            pa.compute.fill_null(
+                pa.compute.list_value_length(arr), 0)).astype(np.int32)
         yield (_join_stream(prefix, "lengths"), lengths,
                Kind.INT32, "int", None, None, None)
         entries = arr.flatten()
@@ -595,9 +609,16 @@ def _shred_column(arr, spark_type: str, prefix: str = "", ancestors=()):
             ancestors + (lengths,))
     elif sf is not None:
         if arr.null_count:
-            raise ValueError(
-                f"struct values must be non-null ({prefix or 'column'}; "
-                "fields may be null)")
+            valid = np.asarray(arr.is_valid())
+            # 's:valid', not 'valid': a struct ELEMENT of a list shares
+            # the list's prefix (legacy naming), so the struct's
+            # validity must not collide with the list's own 'valid'
+            # ('s:' can't collide with fields, which are 'f:<name>')
+            yield (_join_stream(prefix, "s:valid"), valid,
+                   Kind.BOOLEAN, "boolean", None, None, None)
+        # StructArray.flatten() merges the parent validity into each
+        # child, so null structs ride as all-null fields; the 'valid'
+        # stream restores the null-struct vs all-null-fields distinction
         for (fname, ftype), child in zip(sf, arr.flatten()):
             yield from _shred_column(
                 child, ftype, _join_stream(prefix, f"f:{fname}"), ancestors)
@@ -1317,6 +1338,16 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
         el = _list_elem(spark_type)
         mk = _map_kv(spark_type)
         sf = _struct_fields(spark_type)
+
+        def _cont_valid(pfx, stream="valid"):
+            """Container validity (round-5 nullable-container grammar);
+            stores written before it simply lack the stream → all
+            present. Structs use 's:valid' (see _shred_column)."""
+            vkey = _join_stream(pfx, stream)
+            if vkey in st:
+                return np.asarray(st[vkey][0]).astype(bool)
+            return None
+
         if el is not None:
             lengths, _ = st[_join_stream(prefix, "lengths")]
             assert len(lengths) == n
@@ -1327,8 +1358,16 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
                                 or _map_kv(el) is not None)
                             else prefix)
             child = _unshred(st, el, child_prefix, int(offsets[-1]))
-            return pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), child)
+            valid = _cont_valid(prefix)
+            if valid is None:
+                off_arr = pa.array(offsets, pa.int32())
+            else:
+                # a null offset marks the list itself null (final
+                # offset stays non-null per the Arrow layout)
+                off_arr = pa.array(
+                    offsets, pa.int32(),
+                    mask=np.concatenate([~valid, [False]]))
+            return pa.ListArray.from_arrays(off_arr, child)
         if mk is not None:
             ktype, vtype = mk
             lengths, _ = st[_join_stream(prefix, "lengths")]
@@ -1338,15 +1377,23 @@ def _decode_stream_fn(cols: list[tuple[str, str]]):
             n_flat = int(offsets[-1])
             karr = _unshred(st, ktype, _join_stream(prefix, "keys"), n_flat)
             iarr = _unshred(st, vtype, _join_stream(prefix, "values"), n_flat)
-            return pa.MapArray.from_arrays(
-                pa.array(offsets, pa.int32()), karr, iarr)
+            valid = _cont_valid(prefix)
+            if valid is None:
+                off_arr = pa.array(offsets, pa.int32())
+            else:
+                off_arr = pa.array(
+                    offsets, pa.int32(),
+                    mask=np.concatenate([~valid, [False]]))
+            return pa.MapArray.from_arrays(off_arr, karr, iarr)
         if sf is not None:
             children = [
                 _unshred(st, ftype, _join_stream(prefix, f"f:{fname}"), n)
                 for fname, ftype in sf
             ]
+            valid = _cont_valid(prefix, "s:valid")
             return pa.StructArray.from_arrays(
-                children, names=[fname for fname, _ in sf])
+                children, names=[fname for fname, _ in sf],
+                mask=pa.array(~valid) if valid is not None else None)
         arr = _rebuild(*st[prefix or "values"], spark_type)
         assert len(arr) == n
         return arr
