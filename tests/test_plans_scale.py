@@ -121,3 +121,85 @@ def test_ivf_assignment_is_narrow(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Generate" not in plan  # no explode
+
+
+# ------- round-5 promotions: pin the round-4 reader-surface plan shapes
+
+
+def _write_rg_dir(tmp_path, n=8000, files=2, rg=1000):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "rgdir"
+    d.mkdir()
+    per = n // files
+    for f in range(files):
+        tbl = pa.table({
+            "k": pa.array(range(f * per, (f + 1) * per), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(per)]),
+        })
+        pq.write_table(tbl, str(d / f"f{f}.parquet"), row_group_size=rg)
+    return str(d)
+
+
+def test_pqread_filters_ride_in_partitions(tmp_path):
+    """The pushed predicates must live INSIDE each InputPartition (the
+    stateless-reader contract that sidesteps Spark 4.1's per-relation
+    partition cache), and partitions() must RESET them so a later
+    no-push query cannot inherit stale pruning."""
+    from pyspark.sql.datasource import EqualTo
+
+    from parquet_go_spark.sources.pqread import PqreadReader
+
+    d = _write_rg_dir(tmp_path)
+    r = PqreadReader(d)
+    r.pushFilters([EqualTo(("k",), 7)])
+    parts = r.partitions()
+    assert len(parts) == 2
+    assert all(p.preds == (("k", "=", 7),) for p in parts)
+    # second planning round without a push: clean slate
+    parts2 = r.partitions()
+    assert all(p.preds == () for p in parts2)
+
+
+def test_pqread_partition_read_prunes_row_groups(tmp_path, monkeypatch):
+    """Reading a pushed-filter partition must decode only the surviving
+    row groups' pages (spy on _decode_page), not the whole file."""
+    import pyarrow as pa
+
+    from pyspark.sql.datasource import LessThan
+
+    from parquet_go_spark.interop import pqreader
+    from parquet_go_spark.sources.pqread import PqreadReader
+
+    d = _write_rg_dir(tmp_path)  # sorted k, 4 row groups per file
+    calls = []
+    orig = pqreader._decode_page
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pqreader, "_decode_page", spy)
+    r = PqreadReader(d)
+    r.pushFilters([LessThan(("k",), 100)])
+    rows = []
+    for p in r.partitions():
+        for b in (r.read(p) or []):
+            rows.extend(b.column("k").to_pylist())
+    assert sorted(rows) == list(range(100))
+    # file 1 prunes entirely; file 0 keeps 1 of 4 row groups (2 leaf
+    # columns => a handful of pages, nowhere near the full 16+)
+    assert 0 < len(calls) <= 4
+
+
+def test_split_row_groups_partition_count_scales(spark, tmp_path):
+    """spark_read(split_row_groups=True): one input slice per ROW
+    GROUP, so parallelism scales with data volume, not file count."""
+    from parquet_go_spark.interop import pqreader
+
+    d = _write_rg_dir(tmp_path)  # 2 files x 4 row groups
+    df = pqreader.spark_read(spark, d, split_row_groups=True)
+    assert df.rdd.getNumPartitions() == 8
+    whole = pqreader.spark_read(spark, d, split_row_groups=False)
+    assert whole.rdd.getNumPartitions() == 2
