@@ -1,0 +1,75 @@
+"""Deterministically synthesize /tmp/sf1 (10x sf0.1) for the round-5
+scale-step bench: every table is 10 shifted copies of the sf0.1 table.
+
+Key columns shift by copy*stride so ids stay unique; documents.text
+gets a per-copy suffix so near-duplicate structure scales ~linearly
+(verbatim copies would square the candidate counts and make every
+LSH-family operator look super-linear for data reasons, not plan
+reasons); embeddings get a tiny deterministic per-copy rotation for the
+same reason. Everything is a pure function of (sf0.1 bytes, copy id) —
+no randomness, no external data.
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+COPIES = 10
+
+ID_COLS = {
+    "customer": ["c_custkey"], "documents": ["doc_id"],
+    "embeddings": ["vec_id"], "events": ["event_id"],
+    "lineitem": ["l_orderkey"], "orders": ["o_orderkey"],
+    "part": ["p_partkey"], "supplier": ["s_suppkey"],
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in ("region", "nation"):  # dims stay as-is
+        pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
+                       f"{DST}/{name}.parquet")
+    for name, keys in ID_COLS.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        strides = {k: int(pc.max(t.column(k)).as_py()) + 1 for k in keys}
+        copies = []
+        for c in range(COPIES):
+            tc_ = t
+            for k in keys:
+                i = tc_.column_names.index(k)
+                tc_ = tc_.set_column(
+                    i, k, pc.add(tc_.column(k),
+                                 pa.scalar(c * strides[k],
+                                           tc_.column(k).type.id and
+                                           tc_.column(k).type)))
+            if name == "documents" and c > 0:
+                i = tc_.column_names.index("text")
+                txt = pc.binary_join_element_wise(
+                    tc_.column("text").cast(pa.string()),
+                    pa.array([f" c{c}"] * len(t), pa.string()), "")
+                tc_ = tc_.set_column(i, "text", txt)
+            if name == "embeddings" and c > 0:
+                i = tc_.column_names.index("embedding")
+                col = tc_.column("embedding").combine_chunks()
+                off = np.asarray(col.offsets, dtype=np.int64)
+                vals = np.asarray(col.values, dtype=np.float32).copy()
+                # deterministic per-copy perturbation, position-dependent
+                j = np.arange(len(vals), dtype=np.float32)
+                vals += np.float32(1e-3) * np.float32(c) * np.cos(j)
+                new = pa.ListArray.from_arrays(
+                    pa.array(off, pa.int32()),
+                    pa.array(vals, pa.float32()))
+                tc_ = tc_.set_column(i, "embedding", new)
+            copies.append(tc_)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, f"{DST}/{name}.parquet")
+        print(name, out.num_rows, flush=True)
+
+
+if __name__ == "__main__":
+    main()
