@@ -401,9 +401,9 @@ def simhash_block_tables(
     key_blocks trades table count against key width (candidate
     precision): key_blocks=2 at max_hamming=8 → 45 tables of ~13-bit
     keys; key_blocks=3 → 165 tables of ~19-bit keys (fewer false
-    candidates per table, more exploded rows). At corpus scale the
-    shuffled candidate relation is (tables × docs) narrow rows, so the
-    default stays at 2.
+    candidates per table, more exploded rows). simhash_near_pairs picks
+    key_blocks per corpus size by default (see simhash_auto_key_blocks);
+    every choice returns identical pairs.
     """
     from itertools import combinations
 
@@ -424,13 +424,63 @@ def simhash_block_tables(
     return sizes, offsets, tables
 
 
+def simhash_block_cost(
+    n_docs: int, max_hamming: int, key_blocks: int
+) -> float:
+    """Estimated row cost of one key_blocks choice: exploded/shuffled
+    banded rows (tables × n) plus expected join collisions under a
+    uniform-key model (Σ_tables n²/2^(key bits)/2). The second term is
+    the quadratic one — wider keys (more blocks per key) shrink it
+    exponentially while the first term grows only combinatorially, so
+    the minimizing key_blocks escalates with corpus size (≈2 under ~20k
+    docs, 3 to ~300k, 4 beyond for max_hamming=8)."""
+    sizes, _, tables = simhash_block_tables(max_hamming, key_blocks)
+    shuffle = len(tables) * float(n_docs)
+    collide = sum(
+        float(n_docs) * n_docs / 2.0 ** (sum(sizes[b] for b in t) + 1)
+        for t in tables
+    )
+    return shuffle + collide
+
+
+def simhash_auto_key_blocks(
+    n_docs: int, max_hamming: int = 8, max_tables: int = 2048
+) -> int:
+    """Pick the key_blocks minimizing simhash_block_cost, capped so the
+    table count stays bounded (table count is C(max_hamming+kb, kb),
+    combinatorial in kb)."""
+    from math import comb
+
+    best_kb, best_cost = 1, float("inf")
+    kb = 1
+    while max_hamming + kb <= 64 and comb(max_hamming + kb, kb) <= max_tables:
+        cost = simhash_block_cost(max(n_docs, 1), max_hamming, kb)
+        if cost < best_cost:
+            best_kb, best_cost = kb, cost
+        kb += 1
+    return best_kb
+
+
 def simhash_near_pairs(
-    sk: DataFrame, max_hamming: int = 8, key_blocks: int = 2
+    sk: DataFrame, max_hamming: int = 8,
+    key_blocks: int | str = "auto", n_docs: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via permuted-block tables sized to max_hamming,
     verified with bit_count(xor) — recall is EXACT by construction (see
     simhash_block_tables; the round-4 fixed 4×16-bit banding silently
     missed pairs with 4-8 differing bits spread across all four bands).
+
+    key_blocks="auto" sizes the tables to the corpus: a FIXED block
+    scheme has fixed-width keys, so bucket load — and with it the
+    candidate join output — grows linearly (quadratically) with docs;
+    the sf1 scale step measured exactly that (45 13-bit-key tables:
+    ~6 docs/bucket at 50k docs vs <1 at 5k). Auto picks the
+    simhash_block_cost-minimizing scheme from n_docs (pass it when
+    known — e.g. parquet row count — to skip the counting job; an
+    unknown n_docs costs one localCheckpoint+count of the sketches,
+    which the pair join then reuses). The output is IDENTICAL for every
+    key_blocks: recall is guaranteed by pigeonhole for each scheme and
+    the hamming verify is exact, so auto-tuning never changes results.
 
     All expressions stay JVM-side: block extraction is shiftright+mask
     (arithmetic shift on the signed sketch is harmless — the mask strips
@@ -438,6 +488,11 @@ def simhash_near_pairs(
     hamming verify touches the two sketch longs already carried by the
     join.
     """
+    if key_blocks == "auto":
+        if n_docs is None:
+            sk = sk.localCheckpoint(eager=True)
+            n_docs = sk.count()
+        key_blocks = simhash_auto_key_blocks(n_docs, max_hamming)
     sizes, offsets, tables = simhash_block_tables(max_hamming, key_blocks)
 
     def table_key(t: tuple[int, ...]) -> Column:

@@ -201,6 +201,52 @@ def test_simhash_pairs_adversarial_spread_bits(spark):
     assert got[(0, 1)] == 8 and got[(0, 2)] == 4
 
 
+def test_simhash_auto_key_blocks_escalates():
+    """The cost model must widen keys as the corpus grows (a fixed
+    scheme's candidate join output is quadratic in docs — the sf1 scale
+    step measured it), and cap the table count."""
+    from math import comb
+
+    kbs = [dedup.simhash_auto_key_blocks(n, 8)
+           for n in (500, 5_000, 50_000, 500_000, 50_000_000)]
+    assert kbs == sorted(kbs)  # monotone escalation
+    assert kbs[0] <= 2 and kbs[2] >= 3  # 50k docs must not stay at kb=2
+    for n in (1, 10**12):
+        kb = dedup.simhash_auto_key_blocks(n, 8)
+        assert comb(8 + kb, kb) <= 2048
+
+
+def test_simhash_pairs_key_blocks_invariant(spark):
+    """Every key_blocks scheme (and auto) must return IDENTICAL pairs —
+    recall is guaranteed per scheme and the hamming verify is exact."""
+    import random
+
+    rng = random.Random(0xB10C)
+    sketches = {}
+    for j in range(40):
+        u = rng.getrandbits(64)
+        sketches[2 * j] = u
+        v = u
+        for b in rng.sample(range(64), rng.randrange(0, 12)):
+            v ^= 1 << b
+        sketches[2 * j + 1] = v
+    sk = spark.createDataFrame(
+        [(j, _signed64(u)) for j, u in sketches.items()],
+        "id bigint, simhash bigint",
+    )
+    want = _ref_simhash_pairs(sketches, max_hamming=8)
+    for kb in (1, 2, 3, "auto"):
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in dedup.simhash_near_pairs(
+                   sk, max_hamming=8, key_blocks=kb).collect()}
+        assert got == want, f"key_blocks={kb}"
+    # n_docs hint path: no counting job, same output
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(
+               sk, max_hamming=8, n_docs=len(sketches)).collect()}
+    assert got == want
+
+
 @pytest.mark.parametrize("max_hamming", [3, 8])
 def test_simhash_pairs_random_recall(spark, max_hamming):
     """Seeded random sketches with planted perturbations at every radius
