@@ -195,9 +195,11 @@ def might_contain(bitset: bytes | np.ndarray, hashes: np.ndarray) -> np.ndarray:
     return np.all((got & masks) == masks, axis=1)
 
 
-def bloom_blob(hashes: np.ndarray, fpp: float = DEFAULT_FPP,
-               nbytes: int | None = None) -> bytes:
-    """BloomFilterHeader (thrift compact) + bitset, ready to embed.
+def bloom_parts(hashes: np.ndarray, fpp: float = DEFAULT_FPP,
+                nbytes: int | None = None) -> tuple[bytes, bytes]:
+    """(BloomFilterHeader thrift bytes, bitset bytes) — separate parts
+    so modular encryption can wrap each in its own module (header and
+    bitset have distinct module types, 8/9).
     Header: numBytes / algorithm=BLOCK / hash=XXHASH / compression=NONE,
     each union member an empty struct per parquet-format."""
     ndv = len(np.unique(hashes)) if len(hashes) else 1
@@ -209,7 +211,14 @@ def bloom_blob(hashes: np.ndarray, fpp: float = DEFAULT_FPP,
         (3, tc.STRUCT, tc.struct([(1, tc.STRUCT, empty)])),
         (4, tc.STRUCT, tc.struct([(1, tc.STRUCT, empty)])),
     ])
-    return header + build_bitset(hashes, nbytes)
+    return header, build_bitset(hashes, nbytes)
+
+
+def bloom_blob(hashes: np.ndarray, fpp: float = DEFAULT_FPP,
+               nbytes: int | None = None) -> bytes:
+    """BloomFilterHeader (thrift compact) + bitset, ready to embed."""
+    header, bits = bloom_parts(hashes, fpp, nbytes)
+    return header + bits
 
 
 def read_blooms(path: str,

@@ -233,3 +233,145 @@ def parse_algorithm(algo: dict, decryption: FileDecryption,
                 "the AAD prefix (FileDecryption.aad_prefix)")
         prefix = decryption.aad_prefix
     return bytes(prefix) + bytes(gcm.get(2, b"") or b"")
+
+
+# ----------------------------------------------------------- WRITE side
+# (reference encrypt.go: EncryptionConfig / encryptModule / signFooter;
+#  module layout identical to the read side above, so every writer
+#  byte is consumed by our own decrypt_module and by pyarrow)
+
+def encrypt_module(key: bytes, aad: bytes, plaintext: bytes) -> bytes:
+    """One length-prefixed GCM module:
+    [4 B LE length][12 B nonce][ciphertext||16 B tag]; the length
+    counts nonce+ciphertext+tag (encrypt.go:171-199 writes the same
+    envelope). Nonces are fresh-random per module — GCM's only hard
+    requirement; module identity/order is bound by the AAD instead."""
+    import os
+
+    nonce = os.urandom(12)
+    ct = _aesgcm(key).encrypt(nonce, plaintext, aad)
+    return (12 + len(ct)).to_bytes(4, "little") + nonce + ct
+
+
+def sign_footer(key: bytes, file_aad: bytes, footer: bytes) -> bytes:
+    """28-byte plaintext-footer signature ([nonce][GCM tag]) appended
+    after the serialized FileMetaData in plaintext-footer mode. The
+    tag is GCM over the FOOTER BYTES AS PLAINTEXT with the footer
+    module AAD — the construction pyarrow/parquet-mr verify (and the
+    mirror of the check in pqreader._read_footer_file)."""
+    import os
+
+    nonce = os.urandom(12)
+    ct = _aesgcm(key).encrypt(
+        nonce, footer, module_aad(file_aad, FOOTER))
+    return nonce + ct[-16:]
+
+
+@dataclass
+class FileEncryption:
+    """Write-side configuration (encrypt.go EncryptionConfig analog).
+
+    Every column is encrypted (reference columnKeyFor falls back to
+    FooterKey); columns named in `column_keys` use their own DEK and
+    travel as ENCRYPTION_WITH_COLUMN_KEY with the ColumnMetaData in
+    its own encrypted module; names in `plaintext_columns` opt out
+    entirely (pyarrow's partial-encryption layout). Keys are raw AES
+    DEKs (16/24/32 B); *_key_metadata blobs are stored verbatim so a
+    reader's key retriever can resolve them (use LocalKeyWrap for
+    pyarrow-compatible PKMT1 material). plaintext_footer=True keeps a
+    readable (stats-stripped) footer, signed with a 28-byte GCM tag,
+    under PAR1 magic; the default writes the PARE encrypted-footer
+    layout."""
+
+    footer_key: bytes
+    column_keys: dict[str, bytes] = field(default_factory=dict)
+    plaintext_columns: frozenset | set = field(default_factory=set)
+    plaintext_footer: bool = False
+    aad_prefix: bytes = b""
+    store_aad_prefix: bool = True
+    file_identifier: bytes | None = None
+    footer_key_metadata: bytes | None = None
+    column_key_metadata: dict[str, bytes] = field(default_factory=dict)
+
+    def __post_init__(self):
+        for what, k in [("footer_key", self.footer_key),
+                        *((f"column_keys[{n!r}]", k)
+                          for n, k in self.column_keys.items())]:
+            if len(k) not in (16, 24, 32):
+                raise ValueError(
+                    f"pqcrypt: {what} must be 16/24/32 bytes, "
+                    f"got {len(k)}")
+        if self.file_identifier is not None \
+                and len(self.file_identifier) != 8:
+            raise ValueError("pqcrypt: file_identifier must be 8 bytes")
+
+    def file_unique(self) -> bytes:
+        import os
+
+        return self.file_identifier or os.urandom(8)
+
+    def key_for(self, dotted: str) -> bytes | None:
+        """DEK for a leaf column (dotted path), or None = plaintext."""
+        if dotted in self.plaintext_columns:
+            return None
+        return self.column_keys.get(dotted, self.footer_key)
+
+
+@dataclass
+class LocalKeyWrap:
+    """The write-side mirror of LocalKeyUnwrap: AES-GCM-wraps DEKs as
+    base64(nonce[12] || ct || tag[16]) under a master key and emits
+    pyarrow/parquet-mr "PKMT1" internal-storage key material, so files
+    we write are decryptable BOTH by our pyarrow_key_retriever and by
+    a pyarrow CryptoFactory whose KmsClient unwraps the same way."""
+
+    master_keys: dict  # master_key_id -> key bytes
+
+    def wrap(self, dek: bytes, master_key_id: str) -> str:
+        import base64
+        import os
+
+        if master_key_id not in self.master_keys:
+            raise ValueError(
+                f"pqcrypt: no master key {master_key_id!r} supplied")
+        nonce = os.urandom(12)
+        ct = _aesgcm(self.master_keys[master_key_id]).encrypt(
+            nonce, dek, None)
+        return base64.b64encode(nonce + ct).decode()
+
+    def key_material(self, dek: bytes, master_key_id: str, *,
+                     is_footer: bool) -> bytes:
+        km = {"keyMaterialType": "PKMT1", "internalStorage": True,
+              "isFooterKey": is_footer}
+        if is_footer:
+            # pyarrow's footer material carries the KMS endpoint slots
+            km["kmsInstanceID"] = "DEFAULT"
+            km["kmsInstanceURL"] = "DEFAULT"
+        km["masterKeyID"] = master_key_id
+        km["wrappedDEK"] = self.wrap(dek, master_key_id)
+        km["doubleWrapping"] = False
+        return json.dumps(km, separators=(",", ":")).encode()
+
+
+def wrapped_encryption(masters: dict, *, footer_master: str,
+                       column_masters: dict | None = None,
+                       **kwargs) -> FileEncryption:
+    """FileEncryption with fresh random DEKs wrapped under the given
+    master keys as PKMT1 key material — the turnkey pyarrow-interop
+    configuration (masters: id -> 16/24/32 B key; column_masters:
+    dotted column -> master id)."""
+    import os
+
+    wrap = LocalKeyWrap(masters)
+    fk = os.urandom(16)
+    column_keys, col_meta = {}, {}
+    for name, mid in (column_masters or {}).items():
+        dek = os.urandom(16)
+        column_keys[name] = dek
+        col_meta[name] = wrap.key_material(dek, mid, is_footer=False)
+    return FileEncryption(
+        footer_key=fk,
+        footer_key_metadata=wrap.key_material(
+            fk, footer_master, is_footer=True),
+        column_keys=column_keys, column_key_metadata=col_meta,
+        **kwargs)

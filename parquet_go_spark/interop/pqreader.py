@@ -822,7 +822,8 @@ def _read_footer_file(f, size: int, path: str, decryption=None) -> dict:
                 raise ValueError(
                     f"pqreader: {path} footer signature mismatch — "
                     "wrong footer key or tampered footer")
-        _normalize_encrypted(fmd, file_aad, decryption, path)
+        _normalize_encrypted(fmd, file_aad, decryption, path,
+                             footer_key_metadata=fmd.get(9))
     return fmd
 
 
@@ -848,12 +849,14 @@ def _read_encrypted_footer(f, size: int, path: str, decryption) -> dict:
         buf, used, key, pqcrypt.module_aad(file_aad, pqcrypt.FOOTER),
         "footer")
     fmd, _ = read_struct(pt, 0)
-    _normalize_encrypted(fmd, file_aad, decryption, path)
+    _normalize_encrypted(fmd, file_aad, decryption, path,
+                         footer_key_metadata=fcm.get(2))
     return fmd
 
 
 def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
-                         path: str) -> None:
+                         path: str,
+                         footer_key_metadata: bytes | None = None) -> None:
     """Resolve every encrypted column chunk to a DECRYPTED ColumnMetaData
     dict in ColumnChunk field 3 carrying its ChunkCrypto under the
     "__crypto__" key — downstream metadata consumers (stat pruning,
@@ -866,6 +869,10 @@ def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
     from parquet_go_spark.interop import pqcrypt
 
     for rg_i, rg in enumerate(fmd.get(4, [])):
+        # module AADs are keyed on RowGroup.ordinal (field 7) when the
+        # writer recorded it (parquet-cpp/-mr always do); positional
+        # index is the fallback for writers that omit it
+        rg_ord = rg.get(7, rg_i)
         for col_i, cc in enumerate(rg[1]):
             cm = cc.get(8)
             if cm is None:
@@ -875,7 +882,8 @@ def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
                     cc[3]["__crypto__"] = None
                 continue
             if 1 in cm:  # ENCRYPTION_WITH_FOOTER_KEY
-                key = decryption.resolve(None, None, footer=True)
+                key = decryption.resolve(footer_key_metadata, None,
+                                         footer=True)
                 colname = None
             elif 2 in cm:  # ENCRYPTION_WITH_COLUMN_KEY
                 info = cm[2]
@@ -890,7 +898,7 @@ def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
                     f"ColumnCryptoMetaData union ({sorted(cm)})")
             if 9 in cc:  # ColumnMetaData as its own encrypted module
                 aad = pqcrypt.module_aad(
-                    file_aad, pqcrypt.COLUMN_METADATA, rg_i, col_i)
+                    file_aad, pqcrypt.COLUMN_METADATA, rg_ord, col_i)
                 pt, _ = pqcrypt.decrypt_module(
                     cc[9], 0, key, aad,
                     f"column metadata ({colname or col_i})")
@@ -902,7 +910,7 @@ def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
                     f"pqreader: {path} encrypted column {col_i} has "
                     "neither meta_data nor encrypted_column_metadata")
             meta["__crypto__"] = pqcrypt.ChunkCrypto(
-                key, file_aad, rg_i, col_i)
+                key, file_aad, rg_ord, col_i)
 
 
 def read_schema(path: str, decryption=None) -> pa.Schema:
@@ -2091,9 +2099,12 @@ def read_rows(path: str, columns: list[str] | None = None,
 def list_parquet_files(dir_path: str) -> list[str]:
     """Data files of a directory: *.parquet, skipping underscore/dot
     sidecars (the one file-discovery rule, shared by spark_read and
-    the pqread data source)."""
+    the pqread data source). A path to a single FILE is returned as-is
+    (spark.read.parquet accepts both shapes; so do we)."""
     import os
 
+    if os.path.isfile(dir_path):
+        return [dir_path]
     files = sorted(
         os.path.join(dir_path, f) for f in os.listdir(dir_path)
         if f.endswith(".parquet") and not f.startswith(("_", "."))

@@ -372,16 +372,51 @@ def _list_levels(lens: np.ndarray, valid: np.ndarray | None,
 
 def _page(page_type: int, payload: bytes, header_field: tuple,
           compression: str | None,
-          precompressed: bytes = b"") -> tuple[bytes, int, int]:
+          precompressed: bytes = b"", crypto=None,
+          page_ord: int = 0) -> tuple[bytes, int, int]:
     """→ (page bytes, uncompressed size, stored size). `precompressed`
     bytes (v2 level streams) are excluded from compression but counted
-    in both sizes; page sizes are payload-only per the spec."""
+    in both sizes; page sizes are payload-only per the spec.
+
+    crypto (pqcrypt.ChunkCrypto) switches to the modular-encryption
+    layout: [page-header module][page-body module], where the header's
+    compressed_page_size is the size of the ENTIRE body module (length
+    prefix included) so any spec reader can slice it, the CRC is
+    omitted (the GCM tags authenticate both parts), and the module
+    AADs carry the page kind plus — for data pages — the ordinal."""
     import zlib
 
     raw_len = len(precompressed) + len(payload)
     if compression:
         payload = _compress(compression, payload)
     stored = len(precompressed) + len(payload)
+    if crypto is not None:
+        from parquet_go_spark.interop import pqcrypt
+
+        is_dict = page_type == _DICTIONARY_PAGE
+        hdr_t = (pqcrypt.DICTIONARY_PAGE_HEADER if is_dict
+                 else pqcrypt.DATA_PAGE_HEADER)
+        body_t = (pqcrypt.DICTIONARY_PAGE if is_dict
+                  else pqcrypt.DATA_PAGE)
+        body_mod = pqcrypt.encrypt_module(
+            crypto.key,
+            pqcrypt.module_aad(crypto.file_aad, body_t, crypto.rg,
+                               crypto.col, page_ord),
+            precompressed + payload)
+        head = tc.struct([
+            (1, tc.I32, page_type),
+            (2, tc.I32, raw_len),
+            (3, tc.I32, len(body_mod)),
+            header_field,
+        ])
+        head_mod = pqcrypt.encrypt_module(
+            crypto.key,
+            pqcrypt.module_aad(crypto.file_aad, hdr_t, crypto.rg,
+                               crypto.col, page_ord),
+            head)
+        return (head_mod + body_mod,
+                len(head) + raw_len,
+                len(head_mod) + len(body_mod))
     # page checksum: CRC32 of the page bytes as stored (everything after
     # the header), reinterpreted signed for the thrift i32 field; readers
     # with checksum verification on re-compute it
@@ -405,7 +440,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
                  nn_cum: np.ndarray | None,
                  path: list[str] | None = None,
                  def_levels: np.ndarray | None = None,
-                 def_width: int = 1) -> dict:
+                 def_width: int = 1, crypto=None) -> dict:
     """Append one column CHUNK (pages for rows [row_lo, row_hi)) to
     `out`; return a dict with everything the footer needs (the
     ColumnChunk struct is built later, once the page-index offsets are
@@ -446,7 +481,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
             (7, tc.STRUCT, tc.struct([
                 (1, tc.I32, len(uniques)), (2, tc.I32, Codec.PLAIN),
             ])),
-            compression,
+            compression, crypto=crypto,
         )
         out += pg
         total_raw += raw
@@ -488,6 +523,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
                     (7, tc.BOOL, bool(compression)),
                 ])),
                 compression, precompressed=dl,
+                crypto=crypto, page_ord=len(pages),
             )
         else:
             payload = body
@@ -501,7 +537,7 @@ def _write_chunk(out: bytearray, spec: ColumnSpec, row_lo: int, row_hi: int,
                     (1, tc.I32, hi - lo), (2, tc.I32, codec),
                     (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
                 ])),
-                compression,
+                compression, crypto=crypto, page_ord=len(pages),
             )
         page_off = len(out)
         out += pg
@@ -546,7 +582,8 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
                       elem_cum: np.ndarray,
                       path: list[str] | None = None,
                       entry_valid: np.ndarray | None = None,
-                      val_cum: np.ndarray | None = None) -> dict:
+                      val_cum: np.ndarray | None = None,
+                      crypto=None) -> dict:
     """Append one repeated-leaf column chunk: flattened element pages
     with true rep/def level streams. Pages break on ROW boundaries, so
     a record never splits across pages. `elem_cum` maps row index →
@@ -586,7 +623,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
             (7, tc.STRUCT, tc.struct([
                 (1, tc.I32, len(uniques)), (2, tc.I32, Codec.PLAIN),
             ])),
-            compression,
+            compression, crypto=crypto,
         )
         out += pg
         total_raw += raw
@@ -628,6 +665,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
                     (7, tc.BOOL, bool(compression)),
                 ])),
                 compression, precompressed=rl + dl,
+                crypto=crypto, page_ord=len(pages),
             )
         else:
             rpay = rle.encode_hybrid(rep.astype(np.uint64), 1)
@@ -640,7 +678,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
                     (1, tc.I32, n_ent), (2, tc.I32, codec),
                     (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
                 ])),
-                compression,
+                compression, crypto=crypto, page_ord=len(pages),
             )
         page_off = len(out)
         out += pg
@@ -683,7 +721,7 @@ def _write_list_chunk(out: bytearray, spec: ColumnSpec, row_lo: int,
 def _write_nested_chunk(out: bytearray, leaf: NestedLeaf, name: str,
                         row_lo: int, row_hi: int, compression: str | None,
                         page_rows: int, page_version: int,
-                        statistics: bool) -> dict:
+                        statistics: bool, crypto=None) -> dict:
     """Append one arbitrarily nested leaf chunk: precomputed rep/def
     entry streams at their true widths, pages broken on ROW boundaries
     via `row_starts` (an entry with rep 0 starts a record, so a record
@@ -720,7 +758,7 @@ def _write_nested_chunk(out: bytearray, leaf: NestedLeaf, name: str,
             (7, tc.STRUCT, tc.struct([
                 (1, tc.I32, len(uniques)), (2, tc.I32, Codec.PLAIN),
             ])),
-            compression,
+            compression, crypto=crypto,
         )
         out += pg
         total_raw += raw
@@ -761,6 +799,7 @@ def _write_nested_chunk(out: bytearray, leaf: NestedLeaf, name: str,
                     (7, tc.BOOL, bool(compression)),
                 ])),
                 compression, precompressed=rl + dl,
+                crypto=crypto, page_ord=len(pages),
             )
         else:
             payload = b""
@@ -777,7 +816,7 @@ def _write_nested_chunk(out: bytearray, leaf: NestedLeaf, name: str,
                     (1, tc.I32, n_ent), (2, tc.I32, codec),
                     (3, tc.I32, Codec.RLE), (4, tc.I32, Codec.RLE),
                 ])),
-                compression,
+                compression, crypto=crypto, page_ord=len(pages),
             )
         page_off = len(out)
         out += pg
@@ -877,7 +916,8 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 page_index: bool = True,
                 sorting_columns: list[int] | None = None,
                 bloom_columns: list[str] | None = None,
-                bloom_fpp: float = 0.01) -> dict:
+                bloom_fpp: float = 0.01,
+                encryption=None) -> dict:
     """Write one parquet file. Returns a summary
     {n_rows, file_bytes, row_groups, encodings: {col: codec id}}.
 
@@ -885,11 +925,35 @@ def write_table(path: str, columns: list[ColumnSpec], *,
     split-block bloom filters for, per row group — XXH64 spec hashing,
     built from the chunk's distinct values (the reference builds from
     the dictionary, writer.go:2089-2095 — same filter, inserts are
-    idempotent). Boolean and repeated (LIST/MAP) leaves are skipped."""
+    idempotent). Boolean and repeated (LIST/MAP) leaves are skipped.
+
+    encryption (pqcrypt.FileEncryption): parquet modular encryption,
+    AES_GCM_V1 — the write-side mirror of the reference's
+    WithEncryption (encrypt.go EncryptionConfig, writer.go:2452-2479).
+    Every leaf is encrypted with the footer key unless it has its own
+    entry in column_keys (→ ENCRYPTION_WITH_COLUMN_KEY with the
+    ColumnMetaData in its own encrypted module) or is opted out via
+    plaintext_columns. Page indexes and bloom filters of encrypted
+    columns are written as encrypted modules. plaintext_footer=True
+    keeps a readable footer (statistics stripped from the visible
+    ColumnMetaData) signed with a 28-byte GCM tag under PAR1 magic;
+    the default writes the PARE encrypted-footer layout. Both layouts
+    decrypt through our pqreader AND through pyarrow (use
+    pqcrypt.wrapped_encryption for PKMT1 key material a pyarrow
+    CryptoFactory resolves)."""
     if not columns:
         raise ValueError("no columns")
     if page_version not in (1, 2):
         raise ValueError("page_version must be 1 or 2")
+    file_unique = file_aad = None
+    if encryption is not None:
+        from parquet_go_spark.interop import pqcrypt
+
+        if not isinstance(encryption, pqcrypt.FileEncryption):
+            raise TypeError(
+                "encryption must be a pqcrypt.FileEncryption")
+        file_unique = encryption.file_unique()
+        file_aad = bytes(encryption.aad_prefix) + file_unique
     n_rows = None
     for c in columns:
         if isinstance(c, NestedColumnSpec):
@@ -1056,30 +1120,54 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                        "repeated": c.lengths is not None,
                        "path": None, "entry_valid": None, "val_cum": None})
 
-    out = bytearray(_MAGIC)
+    # dotted leaf names — the column_keys / plaintext_columns /
+    # bloom_columns addressing space
+    for lf in leaves:
+        if lf.get("path"):
+            lf["dotted"] = ".".join(lf["path"])
+        elif lf.get("nested") is not None:
+            lf["dotted"] = ".".join(lf["nested"].path)
+        else:
+            lf["dotted"] = lf["spec"].name
+
+    out = bytearray(b"PARE" if encryption is not None
+                    and not encryption.plaintext_footer else _MAGIC)
     rg_rows = row_group_rows or max(n_rows, 1)
     groups = []  # [(rows, byte_size, [chunk dict, ...])]
-    for g_lo in range(0, max(n_rows, 1), rg_rows):
+    for rg_i, g_lo in enumerate(range(0, max(n_rows, 1), rg_rows)):
         g_hi = min(g_lo + rg_rows, n_rows)
         if g_hi <= g_lo and n_rows > 0:
             break
+        cryptos = [None] * len(leaves)
+        if encryption is not None:
+            from parquet_go_spark.interop import pqcrypt
+
+            cryptos = [
+                None if (k := encryption.key_for(lf["dotted"])) is None
+                else pqcrypt.ChunkCrypto(k, file_aad, rg_i, col_i)
+                for col_i, lf in enumerate(leaves)
+            ]
         chunks = [
             _write_nested_chunk(
                 out, lf["nested"], lf["path"][0], g_lo, g_hi, compression,
-                page_rows, page_version, statistics)
+                page_rows, page_version, statistics, crypto=cr)
             if lf.get("nested") is not None else
             _write_list_chunk(
                 out, lf["spec"], g_lo, g_hi, compression, page_rows,
                 page_version, statistics, lf["cum"], path=lf["path"],
-                entry_valid=lf["entry_valid"], val_cum=lf["val_cum"])
+                entry_valid=lf["entry_valid"], val_cum=lf["val_cum"],
+                crypto=cr)
             if lf["repeated"] else
             _write_chunk(
                 out, lf["spec"], g_lo, g_hi, compression, page_rows,
                 page_version, statistics, lf["cum"], path=lf["path"],
                 def_levels=lf.get("def_levels"),
-                def_width=lf.get("def_width", 1))
-            for lf in leaves
+                def_width=lf.get("def_width", 1), crypto=cr)
+            for lf, cr in zip(leaves, cryptos)
         ]
+        for ch, cr, lf in zip(chunks, cryptos, leaves):
+            ch["crypto"] = cr
+            ch["dotted"] = lf["dotted"]
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
         # spec, not the stored bytes
         groups.append((g_lo, g_hi,
@@ -1106,7 +1194,22 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 vals = _slice_values(spec.values, vlo, vhi)
                 hashes = pqbloom.spec_hashes(
                     vals, spec.kind, flba_size=spec.flba_size)
-                blob = pqbloom.bloom_blob(hashes, fpp=bloom_fpp)
+                cr = ch.get("crypto")
+                if cr is not None:
+                    from parquet_go_spark.interop import pqcrypt
+
+                    header, bits = pqbloom.bloom_parts(
+                        hashes, fpp=bloom_fpp)
+                    blob = pqcrypt.encrypt_module(
+                        cr.key, pqcrypt.module_aad(
+                            cr.file_aad, pqcrypt.BLOOM_HEADER,
+                            cr.rg, cr.col), header)
+                    blob += pqcrypt.encrypt_module(
+                        cr.key, pqcrypt.module_aad(
+                            cr.file_aad, pqcrypt.BLOOM_BITSET,
+                            cr.rg, cr.col), bits)
+                else:
+                    blob = pqbloom.bloom_blob(hashes, fpp=bloom_fpp)
                 ch["meta_fields"].append((14, tc.I64, len(out)))
                 ch["meta_fields"].append((15, tc.I32, len(blob)))
                 out += blob
@@ -1120,28 +1223,87 @@ def write_table(path: str, columns: list[ColumnSpec], *,
                 lkind = (lf["nested"].kind if lf.get("nested") is not None
                          else lf["spec"].kind)
                 ci, oi = _page_index_structs(ch, lkind)
+                cr = ch.get("crypto")
+                if cr is not None:
+                    from parquet_go_spark.interop import pqcrypt
+
+                    if ci is not None:
+                        ci = pqcrypt.encrypt_module(
+                            cr.key, pqcrypt.module_aad(
+                                cr.file_aad, pqcrypt.COLUMN_INDEX,
+                                cr.rg, cr.col), ci)
+                    oi = pqcrypt.encrypt_module(
+                        cr.key, pqcrypt.module_aad(
+                            cr.file_aad, pqcrypt.OFFSET_INDEX,
+                            cr.rg, cr.col), oi)
                 if ci is not None:
                     ch["ci_off"], ch["ci_len"] = len(out), len(ci)
                     out += ci
                 ch["oi_off"], ch["oi_len"] = len(out), len(oi)
                 out += oi
 
+    plaintext_mode = encryption is not None and encryption.plaintext_footer
     row_groups = []
-    for g_lo, g_hi, g_bytes, chunks in groups:
-        chunk_structs = [
-            tc.struct([
+    for rg_i, (g_lo, g_hi, g_bytes, chunks) in enumerate(groups):
+        chunk_structs = []
+        for ch in chunks:
+            cr = ch.get("crypto")
+            meta_bytes = tc.struct(ch["meta_fields"])
+            fields = [
                 (2, tc.I64, ch["file_offset"]),
-                (3, tc.STRUCT, tc.struct(ch["meta_fields"])),
                 (4, tc.I64, ch.get("oi_off")),
                 (5, tc.I32, ch.get("oi_len")),
                 (6, tc.I64, ch.get("ci_off")),
                 (7, tc.I32, ch.get("ci_len")),
-            ]) for ch in chunks
-        ]
+            ]
+            if cr is None:
+                fields.append((3, tc.STRUCT, meta_bytes))
+            else:
+                from parquet_go_spark.interop import pqcrypt
+
+                dotted = ch["dotted"]
+                own_key = dotted in encryption.column_keys
+                if own_key:
+                    # ENCRYPTION_WITH_COLUMN_KEY {path_in_schema,
+                    # key_metadata}; the ColumnMetaData travels only as
+                    # its own encrypted module (field 9) — never
+                    # plaintext inside an encrypted footer, stripped
+                    # when the footer itself is plaintext
+                    fields.append((8, tc.STRUCT, tc.struct([
+                        (2, tc.STRUCT, tc.struct([
+                            (1, tc.LIST, dotted.split("."), tc.BINARY),
+                            (2, tc.BINARY,
+                             encryption.column_key_metadata.get(dotted)),
+                        ])),
+                    ])))
+                else:
+                    # ENCRYPTION_WITH_FOOTER_KEY (empty struct)
+                    fields.append((8, tc.STRUCT, tc.struct([
+                        (1, tc.STRUCT, tc.struct([])),
+                    ])))
+                if own_key or plaintext_mode:
+                    fields.append((9, tc.BINARY, pqcrypt.encrypt_module(
+                        cr.key, pqcrypt.module_aad(
+                            cr.file_aad, pqcrypt.COLUMN_METADATA,
+                            cr.rg, cr.col), meta_bytes)))
+                if plaintext_mode:
+                    # visible copy: statistics stripped (they would
+                    # leak plaintext bounds); the full metadata rides
+                    # in field 9 and is restored after decryption
+                    fields.append((3, tc.STRUCT, tc.struct(
+                        [f for f in ch["meta_fields"] if f[0] != 12])))
+                elif not own_key:
+                    # footer-key column inside an ENCRYPTED footer:
+                    # the plain metadata is already confidential
+                    fields.append((3, tc.STRUCT, meta_bytes))
+            chunk_structs.append(tc.struct(fields))
         rg_fields = [
             (1, tc.LIST, chunk_structs, tc.STRUCT),
             (2, tc.I64, g_bytes),
             (3, tc.I64, g_hi - g_lo),
+            # ordinal (i16): encrypted readers (parquet-cpp/-mr) key
+            # every module AAD on THIS field, not the positional index
+            (7, tc.I16, rg_i),
         ]
         if sorting_columns:
             # SortingColumn{column_idx, descending=false, nulls_first=false};
@@ -1234,17 +1396,58 @@ def write_table(path: str, columns: list[ColumnSpec], *,
     # ColumnOrder = union{1: TypeDefinedOrder{}} per leaf — readers only
     # trust min_value/max_value statistics when column_orders is declared
     type_order = tc.struct([(1, tc.STRUCT, tc.struct([]))])
-    footer = tc.struct([
+    fmd_fields = [
         (1, tc.I32, 1),
         (2, tc.LIST, schema, tc.STRUCT),
         (3, tc.I64, n_rows),
         (4, tc.LIST, row_groups, tc.STRUCT),
         (6, tc.BINARY, "parquet_go_spark interop writer"),
         (7, tc.LIST, [type_order] * len(leaves), tc.STRUCT),
-    ])
-    out += footer
-    out += len(footer).to_bytes(4, "little")
-    out += _MAGIC
+    ]
+    if encryption is None:
+        footer = tc.struct(fmd_fields)
+        out += footer
+        out += len(footer).to_bytes(4, "little")
+        out += _MAGIC
+    else:
+        from parquet_go_spark.interop import pqcrypt
+
+        supply = bool(encryption.aad_prefix) \
+            and not encryption.store_aad_prefix
+        algo = tc.struct([(1, tc.STRUCT, tc.struct([
+            (1, tc.BINARY, encryption.aad_prefix
+             if encryption.aad_prefix and encryption.store_aad_prefix
+             else None),
+            (2, tc.BINARY, file_unique),
+            (3, tc.BOOL, supply),
+        ]))])
+        if plaintext_mode:
+            # PAR1 + readable footer carrying the algorithm (field 8)
+            # and signing-key metadata (field 9), then a 28-byte
+            # [nonce][GCM tag] over the footer bytes
+            fmd_fields.append((8, tc.STRUCT, algo))
+            fmd_fields.append(
+                (9, tc.BINARY, encryption.footer_key_metadata))
+            footer = tc.struct(fmd_fields)
+            sig = pqcrypt.sign_footer(
+                encryption.footer_key, file_aad, footer)
+            out += footer + sig
+            out += (len(footer) + len(sig)).to_bytes(4, "little")
+            out += _MAGIC
+        else:
+            # PARE: plaintext FileCryptoMetaData, then the whole
+            # FileMetaData as one encrypted module
+            footer = tc.struct(fmd_fields)
+            fcm = tc.struct([
+                (1, tc.STRUCT, algo),
+                (2, tc.BINARY, encryption.footer_key_metadata),
+            ])
+            mod = pqcrypt.encrypt_module(
+                encryption.footer_key,
+                pqcrypt.module_aad(file_aad, pqcrypt.FOOTER), footer)
+            out += fcm + mod
+            out += (len(fcm) + len(mod)).to_bytes(4, "little")
+            out += b"PARE"
     with open(path, "wb") as f:
         f.write(out)
     return {"n_rows": n_rows, "file_bytes": len(out),

@@ -10,6 +10,7 @@ bytes (build inside-out)."""
 from __future__ import annotations
 
 BOOL = 1  # wire: 1=true, 2=false, chosen per value
+I16 = 4
 I32 = 5
 I64 = 6
 BINARY = 8
@@ -36,7 +37,7 @@ def _write_value(out: bytearray, t: int, v, elem: int | None) -> None:
     if t == BOOL:
         # bool as a LIST element: one byte, 1=true 2=false (compact spec)
         out.append(1 if v else 2)
-    elif t in (I32, I64):
+    elif t in (I16, I32, I64):
         _uvarint(out, _zigzag(int(v)))
     elif t == BINARY:
         b = v.encode() if isinstance(v, str) else bytes(v)

@@ -454,7 +454,7 @@ def test_footer_key_union_arm_normalization():
     from parquet_go_spark.interop import pqcrypt, pqreader as r
 
     meta = {9: 4, 5: 10}
-    fmd = {4: [(None, [{3: meta, 8: {1: {}}}])]}
+    fmd = {4: [{1: [{3: meta, 8: {1: {}}}]}]}
     dec = pqcrypt.FileDecryption(footer_key=FOOTER_KEY)
     r._normalize_encrypted(fmd, b"aad8byte", dec, "synthetic")
     c = meta["__crypto__"]
@@ -937,3 +937,177 @@ def test_pipeline_nullable_containers_roundtrip(spark, tmp_path):
             want[k].asDict(recursive=True), k
     ver = pipeline.verify_roundtrip(spark, df, store)
     assert ver["ok"], ver
+
+
+# ---------------------------------------------------------------------
+# Encrypted parquet WRITE (pqwriter encryption=..., the write-side
+# mirror of the round-5 read slice; reference encrypt.go
+# EncryptionConfig, writer.go:2452-2479)
+
+
+def _pyarrow_decryption_props():
+    import pyarrow.parquet.encryption as pe
+
+    factory, conf, _ = _kms_factory()
+    return factory.file_decryption_properties(
+        conf, pe.DecryptionConfiguration())
+
+
+def _enc_write_cols():
+    rng = np.random.default_rng(31)
+    n = 4000
+    from parquet_go_spark.interop.pqwriter import (
+        ByteArrays, ColumnSpec, Kind)
+
+    x = rng.integers(0, 10**9, n)
+    names = [f"doc-{i % 37}".encode() for i in range(n)]
+    y = rng.standard_normal(n)
+    cols = [
+        ColumnSpec("x", Kind.INT64, x),
+        ColumnSpec("s", Kind.BYTE_ARRAY, ByteArrays.from_pylist(names),
+                   logical="string"),
+        ColumnSpec("y", Kind.DOUBLE, y),
+    ]
+    want = pa.table({"x": pa.array(x, pa.int64()),
+                     "s": pa.array([b.decode() for b in names]),
+                     "y": pa.array(y, pa.float64())})
+    return cols, want
+
+
+@pytest.mark.parametrize("plaintext_footer", [False, True])
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_encrypted_write_interop(tmp_path, plaintext_footer, comp):
+    """OUR writer, encrypted: multi-row-group + dictionary strings +
+    column keys + footer-key column + AAD prefix + blooms + page
+    indexes, read back equal by OUR reader (with working predicate
+    pruning over the encrypted index/bloom modules) AND by pyarrow's
+    CryptoFactory (PKMT1 key material) in both footer modes."""
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
+    from parquet_go_spark.interop.pqwriter import write_table
+
+    cols, want = _enc_write_cols()
+    enc = pqcrypt.wrapped_encryption(
+        {"kf": FOOTER_KEY, "kc": COL_KEY}, footer_master="kf",
+        column_masters={"x": "kc", "s": "kc"},
+        plaintext_footer=plaintext_footer, aad_prefix=b"myprefix")
+    p = str(tmp_path / "ours.parquet")
+    write_table(p, cols, row_group_rows=1500, compression=comp,
+                bloom_columns=["x", "s"], encryption=enc)
+
+    ours = r.read_table(p, decryption=_decryption())
+    assert ours.cast(want.schema).equals(want)
+
+    theirs = pq.ParquetFile(
+        p, decryption_properties=_pyarrow_decryption_props()).read()
+    assert theirs.cast(want.schema).equals(want)
+
+    point = want.column("x")[42].as_py()
+    got = r.read_table(p, predicate=("x", "=", point),
+                       decryption=_decryption())
+    assert point in got.column("x").to_pylist()
+    assert got.num_rows < want.num_rows
+
+
+def test_encrypted_write_footer_key_columns_via_retriever(tmp_path):
+    """ENCRYPTION_WITH_FOOTER_KEY columns must resolve through the
+    footer KEY METADADATA when the reader only has a key retriever (the
+    regression this round fixed: resolve() was called without the
+    metadata, so retriever-only FileDecryption failed)."""
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
+    from parquet_go_spark.interop.pqwriter import write_table
+
+    cols, want = _enc_write_cols()
+    # no column_masters: every column rides the footer key
+    enc = pqcrypt.wrapped_encryption(
+        {"kf": FOOTER_KEY}, footer_master="kf")
+    p = str(tmp_path / "fk.parquet")
+    write_table(p, cols, row_group_rows=1500, encryption=enc)
+    dec = pqcrypt.FileDecryption(
+        key_retriever=pqcrypt.pyarrow_key_retriever(
+            pqcrypt.LocalKeyUnwrap({"kf": FOOTER_KEY})))
+    assert r.read_table(p, decryption=dec).cast(want.schema).equals(want)
+    # use_threads=False: when many columns share ONE key (here: the
+    # footer key), pyarrow's parallel column readers race on the shared
+    # decryptor's AAD state and fail nondeterministically ("Failed
+    # decryption finalization" ~25% of runs). pyarrow never authors
+    # such files itself (its CryptoFactory has no uniform encryption),
+    # so the race only surfaces on spec-legal foreign files like ours;
+    # single-threaded reads are deterministic-correct (30/30 probed).
+    theirs = pq.ParquetFile(
+        p, decryption_properties=_pyarrow_decryption_props()).read(
+            use_threads=False)
+    assert theirs.cast(want.schema).equals(want)
+
+
+def test_encrypted_write_plaintext_columns_and_direct_keys(tmp_path):
+    """plaintext_columns opt-out + direct-DEK FileEncryption (no key
+    material): the plaintext column reads without any key in
+    plaintext-footer mode; full reads need only the raw DEKs."""
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
+    from parquet_go_spark.interop.pqwriter import write_table
+
+    cols, want = _enc_write_cols()
+    enc = pqcrypt.FileEncryption(
+        footer_key=FOOTER_KEY, column_keys={"x": COL_KEY},
+        plaintext_columns={"y"}, plaintext_footer=True)
+    p = str(tmp_path / "mixed.parquet")
+    write_table(p, cols, row_group_rows=1500, encryption=enc)
+
+    # keyless: schema + the plaintext column work, encrypted columns
+    # fail with a clear error
+    assert r.read_schema(p).names == ["x", "s", "y"]
+    y = r.read_table(p, columns=["y"])
+    assert y.column("y").equals(want.column("y"))
+    with pytest.raises(ValueError, match="is encrypted"):
+        r.read_table(p, columns=["x"])
+
+    dec = pqcrypt.FileDecryption(footer_key=FOOTER_KEY,
+                                 column_keys={"x": COL_KEY})
+    assert r.read_table(p, decryption=dec).cast(want.schema).equals(want)
+
+
+def test_encrypted_write_negatives(tmp_path):
+    """Wrong key and ciphertext tampering both fail GCM auth; the
+    supply-aad-prefix mode refuses to read without the caller prefix;
+    plaintext-footer visible metadata carries no statistics."""
+    from parquet_go_spark.interop import pqcrypt, pqreader as r, thriftc
+    from parquet_go_spark.interop.pqwriter import write_table
+
+    cols, want = _enc_write_cols()
+    enc = pqcrypt.FileEncryption(footer_key=FOOTER_KEY)
+    p = str(tmp_path / "neg.parquet")
+    write_table(p, cols, encryption=enc)
+    with pytest.raises(ValueError, match="GCM authentication"):
+        r.read_table(p, decryption=pqcrypt.FileDecryption(
+            footer_key=b"f" * 16))
+    blob = bytearray(open(p, "rb").read())
+    blob[1234] ^= 0xFF
+    p2 = str(tmp_path / "neg_tampered.parquet")
+    open(p2, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="GCM authentication"):
+        r.read_table(p2, decryption=pqcrypt.FileDecryption(
+            footer_key=FOOTER_KEY))
+
+    p3 = str(tmp_path / "supply.parquet")
+    write_table(p3, cols, encryption=pqcrypt.FileEncryption(
+        footer_key=FOOTER_KEY, aad_prefix=b"pfx",
+        store_aad_prefix=False))
+    with pytest.raises(ValueError, match="prefix"):
+        r.read_table(p3, decryption=pqcrypt.FileDecryption(
+            footer_key=FOOTER_KEY))
+    got = r.read_table(p3, decryption=pqcrypt.FileDecryption(
+        footer_key=FOOTER_KEY, aad_prefix=b"pfx"))
+    assert got.cast(want.schema).equals(want)
+
+    # plaintext footer: the VISIBLE ColumnMetaData of encrypted columns
+    # must not leak statistics (field 12) — walk the raw thrift footer
+    p4 = str(tmp_path / "pf_stats.parquet")
+    write_table(p4, cols, encryption=pqcrypt.FileEncryption(
+        footer_key=FOOTER_KEY, plaintext_footer=True),
+        statistics=True)
+    raw = open(p4, "rb").read()
+    flen = int.from_bytes(raw[-8:-4], "little")
+    fmd, _ = thriftc.read_struct(raw[len(raw) - 8 - flen:], 0)
+    for rg in fmd[4]:
+        for cc in rg[1]:
+            assert 12 not in cc[3]
