@@ -391,7 +391,8 @@ def _file_name(repo: str, bucket: int, part: int) -> str:
 
 
 def _export_fn(columns, out_dir: str, compression, target_bytes: int,
-               page_rows: int, sort_cols=None, bloom_cols=None):
+               page_rows: int, sort_cols=None, bloom_cols=None,
+               encryption=None):
     col_names = [c for c, _ in columns]
     sorting = ([col_names.index(c) for c in sort_cols]
                if sort_cols else None)
@@ -422,10 +423,14 @@ def _export_fn(columns, out_dir: str, compression, target_bytes: int,
             # idempotent under replay even without the resume manifest
             final = os.path.join(out_dir, name)
             tmp = final + ".tmp"
+            # per-FILE FileEncryption: a factory mints fresh DEKs so
+            # no key is shared across files (GCM nonce budget)
+            enc = encryption() if callable(encryption) else encryption
             info = write_table(
                 tmp, _to_specs(tbl, columns),
                 compression=compression, page_rows=page_rows,
                 sorting_columns=sorting, bloom_columns=bloom_cols,
+                encryption=enc,
             )
             os.replace(tmp, final)
             rows.append({
@@ -486,6 +491,7 @@ def export_parquet(
     resume: bool = False,
     sort_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    encryption=None,
 ) -> DataFrame:
     """Write df as a directory of self-contained .parquet files encoded
     by our kernels; returns the per-file summary DataFrame (collected
@@ -507,7 +513,17 @@ def export_parquet(
 
     bloom_cols: leaf columns to write split-block bloom filters for
     (spec XXH64; see pqbloom) — probe with pqbloom.read_blooms to prune
-    whole files/row groups from footer metadata alone."""
+    whole files/row groups from footer metadata alone.
+
+    encryption: parquet modular encryption (AES_GCM_V1) for every
+    exported file — either a pqcrypt.FileEncryption (used verbatim;
+    fine for a handful of files) or, preferred at scale, a zero-arg
+    callable returning one (pqcrypt.EncryptionFactory mints fresh
+    wrapped DEKs per FILE, keeping every key's GCM nonce budget
+    per-file). Read back with spark_read / format("pqread") passing
+    the matching FileDecryption (EncryptionFactory.decryption()).
+    compact_export requires plaintext inputs — run it before
+    encrypting or re-export."""
     columns = df.dtypes
     for name, t in columns:
         if not _supported(t):
@@ -528,7 +544,7 @@ def export_parquet(
     n_parts = spark.sparkContext.defaultParallelism * 4
     parts = keyed.repartition(n_parts, "__repo", "__bucket")
     fn = _export_fn(columns, out_dir, compression, target_chunk_bytes,
-                    page_rows, sort_cols, bloom_cols)
+                    page_rows, sort_cols, bloom_cols, encryption)
     summary = parts.mapInArrow(fn, _SUMMARY_SCHEMA)
     out = summary.cache()
     out.count()  # materialize the write

@@ -375,3 +375,40 @@ def wrapped_encryption(masters: dict, *, footer_master: str,
             fk, footer_master, is_footer=True),
         column_keys=column_keys, column_key_metadata=col_meta,
         **kwargs)
+
+
+@dataclass
+class EncryptionFactory:
+    """Picklable per-FILE encryption source for distributed writers
+    (interop.export.export_parquet): each call mints FRESH random DEKs
+    wrapped under the master keys (PKMT1 key material), so no DEK is
+    ever shared across files. That is the GCM-safe shape at fleet
+    scale — one DEK reused across ~2^32 random-nonce modules risks
+    nonce collision, and a fresh 8-byte file_unique alone does not
+    reset that budget (the reference rotates keys the same way via its
+    KMS wrapping; encrypt.go EncryptionConfig). Plain-data fields only,
+    so the factory ships into Spark executor closures."""
+
+    masters: dict  # master_key_id -> 16/24/32 B key
+    footer_master: str
+    column_masters: dict | None = None
+    plaintext_columns: frozenset | set = field(default_factory=set)
+    plaintext_footer: bool = False
+    aad_prefix: bytes = b""
+
+    def __call__(self) -> FileEncryption:
+        return wrapped_encryption(
+            self.masters, footer_master=self.footer_master,
+            column_masters=self.column_masters,
+            plaintext_columns=set(self.plaintext_columns),
+            plaintext_footer=self.plaintext_footer,
+            aad_prefix=self.aad_prefix)
+
+    def decryption(self) -> FileDecryption:
+        """The matching read-side material (key retriever over the
+        same master keys) — what spark_read / pqread's decryption
+        option needs to read the exported files back."""
+        return FileDecryption(
+            key_retriever=pyarrow_key_retriever(
+                LocalKeyUnwrap(self.masters)),
+            aad_prefix=self.aad_prefix)

@@ -48,22 +48,49 @@ def main() -> None:
                                            tc_.column(k).type.id and
                                            tc_.column(k).type)))
             if name == "documents" and c > 0:
+                # per-copy CHARACTER CIPHER (bijective rotation inside
+                # [a-z], [A-Z], [0-9]; whitespace/punct fixed): every
+                # n-gram containing an alphanumeric changes, so copy k
+                # of a document is NOT a minhash/simhash near-duplicate
+                # of copy j, while WITHIN a copy the cipher is a
+                # bijection on texts — exact-dup and near-dup structure
+                # inside each copy is preserved verbatim. (A cyclic
+                # string shift was tried first and rejected: n-gram
+                # multisets are rotation-invariant up to the seam, so
+                # cross-copy similarity survived and the scale-step
+                # measured data growth, not plan shape.)
                 i = tc_.column_names.index("text")
-                txt = pc.binary_join_element_wise(
-                    tc_.column("text").cast(pa.string()),
-                    pa.array([f" c{c}"] * len(t), pa.string()), "")
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                up = lo.upper()
+                dg = "0123456789"
+                k = 7 * c
+                tab = str.maketrans(
+                    lo + up + dg,
+                    lo[k % 26:] + lo[:k % 26]
+                    + up[k % 26:] + up[:k % 26]
+                    + dg[c % 10:] + dg[:c % 10])
+                txt = pa.array(
+                    [t_.translate(tab)
+                     for t_ in tc_.column("text").to_pylist()],
+                    pa.string())
                 tc_ = tc_.set_column(i, "text", txt)
             if name == "embeddings" and c > 0:
+                # per-copy ROLL of the dimensions: norms and intra-copy
+                # angles are exactly preserved (near-dup structure per
+                # copy == sf0.1), while cross-copy cosine collapses to
+                # the random-vector baseline (a 1e-3 perturbation left
+                # copies ~identical and inflated LSH buckets ~10x deep,
+                # quadratic candidate growth for data reasons).
                 i = tc_.column_names.index("embedding")
                 col = tc_.column("embedding").combine_chunks()
                 off = np.asarray(col.offsets, dtype=np.int64)
-                vals = np.asarray(col.values, dtype=np.float32).copy()
-                # deterministic per-copy perturbation, position-dependent
-                j = np.arange(len(vals), dtype=np.float32)
-                vals += np.float32(1e-3) * np.float32(c) * np.cos(j)
+                vals = np.asarray(col.values, dtype=np.float32)
+                dim = int(off[1] - off[0]) if len(off) > 1 else 1
+                mat = vals[:off[-1]].reshape(-1, dim)
+                mat = np.roll(mat, 7 * c, axis=1)
                 new = pa.ListArray.from_arrays(
                     pa.array(off, pa.int32()),
-                    pa.array(vals, pa.float32()))
+                    pa.array(mat.reshape(-1), pa.float32()))
                 tc_ = tc_.set_column(i, "embedding", new)
             copies.append(tc_)
         out = pa.concat_tables(copies)

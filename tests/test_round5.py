@@ -1111,3 +1111,49 @@ def test_encrypted_write_negatives(tmp_path):
     for rg in fmd[4]:
         for cc in rg[1]:
             assert 12 not in cc[3]
+
+
+def test_encrypted_export_roundtrip(spark, tmp_path):
+    """Distributed encrypted export: export_parquet(encryption=
+    EncryptionFactory) writes per-task encrypted files with FRESH DEKs
+    per file; spark_read with the factory's matching FileDecryption
+    decodes them back equal; keyless readers get a clear error, and
+    every file really is encrypted (PARE magic)."""
+    import glob
+
+    from parquet_go_spark.interop import export as pexport, pqcrypt, \
+        pqreader
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority"))
+    fac = pqcrypt.EncryptionFactory(
+        {"kf": FOOTER_KEY, "kc": COL_KEY}, footer_master="kf",
+        column_masters={"o_orderkey": "kc"})
+    d = str(tmp_path / "enc_exp")
+    pexport.export_parquet(spark, df, d, repo_col="o_orderpriority",
+                           encryption=fac)
+
+    files = sorted(glob.glob(d + "/*.parquet"))
+    assert len(files) >= 2
+    deks = set()
+    for f in files:
+        assert open(f, "rb").read(4) == b"PARE"
+        # fresh footer DEK per file: unwrap each file's key material
+        import json as _json
+
+        raw = open(f, "rb").read()
+        flen = int.from_bytes(raw[-8:-4], "little")
+        from parquet_go_spark.interop import thriftc
+        fcm, _ = thriftc.read_struct(raw[len(raw) - 8 - flen:], 0)
+        km = _json.loads(fcm[2])
+        deks.add(km["wrappedDEK"])
+    assert len(deks) == len(files)  # no DEK (wrapping) shared
+
+    got = pqreader.spark_read(spark, d, decryption=fac.decryption())
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+
+    with pytest.raises(Exception, match="encrypted|PARE"):
+        pqreader.read_table(files[0])
