@@ -2,12 +2,13 @@
 scale-step bench: every table is 10 shifted copies of the sf0.1 table.
 
 Key columns shift by copy*stride so ids stay unique; documents.text
-gets a per-copy suffix so near-duplicate structure scales ~linearly
-(verbatim copies would square the candidate counts and make every
-LSH-family operator look super-linear for data reasons, not plan
-reasons); embeddings get a tiny deterministic per-copy rotation for the
-same reason. Everything is a pure function of (sf0.1 bytes, copy id) —
-no randomness, no external data.
+goes through a per-copy character cipher and embeddings through a
+per-copy dimension roll so near-duplicate structure scales ~linearly
+(verbatim or lightly-perturbed copies are cross-copy near-duplicates,
+which squares candidate counts and makes every LSH-family operator
+look super-linear for data reasons, not plan reasons — see the inline
+comments for the rejected designs). Everything is a pure function of
+(sf0.1 bytes, copy id) — no randomness, no external data.
 """
 import os
 import sys
