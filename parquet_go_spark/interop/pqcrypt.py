@@ -1,15 +1,17 @@
-"""Parquet Modular Encryption — READ side (AES_GCM_V1).
+"""Parquet Modular Encryption — READ (both spec algorithms) and
+WRITE (AES_GCM_V1).
 
 Scope (round 5, VERDICT r4 missing #1): decrypt files written in
 encrypted-footer mode (magic PARE) or plaintext-footer mode (PAR1 +
 FileMetaData.encryption_algorithm), with the footer key and/or
 per-column keys supplied by the caller — either directly or through a
 key-retriever callback that resolves the file's key_metadata (e.g.
-pyarrow/parquet-mr "PKMT1" key material). AES_GCM_CTR_V1 and external
-key material are rejected with clear errors. The reference covers the
-same surface from the write side in encrypt.go / writer.go:2452-2479;
-our engine is read-only here by design (SURVEY §2.3 keeps encryption
-write out of scope).
+pyarrow/parquet-mr "PKMT1" key material). AES_GCM_CTR_V1 is read
+(thrift modules GCM, page bodies unauthenticated CTR); external /
+double-wrapped key material is rejected with clear errors. The
+reference covers the same surface in encrypt.go / writer.go:2452-2479;
+our write side (below) authors AES_GCM_V1 only — the authenticated
+mode and the reference's own default.
 
 Format facts (parquet-format Encryption.md, verified against
 pyarrow-written files):
@@ -102,6 +104,31 @@ def decrypt_module(data, pos: int, key: bytes, aad: bytes,
         raise ValueError(
             f"pqcrypt: {what} failed GCM authentication — wrong key, "
             "or the module/AAD bytes were tampered with") from None
+    return pt, pos + 4 + ln
+
+
+def decrypt_ctr_module(data, pos: int, key: bytes,
+                       what: str = "module") -> tuple[bytes, int]:
+    """Decrypt one length-prefixed AES-CTR module at `pos` (the DATA
+    module layout of AES_GCM_CTR_V1 files: [4 B LE length][12 B nonce]
+    [ciphertext], NO tag — the IV is nonce || 4-byte big-endian
+    counter starting at 1, per Encryption.md). CTR is unauthenticated
+    by design; integrity in GCM_CTR files comes from the GCM-encrypted
+    thrift modules around it (a wrong key fails loudly at the PAGE
+    HEADER module before any CTR bytes are ever interpreted)."""
+    if pos + 4 > len(data):
+        raise ValueError(f"pqcrypt: truncated {what} (no length)")
+    ln = int.from_bytes(data[pos:pos + 4], "little")
+    if ln < 12 or pos + 4 + ln > len(data):
+        raise ValueError(f"pqcrypt: truncated {what} "
+                         f"(length {ln}, available {len(data) - pos - 4})")
+    _aesgcm(key)  # key-length validation + import gate, same error text
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes)
+
+    iv = bytes(data[pos + 4:pos + 16]) + (1).to_bytes(4, "big")
+    dec = Cipher(algorithms.AES(key), modes.CTR(iv)).decryptor()
+    pt = dec.update(bytes(data[pos + 16:pos + 4 + ln])) + dec.finalize()
     return pt, pos + 4 + ln
 
 
@@ -210,17 +237,17 @@ class ChunkCrypto:
     file_aad: bytes
     rg: int
     col: int
+    ctr: bool = False  # AES_GCM_CTR_V1: page BODIES are CTR modules
 
 
 def parse_algorithm(algo: dict, decryption: FileDecryption,
-                    path: str) -> bytes:
-    """EncryptionAlgorithm union → file AAD. Only AES_GCM_V1 (union
-    field 1) is in scope; AES_GCM_CTR_V1 (field 2) is rejected."""
-    if 2 in algo:
-        raise ValueError(
-            f"pqcrypt: {path} uses AES_GCM_CTR_V1 — only AES_GCM_V1 "
-            "is supported")
-    gcm = algo.get(1)
+                    path: str) -> tuple[bytes, bool]:
+    """EncryptionAlgorithm union → (file AAD, is_gcm_ctr). Both spec
+    algorithms are read: AES_GCM_V1 (union field 1, everything GCM)
+    and AES_GCM_CTR_V1 (union field 2, thrift modules GCM / page
+    bodies CTR — same AAD-suffix struct fields)."""
+    ctr = 2 in algo
+    gcm = algo.get(2) if ctr else algo.get(1)
     if gcm is None:
         raise ValueError(
             f"pqcrypt: {path} has an unknown encryption algorithm "
@@ -232,7 +259,7 @@ def parse_algorithm(algo: dict, decryption: FileDecryption,
                 "pqcrypt: the writer requires the reader to supply "
                 "the AAD prefix (FileDecryption.aad_prefix)")
         prefix = decryption.aad_prefix
-    return bytes(prefix) + bytes(gcm.get(2, b"") or b"")
+    return bytes(prefix) + bytes(gcm.get(2, b"") or b""), ctr
 
 
 # ----------------------------------------------------------- WRITE side

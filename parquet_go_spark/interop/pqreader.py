@@ -392,10 +392,17 @@ def _decode_page(data, pos: int, leaf: _Node, codec: str | None,
                                crypto.col, page_ord), "page header")
         hdr, _ = read_struct(pt, 0)
         body_t = pqcrypt.DICTIONARY_PAGE if is_dict else pqcrypt.DATA_PAGE
-        raw, next_pos = pqcrypt.decrypt_module(
-            data, hpos, crypto.key,
-            pqcrypt.module_aad(crypto.file_aad, body_t, crypto.rg,
-                               crypto.col, page_ord), "page body")
+        if crypto.ctr:
+            # AES_GCM_CTR_V1: page bodies are unauthenticated CTR
+            # modules; the GCM page-header decrypt above already
+            # authenticated the key/position for this page
+            raw, next_pos = pqcrypt.decrypt_ctr_module(
+                data, hpos, crypto.key, "page body")
+        else:
+            raw, next_pos = pqcrypt.decrypt_module(
+                data, hpos, crypto.key,
+                pqcrypt.module_aad(crypto.file_aad, body_t, crypto.rg,
+                                   crypto.col, page_ord), "page body")
         ptype = hdr[1]
         if bool(ptype == 2) != is_dict:
             raise ValueError(
@@ -810,7 +817,7 @@ def _read_footer_file(f, size: int, path: str, decryption=None) -> dict:
         # available, per the spec's optional integrity check
         from parquet_go_spark.interop import pqcrypt
 
-        file_aad = pqcrypt.parse_algorithm(
+        file_aad, ctr = pqcrypt.parse_algorithm(
             fmd[8], decryption or pqcrypt.FileDecryption(), path)
         if decryption is not None and flen - used >= 28:
             key = decryption.resolve(fmd.get(9), None, footer=True)
@@ -823,7 +830,7 @@ def _read_footer_file(f, size: int, path: str, decryption=None) -> dict:
                     f"pqreader: {path} footer signature mismatch — "
                     "wrong footer key or tampered footer")
         _normalize_encrypted(fmd, file_aad, decryption, path,
-                             footer_key_metadata=fmd.get(9))
+                             footer_key_metadata=fmd.get(9), ctr=ctr)
     return fmd
 
 
@@ -843,20 +850,22 @@ def _read_encrypted_footer(f, size: int, path: str, decryption) -> dict:
     f.seek(size - 8 - flen)
     buf = f.read(flen)
     fcm, used = read_struct(buf, 0)
-    file_aad = pqcrypt.parse_algorithm(fcm.get(1) or {}, decryption, path)
+    file_aad, ctr = pqcrypt.parse_algorithm(fcm.get(1) or {}, decryption,
+                                            path)
     key = decryption.resolve(fcm.get(2), None, footer=True)
     pt, _ = pqcrypt.decrypt_module(
         buf, used, key, pqcrypt.module_aad(file_aad, pqcrypt.FOOTER),
         "footer")
     fmd, _ = read_struct(pt, 0)
     _normalize_encrypted(fmd, file_aad, decryption, path,
-                         footer_key_metadata=fcm.get(2))
+                         footer_key_metadata=fcm.get(2), ctr=ctr)
     return fmd
 
 
 def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
                          path: str,
-                         footer_key_metadata: bytes | None = None) -> None:
+                         footer_key_metadata: bytes | None = None,
+                         ctr: bool = False) -> None:
     """Resolve every encrypted column chunk to a DECRYPTED ColumnMetaData
     dict in ColumnChunk field 3 carrying its ChunkCrypto under the
     "__crypto__" key — downstream metadata consumers (stat pruning,
@@ -910,7 +919,7 @@ def _normalize_encrypted(fmd: dict, file_aad: bytes, decryption,
                     f"pqreader: {path} encrypted column {col_i} has "
                     "neither meta_data nor encrypted_column_metadata")
             meta["__crypto__"] = pqcrypt.ChunkCrypto(
-                key, file_aad, rg_ord, col_i)
+                key, file_aad, rg_ord, col_i, ctr)
 
 
 def read_schema(path: str, decryption=None) -> pa.Schema:

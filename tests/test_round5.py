@@ -554,22 +554,50 @@ def test_encrypted_spark_read(spark, tmp_path):
     assert n == pc.sum(pc.less(t["x"], 100_000)).as_py()
 
 
-def test_aes_gcm_ctr_rejected(tmp_path):
+def test_aes_gcm_ctr_read(tmp_path):
+    """AES_GCM_CTR_V1 (the spec's second algorithm): thrift modules
+    stay GCM, page bodies are unauthenticated CTR modules
+    ([len][12 B nonce][ct], IV = nonce || big-endian counter=1).
+    pyarrow authors the fixture; our reader must decode it value-exact
+    across multiple row groups, with predicates, and fail loudly on a
+    wrong DEK (at the GCM page-header module — CTR itself cannot
+    authenticate). Encrypted-footer mode only: parquet-cpp's writer
+    records AesGcmV1 in a PLAINTEXT footer even when the pages are
+    CTR, and its own reader then fails on such files ("Failed
+    decryption finalization") — there is no well-formed
+    plaintext-footer CTR fixture to read."""
     import pyarrow.parquet.encryption as pe
 
-    from parquet_go_spark.interop import pqreader as r
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
 
     factory, conf, _ = _kms_factory()
     enc_conf = pe.EncryptionConfiguration(
-        footer_key="kf", column_keys={"kc": ["x"]},
+        footer_key="kf", column_keys={"kc": ["x", "s"]},
         encryption_algorithm="AES_GCM_CTR_V1", double_wrapping=False)
     t = _enc_table()
     p = str(tmp_path / "ctr.parquet")
     props = factory.file_encryption_properties(conf, enc_conf)
     with pq.ParquetWriter(p, t.schema, encryption_properties=props) as w:
-        w.write_table(t)
-    with pytest.raises(ValueError, match="AES_GCM_CTR_V1"):
-        r.read_table(p, decryption=_decryption())
+        w.write_table(t.slice(0, 1500))
+        w.write_table(t.slice(1500))
+    ours = r.read_table(p, decryption=_decryption())
+    assert ours.cast(t.schema).equals(t)
+    # predicate on the CTR-encrypted column
+    import pyarrow.compute as pc
+
+    got = r.read_table(p, decryption=_decryption(),
+                       predicate=("x", "<", 500_000))
+    assert got.num_rows == pc.sum(pc.less(t["x"], 500_000)).as_py()
+    # wrong direct DEK: the GCM page-header module authenticates
+    # before any CTR plaintext is interpreted
+    sch = r.read_schema(p, decryption=_decryption())
+    assert sch.names == ["x", "s", "y"]
+    with pytest.raises(ValueError, match="GCM|unwrap"):
+        bad = pqcrypt.FileDecryption(
+            key_retriever=pqcrypt.pyarrow_key_retriever(
+                pqcrypt.LocalKeyUnwrap(
+                    {"kf": FOOTER_KEY, "kc": b"0000000000000000"})))
+        r.read_table(p, decryption=bad)
 
 
 def test_pqread_ds_encrypted_and_float16(spark, tmp_path, f16_file):
