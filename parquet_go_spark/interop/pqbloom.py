@@ -221,79 +221,133 @@ def bloom_blob(hashes: np.ndarray, fpp: float = DEFAULT_FPP,
     return header + bits
 
 
-def read_blooms(path: str,
-                column: str | None = None) -> dict[tuple[int, str], np.ndarray]:
+def read_bloom_at(f, off: int, crypto=None) -> np.ndarray | None:
+    """One chunk's bloom bitset at file offset `off` as the (blocks, 8)
+    uint32 matrix might_contain expects. Plaintext layout: thrift
+    BloomFilterHeader + raw bitset. Encrypted chunks (`crypto` =
+    pqcrypt.ChunkCrypto) carry TWO modules: a GCM header module (type
+    8) then the bitset module — GCM (type 9) in AES_GCM_V1 files, a
+    CTR data module in AES_GCM_CTR_V1 files."""
+    if crypto is None:
+        f.seek(off)
+        # header ≤ ~20 B; over-read then parse
+        head = f.read(64)
+        hdr, hlen = tc.read_struct(head, 0)
+        f.seek(off + hlen)
+        bits = f.read(hdr[1])
+    else:
+        from parquet_go_spark.interop import pqcrypt
+
+        f.seek(off)
+        ln1 = int.from_bytes(f.read(4), "little")
+        f.seek(off)
+        mod1 = f.read(4 + ln1)
+        hdr_pt, _ = pqcrypt.decrypt_module(
+            mod1, 0, crypto.key,
+            pqcrypt.module_aad(crypto.file_aad, pqcrypt.BLOOM_HEADER,
+                               crypto.rg, crypto.col), "bloom header")
+        hdr, _ = tc.read_struct(hdr_pt, 0)
+        ln2 = int.from_bytes(f.read(4), "little")
+        f.seek(off + 4 + ln1)
+        mod2 = f.read(4 + ln2)
+        if crypto.ctr:
+            bits, _ = pqcrypt.decrypt_ctr_module(
+                mod2, 0, crypto.key, "bloom bitset")
+        else:
+            bits, _ = pqcrypt.decrypt_module(
+                mod2, 0, crypto.key,
+                pqcrypt.module_aad(crypto.file_aad, pqcrypt.BLOOM_BITSET,
+                                   crypto.rg, crypto.col), "bloom bitset")
+        bits = bits[:hdr[1]]
+    return np.frombuffer(bits, dtype="<u4").reshape(-1, 8)
+
+
+def _footer_chunks(path: str, decryption=None):
+    """Yield (row_group_index, ColumnMetaData dict, leaf name) from the
+    footer only. With `decryption`, encrypted footers/column metadata
+    are resolved through pqreader's normalizer (the decrypted meta then
+    carries its ChunkCrypto under "__crypto__"); without it, encrypted
+    chunks are skipped (their bloom offsets live in ciphertext)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if decryption is not None:
+            from parquet_go_spark.interop import pqreader
+
+            fmd = pqreader._read_footer_file(f, size, path, decryption)
+        else:
+            f.seek(0)
+            if f.read(4) == b"PARE":
+                return  # encrypted footer, no keys: nothing readable
+            f.seek(size - 8)
+            flen = int.from_bytes(f.read(4), "little")
+            f.seek(size - 8 - flen)
+            fmd, _ = tc.read_struct(f.read(flen), 0)
+        for gi, rg in enumerate(fmd[4]):
+            for cc in rg[1]:
+                meta = cc.get(3)
+                if meta is None or (decryption is None and 8 in cc):
+                    continue  # encrypted chunk without keys
+                yield gi, meta, b".".join(meta[3]).decode()
+
+
+def read_blooms(path: str, column: str | None = None,
+                decryption=None) -> dict[tuple[int, str], np.ndarray]:
     """Bloom bitsets of a parquet file, keyed by (row_group, dotted
     column path). Reads the footer + each bloom region only — no data
     pages touched (the point: file-level pruning from metadata bytes).
     `column` restricts the bitset reads to one leaf path: a point probe
     over files with blooms on several columns then pays one bitset
-    seek+read per row group instead of one per bloomed column."""
-    size = os.path.getsize(path)
+    seek+read per row group instead of one per bloomed column.
+    `decryption` (pqcrypt.FileDecryption) unlocks encrypted files —
+    bloom modules decrypt like any other; without keys, encrypted
+    chunks simply contribute no bitsets (a bloom can only prove
+    absence, so skipping keeps every prune sound)."""
     out: dict[tuple[int, str], np.ndarray] = {}
+    entries = [(gi, meta, name)
+               for gi, meta, name in _footer_chunks(path, decryption)
+               if meta.get(14) is not None
+               and (column is None or name == column)]
+    if not entries:
+        return out
     with open(path, "rb") as f:
-        f.seek(size - 8)
-        tail = f.read(8)
-        flen = int.from_bytes(tail[:4], "little")
-        f.seek(size - 8 - flen)
-        fmd, _ = tc.read_struct(f.read(flen), 0)
-        for gi, rg in enumerate(fmd[4]):
-            for cc in rg[1]:
-                meta = cc[3]
-                off = meta.get(14)
-                if off is None:
-                    continue
-                name = b".".join(meta[3]).decode()
-                if column is not None and name != column:
-                    continue
-                f.seek(off)
-                # header ≤ ~20 B; over-read then parse
-                head = f.read(64)
-                hdr, hlen = tc.read_struct(head, 0)
-                nbytes = hdr[1]
-                f.seek(off + hlen)
-                bits = f.read(nbytes)
-                out[(gi, name)] = np.frombuffer(
-                    bits, dtype="<u4").reshape(-1, 8)
+        for gi, meta, name in entries:
+            bits = read_bloom_at(f, meta[14], meta.get("__crypto__"))
+            if bits is not None:
+                out[(gi, name)] = bits
     return out
 
 
-def bloom_column_names(path: str) -> list[str]:
+def bloom_column_names(path: str, decryption=None) -> list[str]:
     """Dotted leaf paths that carry a bloom filter in any row group —
     footer bytes only (no bitsets read). Lets compaction inherit the
     source files' bloom configuration the way it inherits codec/sort."""
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        f.seek(size - 8)
-        flen = int.from_bytes(f.read(4), "little")
-        f.seek(size - 8 - flen)
-        fmd, _ = tc.read_struct(f.read(flen), 0)
-    names = set()
-    for rg in fmd[4]:
-        for cc in rg[1]:
-            meta = cc[3]
-            if meta.get(14) is not None:
-                names.add(b".".join(meta[3]).decode())
-    return sorted(names)
+    return sorted({name for _, meta, name
+                   in _footer_chunks(path, decryption)
+                   if meta.get(14) is not None})
 
 
 _PROBE_DRIVER_MAX = 64  # above this (and with a session), probe as a job
 
 
-def _keep_path(path: str, column: str, hashes: np.ndarray) -> bool:
+def _keep_path(path: str, column: str, hashes: np.ndarray,
+               decryption=None) -> bool:
     """True when the file might contain any hashed value (no bloom for
     the column → kept: a bloom can only prove absence). Only the probed
     column's bitsets are read (other bloomed columns cost nothing)."""
-    col_blooms = read_blooms(path, column=column).values()
+    col_blooms = read_blooms(path, column=column,
+                             decryption=decryption).values()
     if not col_blooms:
         return True
     return any(bool(might_contain(w, hashes).any()) for w in col_blooms)
 
 
 def prune_files(paths, column: str, values, kind: int,
-                flba_size: int | None = None, spark=None) -> list[str]:
+                flba_size: int | None = None, spark=None,
+                decryption=None) -> list[str]:
     """Keep only files whose bloom for `column` might contain ANY of
     `values`. Footer+bitset reads only, no data pages (KBs per file).
+    `decryption` (a picklable pqcrypt.FileDecryption) lets the probe
+    read encrypted bloom modules; keyless encrypted files are kept.
 
     With a SparkSession and more than _PROBE_DRIVER_MAX paths the probe
     distributes as a job over the path list — the same shape as the
@@ -305,12 +359,12 @@ def prune_files(paths, column: str, values, kind: int,
     paths = list(paths)
     if spark is not None and len(paths) > _PROBE_DRIVER_MAX:
         hb = hashes.tobytes()
-        col = column
+        col, dec = column, decryption
 
         def probe_partition(it):
             h = np.frombuffer(hb, dtype=np.uint64)
             for p in it:
-                if _keep_path(p, col, h):
+                if _keep_path(p, col, h, dec):
                     yield p
 
         slices = min(
@@ -320,4 +374,5 @@ def prune_files(paths, column: str, values, kind: int,
             .mapPartitions(probe_partition)
             .collect()
         )
-    return [p for p in paths if _keep_path(p, column, hashes)]
+    return [p for p in paths
+            if _keep_path(p, column, hashes, decryption)]

@@ -1394,17 +1394,16 @@ def _rg_survives(f, rg: dict, pred: _Pred) -> bool:
                     and _bounds_refute(lo, hi, pred.op, pred.stat_cmp):
                 return False
     if pred.bloom_args is not None and f is not None \
-            and "__crypto__" not in meta:
-        # encrypted bloom modules (types 8/9) are out of the round-5
-        # scope: stats above already pruned; the bloom just abstains
+            and meta.get("__crypto__", True) is not None:
         off = meta.get(14)
         if off is not None:
             from parquet_go_spark.interop import pqbloom
 
-            f.seek(off)
-            hdr, hlen = read_struct(f.read(64), 0)
-            f.seek(off + hlen)
-            bits = np.frombuffer(f.read(hdr[1]), dtype="<u4").reshape(-1, 8)
+            # encrypted bloom modules decrypt through the chunk's
+            # ChunkCrypto; a marked-but-keyless chunk ("__crypto__" is
+            # None) was excluded above — the bloom abstains, stats
+            # already pruned
+            bits = pqbloom.read_bloom_at(f, off, meta.get("__crypto__"))
             values, kind, flba = pred.bloom_args
             hashes = pqbloom.spec_hashes(values, kind, flba_size=flba)
             if not bool(pqbloom.might_contain(bits, hashes).any()):
@@ -1605,31 +1604,54 @@ def _load_chunk(f, meta: dict) -> tuple[bytes, dict]:
 #  never read, and the OTHER projected columns read only the pages
 #  overlapping the surviving rows)
 
-def _offset_index(f, cc: dict):
-    """[(offset, compressed_size, first_row_index)] or None.
-    Encrypted chunks: the OffsetIndex is its own encrypted module —
-    page-level trimming is out of the round-5 encryption scope, so
-    report no index (whole-group decode stays correct)."""
-    if "__crypto__" in (cc.get(3) or {}):
+def _index_bytes(f, cc: dict, off_field: int, len_field: int,
+                 module_type: int, what: str):
+    """Raw thrift bytes of a ColumnIndex/OffsetIndex, decrypting the
+    module (GCM in BOTH spec algorithms — indexes are thrift modules)
+    when the chunk is encrypted. Keyless encrypted chunks report no
+    index: page-level trimming abstains, whole-group decode stays
+    correct."""
+    meta = cc.get(3) or {}
+    crypto = meta.get("__crypto__", False)
+    if crypto is None:  # marked encrypted, no keys supplied
         return None
-    off, ln = cc.get(4), cc.get(5)
+    off, ln = cc.get(off_field), cc.get(len_field)
     if off is None or ln is None:
         return None
     f.seek(off)
-    oi, _ = read_struct(f.read(ln), 0)
+    raw = f.read(ln)
+    if crypto:
+        from parquet_go_spark.interop import pqcrypt
+
+        raw, _ = pqcrypt.decrypt_module(
+            raw, 0, crypto.key,
+            pqcrypt.module_aad(crypto.file_aad, module_type,
+                               crypto.rg, crypto.col), what)
+    return raw
+
+
+def _offset_index(f, cc: dict):
+    """[(offset, compressed_size, first_row_index)] or None."""
+    from parquet_go_spark.interop import pqcrypt
+
+    raw = _index_bytes(f, cc, 4, 5, pqcrypt.OFFSET_INDEX,
+                       "offset index")
+    if raw is None:
+        return None
+    oi, _ = read_struct(raw, 0)
     return [(pl[1], pl[2], pl[3]) for pl in oi[1]]
 
 
 def _column_index(f, cc: dict):
-    """(null_pages, min_values, max_values, null_counts|None) or None.
-    Encrypted chunks report no index (see _offset_index)."""
-    if "__crypto__" in (cc.get(3) or {}):
+    """(null_pages, min_values, max_values, null_counts|None) or
+    None."""
+    from parquet_go_spark.interop import pqcrypt
+
+    raw = _index_bytes(f, cc, 6, 7, pqcrypt.COLUMN_INDEX,
+                       "column index")
+    if raw is None:
         return None
-    off, ln = cc.get(6), cc.get(7)
-    if off is None or ln is None:
-        return None
-    f.seek(off)
-    ci, _ = read_struct(f.read(ln), 0)
+    ci, _ = read_struct(raw, 0)
     if 1 not in ci or 2 not in ci or 3 not in ci:
         return None
     return ci[1], ci[2], ci[3], ci.get(5)
@@ -1740,13 +1762,15 @@ def _surviving_pages(f, meta: dict, leaf: _Node, locs, ranges,
     byte gap, not the footer field. Shared by the non-repeated and
     repeated page-trimmed readers."""
     codec = _chunk_codec(meta)
+    crypto = _chunk_crypto(meta, leaf)
     dictionary_vals = None
     start = meta.get(11) or meta[9]
     if locs and locs[0][0] > start:
         f.seek(start)
         buf = f.read(locs[0][0] - start)
         kind, dictionary_vals, _ = _decode_page(
-            buf, 0, leaf, codec, None, verify)
+            buf, 0, leaf, codec, None, verify, crypto=crypto,
+            is_dict=True)
         if kind != "dict":
             raise ValueError("pqreader: expected dictionary page")
     ri = 0  # ranges cursor (both ranges and pages are row-ordered)
@@ -1765,8 +1789,11 @@ def _surviving_pages(f, meta: dict, leaf: _Node, locs, ranges,
             continue
         f.seek(off)
         buf = f.read(size)
+        # the OffsetIndex lists DATA pages in order, so its position
+        # is the encrypted module's page ordinal
         kind, payload, _ = _decode_page(buf, 0, leaf, codec,
-                                        dictionary_vals, verify)
+                                        dictionary_vals, verify,
+                                        crypto=crypto, page_ord=i)
         if kind != "data":
             raise ValueError("pqreader: page index points at a "
                              "non-data page")
@@ -2193,10 +2220,6 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
         [pa.field(f.name, f.type, True) for f in probe])
     out_schema = from_arrow_schema(cast_schema)
 
-    if decryption is not None:
-        # encrypted bloom modules are out of the round-5 scope — the
-        # file-level probe would read ciphertext bitsets
-        bloom_prune_files = False
     if bloom_prune_files:
         from parquet_go_spark.interop import pqbloom
 
@@ -2212,7 +2235,7 @@ def spark_read(spark, dir_path: str, columns: list[str] | None = None,
                 values, kind, flba = pr.bloom_args
                 files = pqbloom.prune_files(
                     files, pr.name, values, kind, flba_size=flba,
-                    spark=spark)
+                    spark=spark, decryption=decryption)
         if not files:
             return spark.createDataFrame([], out_schema)
 

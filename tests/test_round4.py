@@ -1361,9 +1361,10 @@ def test_pqreader_spark_read_bloom_file_prune(spark, monkeypatch, tmp_path):
     probed = []
     orig = pqbloom.prune_files
 
-    def spy(paths, column, values, kind, flba_size=None, spark=None):
+    def spy(paths, column, values, kind, flba_size=None, spark=None,
+            decryption=None):
         out = orig(paths, column, values, kind, flba_size=flba_size,
-                   spark=spark)
+                   spark=spark, decryption=decryption)
         probed.append((len(list(paths)), len(out)))
         return out
 

@@ -1185,3 +1185,96 @@ def test_encrypted_export_roundtrip(spark, tmp_path):
 
     with pytest.raises(Exception, match="encrypted|PARE"):
         pqreader.read_table(files[0])
+
+
+def test_encrypted_bloom_and_page_index_pruning(tmp_path):
+    """Encrypted files are first-class through the WHOLE pruning
+    stack: bloom modules (GCM header + GCM/CTR bitset) and
+    ColumnIndex/OffsetIndex modules decrypt, so a point probe on an
+    encrypted sorted file decodes only the surviving pages and an
+    absent-value probe decodes NOTHING. Keyless access stays sound:
+    blooms contribute no bitsets, indexes abstain, whole-group reads
+    fail with the clear needs-keys error."""
+    import numpy as np
+
+    import parquet_go_spark.interop.pqreader as pr
+    from parquet_go_spark.codecs.kinds import Kind
+    from parquet_go_spark.interop import pqbloom, pqcrypt
+    from parquet_go_spark.interop.pqwriter import ColumnSpec, write_table
+
+    enc = pqcrypt.wrapped_encryption(
+        {"kf": FOOTER_KEY, "kc": COL_KEY}, footer_master="kf",
+        column_masters={"k": "kc"})
+    n = 40_000
+    k = np.arange(n, dtype=np.int64)
+    v = (k * 7 % 1000).astype(np.float64)
+    p = str(tmp_path / "enc_prune.parquet")
+    write_table(p, [ColumnSpec("k", Kind.INT64, k),
+                    ColumnSpec("v", Kind.DOUBLE, v)],
+                row_group_rows=10_000, page_rows=1_000,
+                bloom_columns=["k"], page_index=True, encryption=enc)
+    dec = _decryption()
+
+    bl = pqbloom.read_blooms(p, decryption=dec)
+    assert sorted(bl) == [(g, "k") for g in range(4)]
+    assert pqbloom.read_blooms(p) == {}  # keyless: sound, empty
+    assert pqbloom.bloom_column_names(p, decryption=dec) == ["k"]
+    assert pqbloom.prune_files([p], "k", np.array([25_000]),
+                               Kind.INT64, decryption=dec) == [p]
+    assert pqbloom.prune_files([p], "k", np.array([90_000_000]),
+                               Kind.INT64, decryption=dec) == []
+
+    calls = {"n": 0}
+    orig = pr._decode_page
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    pr._decode_page = spy
+    try:
+        t1 = pr.read_table(p, predicate=("k", "=", 25_000),
+                           decryption=dec)
+        n1 = calls["n"]
+        t2 = pr.read_table(p, predicate=("k", "=", 90_000_000),
+                           decryption=dec)
+        n2 = calls["n"] - n1
+    finally:
+        pr._decode_page = orig
+    assert t1.num_rows == 1 and t1.column("k")[0].as_py() == 25_000
+    assert t1.column("v")[0].as_py() == (25_000 * 7) % 1000
+    assert n1 <= 4  # one surviving page per projected column (+dict)
+    assert t2.num_rows == 0 and n2 == 0  # bloom refuted all groups
+    full = pr.read_table(p, decryption=dec)
+    assert np.array_equal(np.asarray(full.column("k")), k)
+
+
+def test_encrypted_page_index_pyarrow_both_algorithms(tmp_path):
+    """parquet-cpp writes ColumnIndex/OffsetIndex as GCM modules in
+    BOTH algorithms (indexes are thrift modules even in GCM_CTR
+    files); our page-trimmed reader must decrypt them and still
+    match pyarrow's values, and predicate reads must stay exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet.encryption as pe
+
+    import parquet_go_spark.interop.pqreader as pr
+
+    factory, conf, _ = _kms_factory()
+    t = _enc_table()
+    for algo in ("AES_GCM_V1", "AES_GCM_CTR_V1"):
+        enc_conf = pe.EncryptionConfiguration(
+            footer_key="kf", column_keys={"kc": ["x", "s"]},
+            encryption_algorithm=algo, double_wrapping=False)
+        p = str(tmp_path / f"encidx_{algo}.parquet")
+        props = factory.file_encryption_properties(conf, enc_conf)
+        with pq.ParquetWriter(p, t.schema,
+                              encryption_properties=props,
+                              write_page_index=True,
+                              data_page_size=8_000) as w:
+            w.write_table(t.slice(0, 1500))
+            w.write_table(t.slice(1500))
+        dec = _decryption()
+        assert pr.read_table(p, decryption=dec).cast(t.schema).equals(t)
+        got = pr.read_table(p, decryption=dec,
+                            predicate=("x", "<", 1000))
+        assert got.num_rows == pc.sum(pc.less(t["x"], 1000)).as_py()
