@@ -62,10 +62,41 @@ _ARROW_TO_SPARK = {
 _PQ_CODEC = {"UNCOMPRESSED": None, "SNAPPY": "snappy", "GZIP": "gzip",
              "ZSTD": "zstd", "BROTLI": "brotli"}
 
+# format CompressionCodec ids → write_table names (encrypted-source
+# inherit reads OUR footer, where the codec is the raw thrift id)
+_CODEC_ID = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
+             5: "lz4_legacy", 6: "zstd", 7: "lz4_raw"}
+
 INHERIT = "__inherit__"
 
 
-def _merge_fn(out_dir: str, columns, compression, page_rows: int):
+def _inherit_props(path: str, decryption):
+    """(codec_name, sorting LEAF indexes, bloom columns) of one source
+    file — footer bytes only. Plaintext files go through pyarrow's
+    metadata object; encrypted ones through OUR footer reader (pyarrow
+    cannot open them without its own key plumbing)."""
+    if decryption is None:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        comp = _PQ_CODEC.get(md.row_group(0).column(0).compression)
+        sorting = [s.column_index
+                   for s in (md.row_group(0).sorting_columns or [])]
+    else:
+        from parquet_go_spark.interop import pqreader
+
+        with open(path, "rb") as f:
+            fmd = pqreader._read_footer_file(
+                f, os.path.getsize(path), path, decryption)
+        rg = fmd[4][0]
+        comp = _CODEC_ID.get(rg[1][0][3][4])
+        sorting = [sc[1] for sc in (rg.get(4) or [])]
+    bloom = pqbloom.bloom_column_names(path, decryption) or None
+    return comp, sorting, bloom
+
+
+def _merge_fn(out_dir: str, columns, compression, page_rows: int,
+              decryption=None, encryption=None):
     # file-footer SortingColumn indexes address LEAF chunks; a MAP
     # column contributes two leaves and a STRUCT one per field, so map
     # them back to top-level column positions for Arrow sorting and
@@ -87,31 +118,37 @@ def _merge_fn(out_dir: str, columns, compression, page_rows: int):
             for job in batch.to_pylist():
                 files = job["files"].split("\n")
                 paths = [os.path.join(out_dir, f) for f in files]
-                # inherit the sources' codec + declared sort order
-                md = pq.ParquetFile(paths[0]).metadata
-                comp = compression
-                if comp == INHERIT:
-                    comp = _PQ_CODEC.get(
-                        md.row_group(0).column(0).compression)
-                sorting = [leaf_to_top[s.column_index]
-                           for s in (md.row_group(0).sorting_columns or [])]
-                # inherit bloom-filtered columns too (footer-only scan)
-                bloom_cols = pqbloom.bloom_column_names(paths[0]) or None
+                # inherit the sources' codec + declared sort order +
+                # bloom-filtered columns (footer-only scans)
+                src_comp, leaf_sort, bloom_cols = _inherit_props(
+                    paths[0], decryption)
+                comp = src_comp if compression == INHERIT else compression
+                sorting = [leaf_to_top[i] for i in leaf_sort]
                 # promote: source files may disagree on nullability (a
                 # file whose slice had no nulls declares the column —
                 # or a MAP's value leaf — required)
-                tbl = pa.concat_tables([pq.read_table(p) for p in paths],
-                                       promote_options="default")
+                if decryption is None:
+                    parts = [pq.read_table(p) for p in paths]
+                else:
+                    from parquet_go_spark.interop import pqreader
+
+                    parts = [pqreader.read_table(p, decryption=decryption)
+                             for p in paths]
+                tbl = pa.concat_tables(parts, promote_options="default")
                 if sorting:
                     names = [columns[i][0] for i in sorting]
                     tbl = tbl.take(pc.sort_indices(
                         tbl, sort_keys=[(n, "ascending") for n in names]))
                 name = _file_name(job["repo"], job["bucket"], job["part"])
                 pending = os.path.join(out_dir, name) + ".pending"
+                # per-FILE FileEncryption, same contract as export:
+                # a factory mints a fresh wrapped DEK per merged file
+                enc = encryption() if callable(encryption) else encryption
                 info = write_table(pending, _to_specs(tbl, columns),
                                    compression=comp, page_rows=page_rows,
                                    sorting_columns=sorting or None,
-                                   bloom_columns=bloom_cols)
+                                   bloom_columns=bloom_cols,
+                                   encryption=enc)
                 rows.append({
                     "file": name, "repo": job["repo"],
                     "bucket": job["bucket"], "part": job["part"],
@@ -252,11 +289,21 @@ def compact_export(
     target_bytes: int = 64 << 20,
     compression: str | None = INHERIT,
     page_rows: int = 65536,
+    decryption=None,
+    encryption=None,
 ) -> DataFrame:
     """Fold exported files smaller than `small_bytes` into merged files
     of ~`target_bytes` (an export dir has one schema). Returns the
     summary of compacted files written. compression defaults to
-    inheriting each job's source codec."""
+    inheriting each job's source codec.
+
+    Encrypted stores compact too: pass the store's picklable
+    `decryption` (pqcrypt.FileDecryption — e.g.
+    EncryptionFactory.decryption()) to read the sources through OUR
+    reader, and `encryption` (a FileEncryption or, at scale, a zero-arg
+    factory minting fresh per-file DEKs) so merged files stay
+    encrypted. The `_export_manifest` sidecar holds only file names and
+    sizes and stays plaintext either way."""
     import tempfile
 
     mpath = os.path.join(out_dir, "_export_manifest")
@@ -269,7 +316,8 @@ def compact_export(
         if jobs_df is None:
             return spark.createDataFrame([], _SUMMARY_SCHEMA)
         return _run_jobs(spark, out_dir, mpath, manifest, jobs_df, n_jobs,
-                         sample_file, compression, page_rows)
+                         sample_file, compression, page_rows,
+                         decryption, encryption)
     finally:
         shutil.rmtree(spill_dir, ignore_errors=True)
 
@@ -284,10 +332,18 @@ def _run_jobs(
     sample_file: str,
     compression: str | None,
     page_rows: int,
+    decryption=None,
+    encryption=None,
 ) -> DataFrame:
     import pyarrow.parquet as pq
 
-    sample = pq.read_schema(os.path.join(out_dir, sample_file))
+    if decryption is None:
+        sample = pq.read_schema(os.path.join(out_dir, sample_file))
+    else:
+        from parquet_go_spark.interop import pqreader
+
+        sample = pqreader.read_schema(
+            os.path.join(out_dir, sample_file), decryption=decryption)
 
     def to_spark(t):
         if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -305,7 +361,8 @@ def _run_jobs(
 
     jobs_df = jobs_df.repartition(
         min(n_jobs, spark.sparkContext.defaultParallelism))
-    fn = _merge_fn(out_dir, columns, compression, page_rows)
+    fn = _merge_fn(out_dir, columns, compression, page_rows,
+                   decryption, encryption)
     summary = jobs_df.mapInArrow(fn, _SUMMARY_SCHEMA).cache()
     summary.count()  # all pending files written; nothing deleted yet
 

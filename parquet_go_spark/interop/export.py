@@ -521,9 +521,9 @@ def export_parquet(
     callable returning one (pqcrypt.EncryptionFactory mints fresh
     wrapped DEKs per FILE, keeping every key's GCM nonce budget
     per-file). Read back with spark_read / format("pqread") passing
-    the matching FileDecryption (EncryptionFactory.decryption()).
-    compact_export requires plaintext inputs — run it before
-    encrypting or re-export."""
+    the matching FileDecryption (EncryptionFactory.decryption());
+    compact later with compact_export(decryption=..., encryption=...)
+    to keep the merged files encrypted."""
     columns = df.dtypes
     for name, t in columns:
         if not _supported(t):

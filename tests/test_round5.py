@@ -1278,3 +1278,51 @@ def test_encrypted_page_index_pyarrow_both_algorithms(tmp_path):
         got = pr.read_table(p, decryption=dec,
                             predicate=("x", "<", 1000))
         assert got.num_rows == pc.sum(pc.less(t["x"], 1000)).as_py()
+
+
+def test_encrypted_store_compaction(spark, tmp_path):
+    """compact_export on an ENCRYPTED store: sources decode through
+    our reader with the store's decryption, merged outputs re-encrypt
+    with fresh per-file DEKs (encryption factory), codec/sort/bloom
+    inheritance reads the encrypted footers, and a later resumed
+    export still sees everything as done."""
+    import glob
+    import os
+
+    from parquet_go_spark.interop import (
+        compact, export as pexport, pqbloom, pqcrypt, pqreader)
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority"))
+    fac = pqcrypt.EncryptionFactory(
+        {"kf": FOOTER_KEY, "kc": COL_KEY}, footer_master="kf",
+        column_masters={"o_orderkey": "kc"})
+    d = str(tmp_path / "enc_store")
+    pexport.export_parquet(spark, df, d, repo_col="o_orderpriority",
+                           target_chunk_bytes=6_000, encryption=fac,
+                           bloom_cols=["o_orderkey"])
+    files0 = glob.glob(d + "/*.parquet")
+    assert len(files0) >= 4
+
+    summ = compact.compact_export(
+        spark, d, small_bytes=1 << 20, target_bytes=2 << 20,
+        decryption=fac.decryption(), encryption=fac)
+    merged = [r.file for r in summ.collect()]
+    files1 = glob.glob(d + "/*.parquet")
+    assert merged and len(files1) < len(files0)
+    for f in files1:
+        assert open(f, "rb").read(4) == b"PARE"  # still encrypted
+
+    got = pqreader.spark_read(spark, d, decryption=fac.decryption())
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, df.collect()))
+    for m in merged:
+        assert pqbloom.bloom_column_names(
+            os.path.join(d, m), fac.decryption()) == ["o_orderkey"]
+
+    before = len(glob.glob(d + "/*.parquet"))
+    pexport.export_parquet(spark, df, d, repo_col="o_orderpriority",
+                           target_chunk_bytes=6_000, encryption=fac,
+                           bloom_cols=["o_orderkey"], resume=True)
+    assert len(glob.glob(d + "/*.parquet")) == before
