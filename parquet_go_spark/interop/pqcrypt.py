@@ -200,10 +200,17 @@ def pyarrow_key_retriever(unwrap):
     (internal storage): parses the key_metadata JSON and delegates the
     KMS unwrap to `unwrap(wrapped_key_b64: str, master_key_id: str) ->
     bytes` — the exact KmsClient.unwrap_key contract, so the same
-    function a pyarrow CryptoFactory uses works here. Double wrapping
-    and external key material are rejected (scoped out)."""
+    function a pyarrow CryptoFactory uses works here. Both wrapping
+    modes are read: single (DEK wrapped by the KMS directly) and
+    DOUBLE wrapping — pyarrow's DEFAULT — where the KMS wraps a key
+    encryption key and the DEK is wrapped locally under that KEK with
+    AAD = the base64-decoded keyEncryptionKeyID (parquet key-tools
+    EncryptKeyLocally; verified against pyarrow-authored files).
+    External key material stays rejected."""
 
     def retrieve(key_metadata: bytes) -> bytes:
+        import base64
+
         try:
             km = json.loads(key_metadata)
         except (ValueError, UnicodeDecodeError):
@@ -217,11 +224,19 @@ def pyarrow_key_retriever(unwrap):
         if not km.get("internalStorage", False):
             raise ValueError(
                 "pqcrypt: external key material is not supported")
-        if km.get("doubleWrapping"):
+        if not km.get("doubleWrapping"):
+            return unwrap(km["wrappedDEK"], km["masterKeyID"])
+        kek = unwrap(km["wrappedKEK"], km["masterKeyID"])
+        kek_id = base64.b64decode(km["keyEncryptionKeyID"])
+        raw = base64.b64decode(km["wrappedDEK"])
+        from cryptography.exceptions import InvalidTag
+
+        try:
+            return _aesgcm(kek).decrypt(raw[:12], raw[12:], kek_id)
+        except InvalidTag:
             raise ValueError(
-                "pqcrypt: double-wrapped key material is not supported "
-                "(write with double_wrapping=False, or pass direct keys)")
-        return unwrap(km["wrappedDEK"], km["masterKeyID"])
+                "pqcrypt: double-wrapped DEK unwrap failed — wrong "
+                "master key or tampered key material") from None
 
     return retrieve
 

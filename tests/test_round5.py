@@ -1326,3 +1326,35 @@ def test_encrypted_store_compaction(spark, tmp_path):
                            target_chunk_bytes=6_000, encryption=fac,
                            bloom_cols=["o_orderkey"], resume=True)
     assert len(glob.glob(d + "/*.parquet")) == before
+
+
+@pytest.mark.parametrize("algo", ["AES_GCM_V1", "AES_GCM_CTR_V1"])
+def test_double_wrapped_key_material_read(tmp_path, algo):
+    """pyarrow's DEFAULT key-tools mode is DOUBLE wrapping: the KMS
+    wraps a key-encryption key, and the DEK is wrapped locally under
+    that KEK with AAD = the base64-decoded keyEncryptionKeyID. Files
+    written with pyarrow defaults (no double_wrapping=False) must read
+    back value-exact through the same LocalKeyUnwrap retriever, in
+    both algorithms; a wrong master key fails at the KEK unwrap."""
+    import pyarrow.parquet.encryption as pe
+
+    from parquet_go_spark.interop import pqcrypt, pqreader as r
+
+    factory, conf, _ = _kms_factory()
+    enc_conf = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["x", "s"]},
+        encryption_algorithm=algo)  # double_wrapping defaults to True
+    t = _enc_table()
+    p = str(tmp_path / "dw.parquet")
+    props = factory.file_encryption_properties(conf, enc_conf)
+    with pq.ParquetWriter(p, t.schema, encryption_properties=props) as w:
+        w.write_table(t.slice(0, 1500))
+        w.write_table(t.slice(1500))
+    ours = r.read_table(p, decryption=_decryption())
+    assert ours.cast(t.schema).equals(t)
+    bad = pqcrypt.FileDecryption(
+        key_retriever=pqcrypt.pyarrow_key_retriever(
+            pqcrypt.LocalKeyUnwrap(
+                {"kf": b"0000000000000000", "kc": COL_KEY})))
+    with pytest.raises(ValueError, match="unwrap"):
+        r.read_table(p, decryption=bad)
